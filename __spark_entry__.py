@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (QA1-topk — the reference's podping
+counts endpoint, plugs/podping/podping.py:19-26) at sf0.001. ``queries()`` /
+``oracle_sql()`` expose the full canonical matrix (FIXTURES.md §2) plus
+extension operators from haf_plug_play_spark.
 """
 
 from __future__ import annotations
@@ -13,26 +12,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from haf_plug_play_spark.queries.canonical import CANONICAL_QUERIES, ORACLE_SQL
+
+SF0001_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return CANONICAL_QUERIES["QA1-topk"](spark, SF0001_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    q.update(CANONICAL_QUERIES)
+    try:
+        from haf_plug_play_spark.ext.registry import EXT_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        q.update(EXT_QUERIES)
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle SQL for each SQL-expressible query."""
+    o: dict[str, str] = {}
+    o.update(ORACLE_SQL)
+    try:
+        from haf_plug_play_spark.ext.registry import EXT_ORACLE_SQL
+
+        o.update(EXT_ORACLE_SQL)
+    except ImportError:
+        pass
+    return o

@@ -1,0 +1,60 @@
+"""Benchmark runner: executes the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON line
+with per-query wall-clock seconds.
+
+Each query is timed end-to-end (plan + execute + collect) after a shared
+session warm-up, mirroring how the reference serves each API request as an
+independent query (server/plug_endpoints/podping.py:13-37).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from haf_plug_play_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("haf_plug_play_spark_bench")
+    queries = entry_mod.queries()
+
+    # Warm up the JVM/codegen path once so per-query times measure the
+    # queries, not session bootstrap.
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "canonical_query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+"""SparkSession factory.
+
+Engine-wide session defaults (SURVEY.md §1.2, §7.0):
+
+- UTC session timezone — the reference stores naive-UTC timestamps
+  (``plugs/podping/tables.sql:6``) and formats them at the API boundary
+  (``tools.py:14``); pinning UTC makes Spark timestamps byte-compatible with
+  the DuckDB oracle.
+- ANSI off — PostgreSQL array indexing yields NULL out-of-range
+  (``plugs/polls/polls.py:62``); ``element_at`` must not throw.
+- AQE on — runtime join-strategy selection, partition coalescing and skew
+  handling; this is the 100 TB posture (no hand-scheduled plans).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(app_name: str = "haf_plug_play_spark", master: str | None = None) -> SparkSession:
+    """Build (or get) the engine SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``) so
+    tests and bench share one code path; on a real cluster the caller passes
+    nothing and spark-submit supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    # In local mode the driver is the only JVM; give it headroom if offered.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    if not SparkSession.getActiveSession():
+        builder = builder.master(master)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,64 @@
+"""Parquet table sources for the synthetic star schema (TESTDATA.md).
+
+Plain ``spark.read.parquet`` — Catalyst handles predicate pushdown, column
+pruning and partition pruning on these scans (SURVEY.md §4.2); the engine
+never pre-materializes or caches a table the query didn't ask for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor the engine
+# targets (catalog-style lookups — SURVEY.md S3/J3).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+# Columns written as parquet TIMESTAMP(NANOS) (pandas/pyarrow default), which
+# Spark has no native type for. With nanosAsLong they arrive as LongType
+# nanoseconds; truncate to micros — the same truncation DuckDB/Python apply.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def _session_defaults(spark: SparkSession) -> None:
+    """Runtime confs the engine relies on, applied idempotently so queries
+    behave identically under a caller-provided session (e.g. the driver's)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _session_defaults(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        field = df.schema[col]
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry points."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
