@@ -1,0 +1,71 @@
+"""Hive-Engine plug — sidechain token ops capture.
+
+Reference parity (/root/reference/haf_plug_play/plugs/hive_engine/): the
+reference ships this plug as a broken skeleton (functions.sql:12-16 doesn't
+parse, `hive_engine.tokens` is dispatched but undefined, tables.sql declares
+`transfers` three times — SURVEY §7.4). Implemented intent:
+
+- op filter `= 'ssc-mainnet-hive'`:      functions.sql:67
+- bronze ops row per matched op:         functions.sql:22-44, tables.sql:3-12
+- contract dispatch (tokens / nft):      functions.sql:71-75
+- transfers with the first (typed) definition — qty NUMERIC(18,10)
+  (tables.sql:14-24); reserved-word columns `from`/`to` become
+  from_acct/to_acct (FIXTURES.md §3.4)
+
+The transfer sender is the op's signing account (first active auth, falling
+back to posting auth) — the payload carries only the recipient.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.plugs.framework import Plug
+
+CJ_ID = "ssc-mainnet-hive"
+
+OPS_COLUMNS = (
+    "op_id_seq",
+    "block_num",
+    "created",
+    "trx_hash_hex",
+    "req_auths",
+    "req_posting_auths",
+    "cj_id",
+    "payload",
+)
+
+
+def transform(parsed: DataFrame) -> dict[str, DataFrame]:
+    matched = parsed.filter((F.col("cj_id") == CJ_ID) & F.col("payload_valid"))
+
+    ops_out = matched.select(*OPS_COLUMNS)
+
+    transfers = matched.filter(
+        (F.get_json_object("payload", "$.contractName") == "tokens")
+        & (F.get_json_object("payload", "$.contractAction") == "transfer")
+    ).select(
+        "op_id_seq",
+        "block_num",
+        "created",
+        F.get_json_object("payload", "$.contractPayload.symbol").alias("symbol"),
+        F.coalesce(
+            F.element_at("req_auths", 1), F.element_at("req_posting_auths", 1)
+        ).alias("from_acct"),
+        F.get_json_object("payload", "$.contractPayload.to").alias("to_acct"),
+        F.get_json_object("payload", "$.contractPayload.quantity")
+        .cast("decimal(18,10)")
+        .alias("qty"),
+        F.get_json_object("payload", "$.contractPayload.memo").alias("memo"),
+    )
+    return {"he_ops": ops_out, "he_transfers": transfers}
+
+
+PLUG = Plug(
+    name="hive_engine",
+    cj_ids=(CJ_ID,),
+    start_block=60_100_000,  # plugs/hive_engine/defs.json:7
+    transform=transform,
+    tables=("he_ops", "he_transfers"),
+)

@@ -1,0 +1,144 @@
+"""The reference's analytical query menu, as DataFrame builders.
+
+Reference parity: podping StateQuery (plugs/podping/podping.py:13-39) and
+polls Search/StateQuery (plugs/polls/polls.py:12-101). Each reference method
+builds a SQL string over its state tables; here each is a function over the
+plug-derived DataFrames with typed parameters (which removes the reference's
+f-string injection class — SURVEY §7.4). Column order mirrors the reference's
+positional field contract (database/access.py:10-12).
+
+``now`` is an explicit parameter wherever the reference calls
+NOW() AT TIME ZONE 'utc' — deterministic, testable, and what a reader at an
+API boundary would pin anyway.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def podping_counts(
+    updates: DataFrame, block_range: tuple[int, int], limit: int = 20
+) -> DataFrame:
+    """Feed-update counts, top-k by count (plugs/podping/podping.py:13-27).
+    Plans as partial/final hash agg + TakeOrderedAndProject."""
+    return (
+        updates.filter(F.col("block_num").between(*block_range))
+        .groupBy("url")
+        .agg(F.count("url").alias("url_count"))
+        .orderBy(F.desc("url_count"), "url")
+        .limit(limit)
+    )
+
+
+def podping_url_latest_feed_update(
+    updates: DataFrame, ops: DataFrame, url: str, limit: int = 5
+) -> DataFrame:
+    """Latest-k updates for one feed url (plugs/podping/podping.py:29-39).
+    The url filter lands on the updates scan before the join; ops side joins
+    on the deterministic source op id (SURVEY §4.3.2)."""
+    fu = updates.filter(F.col("url") == url).select(
+        F.col("op_id_seq").alias("podping_id"), "block_num", "created", "reason", "medium"
+    )
+    po = ops.select(F.col("op_id_seq"), F.col("trx_hash_hex").alias("trx_id_hex"))
+    return (
+        fu.join(po, fu.podping_id == po.op_id_seq, "inner")
+        .select("trx_id_hex", "block_num", "created", "reason", "medium", "podping_id")
+        .orderBy(F.desc("podping_id"))
+        .limit(limit)
+        .drop("podping_id")
+    )
+
+
+def poll_ops(
+    ops: DataFrame, op_type: str | None = None, block_range: tuple[int, int] | None = None
+) -> DataFrame:
+    """Raw poll ops search (plugs/polls/polls.py:13-27); optional-predicate
+    composition (F9) via chained filters."""
+    df = ops
+    if block_range is not None:
+        df = df.filter(F.col("block_num").between(*block_range))
+    if op_type is not None:
+        df = df.filter(F.col("op_type") == op_type)
+    return df.select("trx_hash_hex", "req_posting_auths", "op_type", "payload")
+
+
+def polls_active(
+    content: DataFrame, tag: str | None = None, now: datetime.datetime | None = None
+) -> DataFrame:
+    """Active (unexpired, undeleted) polls (plugs/polls/polls.py:33-45)."""
+    now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+    df = content.filter((F.col("expires") >= now_col) & ~F.col("deleted"))
+    if tag is not None:
+        df = df.filter(F.col("tag") == tag)
+    return df.select("author", "permlink", "question", "answers", "expires", "tag", "created")
+
+
+def get_poll(content: DataFrame, author: str, permlink: str) -> DataFrame:
+    """Single poll detail (plugs/polls/polls.py:47-56, with the missing-comma
+    field list fixed per SURVEY §7.4)."""
+    return content.filter(
+        (F.col("author") == author) & (F.col("permlink") == permlink) & ~F.col("deleted")
+    ).select("author", "permlink", "question", "answers", "expires", "tag", "created")
+
+
+def _parsed_answer() -> F.Column:
+    # answers[answer] with PG semantics: 1-based, NULL when out of range —
+    # including index 0, which element_at would reject, hence the NULL guard.
+    idx = F.when(F.col("answer") >= 1, F.col("answer")).cast("int")
+    return F.element_at("answers", idx)
+
+
+def poll_votes_summary(content: DataFrame, votes: DataFrame, author: str, permlink: str) -> DataFrame:
+    """Distinct-voter counts per parsed answer (plugs/polls/polls.py:58-72).
+
+    Keeps the reference's vote-validity predicate verbatim, including the
+    COALESCE fallback ``created - INTERVAL 7 DAYS`` for NULL expiry
+    (plugs/polls/polls.py:69-70): the content side is filtered to one poll
+    before the join, so the join is a broadcast of a single row.
+    """
+    c = content.filter(
+        (F.col("author") == author) & (F.col("permlink") == permlink) & ~F.col("deleted")
+    ).select("author", "permlink", "answers", "expires", F.col("created").alias("c_created"))
+    v = votes.select("author", "permlink", "account", "answer", "created")
+    cutoff = F.coalesce(F.col("expires"), F.col("c_created") - F.expr("INTERVAL 7 DAYS"))
+    return (
+        v.join(F.broadcast(c), ["author", "permlink"], "inner")
+        .filter(F.col("created") <= cutoff)
+        .groupBy(_parsed_answer().alias("parsed_answer"))
+        .agg(F.countDistinct("account").alias("votes"))
+    )
+
+
+def poll_votes(content: DataFrame, votes: DataFrame, author: str, permlink: str) -> DataFrame:
+    """All votes for a poll with parsed answers (plugs/polls/polls.py:74-83)."""
+    c = content.filter(
+        (F.col("author") == author) & (F.col("permlink") == permlink) & ~F.col("deleted")
+    ).select("author", "permlink", "answers")
+    v = votes.select("author", "permlink", "account", "answer")
+    return (
+        v.join(F.broadcast(c), ["author", "permlink"], "inner")
+        .select("account", _parsed_answer().alias("answer"))
+    )
+
+
+def polls_user(
+    content: DataFrame,
+    author: str,
+    active: bool = False,
+    tag: str | None = None,
+    now: datetime.datetime | None = None,
+) -> DataFrame:
+    """Polls created by one user (plugs/polls/polls.py:85-101)."""
+    df = content.filter((F.col("author") == author) & ~F.col("deleted"))
+    if active:
+        now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+        df = df.filter(F.col("expires") >= now_col)
+    if tag is not None:
+        df = df.filter(F.col("tag") == tag)
+    return df.select("permlink", "question", "answers", "expires", "tag", "created").orderBy(
+        F.desc("created"), "permlink"
+    )
