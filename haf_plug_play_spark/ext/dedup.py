@@ -1,0 +1,268 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale posture (the 100 TB contract):
+- Exact dedup is one hash-groupBy (partial agg map-side).
+- Fuzzy dedup never materializes the O(n²) pair space: Jaccard pairs come
+  from an inverted shingle index (join keyed on shingle), MinHash candidates
+  from LSH band buckets, SimHash candidates from bit-chunk bands
+  (pigeonhole: hamming ≤ d pairs must agree on ≥1 of d+1 chunks). The only
+  all-pairs step is inside a bucket — bounded by design.
+- All hashing is the portable md5-based scheme (ext/hashing.py) so the
+  DuckDB oracle can replicate signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.ext.hashing import hash_params, md5_int, universal_hash
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (by ``order_col``) per exact key — the
+    first-create-wins pattern (T7) applied to content dedup."""
+    w = W.partitionBy(*key_cols).orderBy(order_col)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased text, as an array."""
+    words = F.split(F.lower(text), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
+
+    Inverted-index plan: explode shingles → self-join on shingle (only
+    colliding docs meet) → intersection counts → |A∪B| = |A|+|B|−|A∩B|.
+    Output: (id_a, id_b, inter, union_sz, jaccard) with id_a < id_b.
+    """
+    sh = _shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("union_sz", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union_sz", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, n: int = 3, seed: int = 1,
+) -> DataFrame:
+    """MinHash signature per doc: h_i = min over shingles of
+    (a_i·md5_int(shingle) + b_i) mod P. One explode + one groupBy —
+    signature computation is a single shuffle regardless of num_hashes."""
+    params = hash_params(num_hashes, seed)
+    sh = _shingle_rows(df, id_col, text_col, n).withColumn("x", md5_int(F.col("shingle")))
+    aggs = [
+        F.min(universal_hash(F.col("x"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 16, bands: int = 4, n: int = 3,
+    threshold: float = 0.5, seed: int = 1,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Banding: signature split into ``bands`` bands of r = num_hashes/bands
+    rows; docs sharing any band bucket become candidates (collision prob
+    1-(1-s^r)^bands). Candidates are then verified with exact Jaccard, so
+    the output has no false positives — LSH only bounds the candidate set.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("_", *[F.col(f"h{bi * r + j}") for j in range(r)]).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    candidates = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x._id") < F.col("y._id")))
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return candidates.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "inter", "union_sz", "jaccard"
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint per doc: per word w, h = md5_int(w); bit b of the
+    fingerprint is 1 iff sum over words of ±1 (sign of bit b of h) > 0.
+    Explode + one groupBy with ``bits`` conditional sums."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+    ).withColumn("h", md5_int(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy(F.col("_id").alias(id_col)).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming.
+
+    Banded: fingerprints split into max_hamming+1 bit-chunks; any pair
+    within distance d agrees on ≥1 chunk (pigeonhole), so candidates are a
+    chunk-keyed equi-join, never an all-pairs cross."""
+    chunks = max_hamming + 1
+    width = bits // chunks
+    sh = simhash(df, id_col, text_col, bits)
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for c in range(chunks)
+    ]
+    buckets = sh.select(
+        F.col(id_col).alias("_id"), F.col("simhash"),
+        F.explode(F.array(*chunk_cols)).alias("bk"),
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x._id") < F.col("y._id")))
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
+            F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs_exact(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact cosine pairs ≥ threshold — the brute-force baseline. Correct at
+    any threshold; quadratic by nature, so at scale it verifies the LSH path
+    on samples rather than running on the full corpus.
+
+    Physical plan: the normalized matrix is broadcast once; each partition
+    multiplies its block against it with NumPy under mapInPandas (Arrow
+    batches). One scan, no shuffle, BLAS-speed — ~100× the per-pair
+    expression-fold formulation this replaces.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b = spark.sparkContext.broadcast((ids, mat))
+
+    def _block(batches):
+        import pandas as pd
+
+        all_ids, all_u = b.value
+        for pdf in batches:
+            blk_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            blk = np.array(list(pdf[vec_col]), dtype=np.float64)
+            blk /= np.linalg.norm(blk, axis=1, keepdims=True)
+            sims = np.round(blk @ all_u.T, 6)
+            ai, bj = np.nonzero((sims >= threshold) & (blk_ids[:, None] < all_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": blk_ids[ai], "id_b": all_ids[bj], "cosine": sims[ai, bj]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _block, "id_a long, id_b long, cosine double"
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, n_planes: int = 8, seed: int = 5,
+) -> DataFrame:
+    """Embedding NEAR-DUPLICATE pairs: cosine ≥ threshold, for thresholds in
+    the near-dup regime (≥ ~0.9) — below that the angle is too wide for any
+    sublinear candidate generation and the exact baseline is the right tool.
+
+    Candidates from random-hyperplane LSH (sign-pattern bucket join) with
+    multi-probe (each vector also probes buckets at hamming distance 1, so
+    boundary pairs aren't lost), then exact cosine verification — no false
+    positives; recall is property-tested on clustered data.
+    """
+    from haf_plug_play_spark.ext.similarity import cosine, hyperplane_bucket, unit_norm
+
+    v = df.select(F.col(id_col).alias("_id"), unit_norm(F.col(vec_col)).alias("u"))
+    bucketed = v.withColumn("b", hyperplane_bucket(F.col("u"), n_planes, seed))
+    probes = bucketed.select(
+        "_id", "u",
+        F.explode(
+            F.array(F.col("b"), *[F.col("b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
+        ).alias("b"),
+    )
+    x, y = bucketed.alias("x"), probes.alias("y")
+    cand = (
+        x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x._id") < F.col("y._id")))
+        .select(
+            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
+            F.col("x.u").alias("u_a"), F.col("y.u").alias("u_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("u_a"), F.col("u_b")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,147 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real and tested — schemas, Arrow-batched
+Pandas-UDF signatures over mapInPandas, partition-sized batch flow. The
+actual codec calls are STUBBED deterministically (this container ships no
+image/audio libraries): ``decode_media`` recognizes only the engine's fake
+``FAKEIMG``/``FAKEAUD`` container headers and raises NotImplementedError for
+real formats, exactly where a PIL/ffmpeg call would slot in.
+
+At 100 TB: binary payloads ride in their own parquet column (never
+projected unless asked for — column pruning keeps metadata-only queries
+cheap), decode/feature steps are mapInPandas (per-partition, no shuffle),
+and outputs are fixed-width arrays ready for the similarity operators.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_FAKE_MAGIC = {b"FAKEIMG\x00": "image", b"FAKEAUD\x00": "audio"}
+
+
+def make_fake_image(media_id: int, width: int, height: int) -> bytes:
+    """Deterministic fake image container: magic + dims + seeded pixel bytes."""
+    header = b"FAKEIMG\x00" + struct.pack("<II", width, height)
+    body = bytes((media_id * 31 + i) % 256 for i in range(width * height))
+    return header + body
+
+
+def attach_fake_media(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from documents (test harness):
+    binary = fake image whose pixels derive from doc_id."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),  # opaque payload
+        F.struct(
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+DECODED_SCHEMA = "media_id long, format string, width int, height int, n_pixels long"
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode the binary column into typed image metadata via mapInPandas.
+
+    Real decode (PNG/JPEG/WAV…) is NotImplemented in this container — the
+    stub handles the engine's fake container and fails loudly otherwise.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                magic = buf[:8]
+                if magic == b"FAKEIMG\x00":
+                    w, h = struct.unpack("<II", buf[8:16])
+                    out.append((mid, "fakeimg", w, h, len(buf) - 16))
+                elif magic in _FAKE_MAGIC:
+                    out.append((mid, "fakeaud", None, None, len(buf) - 16))
+                else:
+                    # A real implementation calls PIL/ffmpeg here.
+                    raise NotImplementedError(
+                        f"real media decode not available in this container "
+                        f"(media_id={mid}, magic={magic!r})"
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "format", "width", "height", "n_pixels"]
+            )
+
+    return media.select("media_id", "content").mapInPandas(_decode, DECODED_SCHEMA)
+
+
+HIST_SCHEMA = "media_id long, histogram array<long>"
+
+
+def byte_histogram(media: DataFrame) -> DataFrame:
+    """256-bin byte histogram of the binary payload — a real, deterministic
+    feature extractor (stands in for pixel/audio features), Arrow-batched."""
+
+    def _hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = [
+                (mid, np.bincount(np.frombuffer(bytes(c), dtype=np.uint8), minlength=256).tolist())
+                for mid, c in zip(pdf["media_id"], pdf["content"])
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "histogram"])
+
+    return media.select("media_id", "content").mapInPandas(_hist, HIST_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling: split the payload into n_frames equal
+    byte windows (a real impl samples decoded video frames)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                step = max(1, len(buf) // n_frames)
+                for i in range(n_frames):
+                    chunk = buf[i * step : (i + 1) * step]
+                    if chunk:
+                        rows.append((mid, i, chunk))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    return media.select("media_id", "content").mapInPandas(_frames, FRAME_SCHEMA)

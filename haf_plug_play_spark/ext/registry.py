@@ -1,0 +1,283 @@
+"""Driver-facing extension queries (the LLM-data-pipeline operator surface)
+with DuckDB oracle SQL.
+
+Hash-bearing oracles (minhash/simhash/fingerprints) are *generated* from the
+same constants as the engine (ext/hashing.py), so engine and oracle agree
+bit-for-bit by construction. Float-ranking queries (cosine top-k, ANN) are
+deliberately oracle-less per FIXTURES.md — the driver records a rows-only
+check and pytest verifies them against a NumPy golden instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.ext import dedup, similarity, text as xt
+from haf_plug_play_spark.ext.hashing import MERSENNE_P, hash_params, md5_int, md5_int_sql
+from haf_plug_play_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- SQL helpers
+
+# distinct word n-gram shingles of lower(text), DuckDB spelling
+def _shingles_sql(n: int) -> str:
+    w = "string_split(lower(text), ' ')"
+    return (
+        f"list_distinct([array_to_string({w}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len({w})-{n - 1}, 1)+1)])"
+    )
+
+
+def _langid_case_sql() -> str:
+    hits = {
+        lang: f"len(list_intersect(string_split(lower(text), ' '), "
+        f"[{', '.join(repr(w) for w in xt.LANG_STOPWORDS[lang])}]))"
+        for lang in xt.LANG_PRIORITY
+    }
+    branches = []
+    langs = list(xt.LANG_PRIORITY)
+    for i, lang in enumerate(langs):
+        conds = [f"{hits[lang]} > 0"]
+        conds += [f"{hits[lang]} > {hits[o]}" for o in langs[:i]]
+        conds += [f"{hits[lang]} >= {hits[o]}" for o in langs[i + 1 :]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def _minhash_sig_sql(num_hashes: int, n: int, seed: int) -> str:
+    params = hash_params(num_hashes, seed)
+    x = f"({md5_int_sql('shingle')} % {MERSENNE_P})"
+    mins = ", ".join(
+        f"min(({a} * {x} + {b}) % {MERSENNE_P}) AS h{i}" for i, (a, b) in enumerate(params)
+    )
+    return (
+        f"SELECT doc_id, {mins} FROM "
+        f"(SELECT doc_id, unnest({_shingles_sql(n)}) AS shingle FROM documents) "
+        f"GROUP BY doc_id"
+    )
+
+
+def _simhash_sql(bits: int) -> str:
+    h = md5_int_sql("w")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return (
+        f"WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents), "
+        f"h AS (SELECT doc_id, {h} AS h FROM w), "
+        f"s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s"
+    )
+
+
+_JACCARD_CTE = (
+    "sh AS (SELECT doc_id, unnest({shingles}) AS shingle FROM documents), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+    "ints AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+    "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+    "GROUP BY 1, 2), "
+    "pairs AS (SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS union_sz, "
+    "round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard "
+    "FROM ints JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b)"
+)
+
+
+def _jaccard_pairs_sql(n: int, threshold: float) -> str:
+    return (
+        f"WITH {_JACCARD_CTE.format(shingles=_shingles_sql(n))} "
+        f"SELECT id_a, id_b, inter, union_sz, jaccard FROM pairs "
+        f"WHERE jaccard >= {threshold} ORDER BY id_a, id_b"
+    )
+
+
+def _minhash_pairs_sql(num_hashes: int, bands: int, n: int, threshold: float, seed: int) -> str:
+    r = num_hashes // bands
+    band_conds = " OR ".join(
+        "(" + " AND ".join(f"s1.h{bi * r + j} = s2.h{bi * r + j}" for j in range(r)) + ")"
+        for bi in range(bands)
+    )
+    return (
+        f"WITH sig AS ({_minhash_sig_sql(num_hashes, n, seed)}), "
+        f"cand AS (SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b "
+        f"FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id AND ({band_conds})), "
+        f"{_JACCARD_CTE.format(shingles=_shingles_sql(n))} "
+        f"SELECT p.id_a, p.id_b, p.inter, p.union_sz, p.jaccard FROM pairs p "
+        f"JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b "
+        f"WHERE p.jaccard >= {threshold} ORDER BY p.id_a, p.id_b"
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+_TOKEN_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def xt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", xt.lang_pred(F.col("text")).alias("lang_pred")).orderBy("doc_id")
+
+
+def xt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        xt.with_quality(docs)
+        .select("doc_id", "q_n_words", "q_n_chars", "q_punct_ratio",
+                "q_digit_ratio", "q_stop_hits", "q_score")
+        .orderBy("doc_id")
+    )
+
+
+def xt_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        xt.n_tokens_ws(F.col("text")).alias("n_ws"),
+        xt.n_tokens_re(F.col("text")).alias("n_re"),
+    ).orderBy("doc_id")
+
+
+def xt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", xt.fingerprint_md5(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+def xt_rollfp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup._shingle_rows(docs, "doc_id", "text", 8)
+    return (
+        sh.select(F.col("_id").alias("doc_id"), md5_int(F.col("shingle")).alias("fp"))
+        .filter(F.col("fp") % 8 == 0)
+        .orderBy("doc_id", "fp")
+    )
+
+
+def xd_exact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_key"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("copies"))
+        .orderBy("text_key")
+    )
+
+
+def xd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def xd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
+
+
+def xd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def xd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("doc_id")
+
+
+def xm_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        F.ascii("text").alias("first_byte"),
+    ).orderBy("doc_id")
+
+
+_QUERY_VEC = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
+
+
+def xs_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _QUERY_VEC, k=10)
+
+
+def xs_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, _QUERY_VEC, k=10)
+
+
+def xd_embcos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact baseline (this corpus has no ≥0.9 near-dups; 0.4 exercises the
+    operator with non-empty output)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs_exact(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+def xd_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-verified near-dup pairs at the real near-dup threshold (0.9) —
+    deterministic empty set on this corpus; recall is tested on clustered
+    data in tests/test_ext.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "XT-langid": xt_langid,
+    "XT-quality": xt_quality,
+    "XT-tokens": xt_tokens,
+    "XT-fingerprint": xt_fingerprint,
+    "XT-rollfp": xt_rollfp,
+    "XD-exact-census": xd_exact_census,
+    "XD-ngram-jaccard": xd_ngram_jaccard,
+    "XD-minhash-sig": xd_minhash_sig,
+    "XD-minhash-pairs": xd_minhash_pairs,
+    "XD-simhash": xd_simhash,
+    "XM-bytestats": xm_bytestats,
+    # float-ranking queries: engine-only (NumPy golden in tests)
+    "XS-cosine-topk": xs_cosine_topk,
+    "XS-ann-lsh": xs_ann_lsh,
+    "XD-embcos-pairs": xd_embcos_pairs,
+    "XD-embcos-lsh": xd_embcos_lsh,
+}
+
+EXT_ORACLE_SQL: dict[str, str] = {
+    "XT-langid": (
+        f"SELECT doc_id, {_langid_case_sql()} AS lang_pred FROM documents ORDER BY doc_id"
+    ),
+    "XT-quality": (
+        "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS q_n_words, "
+        "length(text) AS q_n_chars, "
+        r"round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) / length(text), 6) AS q_punct_ratio, "
+        "round(len(regexp_extract_all(text, '[0-9]')) / length(text), 6) AS q_digit_ratio, "
+        f"len(list_intersect(string_split(lower(text), ' '), "
+        f"[{', '.join(repr(w) for w in xt.LANG_STOPWORDS['en'])}])) AS q_stop_hits, "
+        "round(ln(1 + (length(text) - length(replace(text, ' ', '')) + 1)) * "
+        r"(1 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) / length(text)), 6) AS q_score "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "XT-tokens": (
+        "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_ws, "
+        f"len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_re "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "XT-fingerprint": (
+        r"SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp "
+        "FROM documents ORDER BY doc_id"
+    ),
+    "XT-rollfp": (
+        f"SELECT doc_id, fp FROM (SELECT doc_id, {md5_int_sql('shingle')} AS fp "
+        f"FROM (SELECT doc_id, unnest({_shingles_sql(8)}) AS shingle FROM documents)) "
+        "WHERE fp % 8 = 0 ORDER BY doc_id, fp"
+    ),
+    "XD-exact-census": (
+        "SELECT md5(text) AS text_key, min(doc_id) AS keep_id, count(*) AS copies "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "XD-ngram-jaccard": _jaccard_pairs_sql(3, 0.5),
+    "XD-minhash-sig": _minhash_sig_sql(8, 3, 1) + " ORDER BY doc_id",
+    "XD-minhash-pairs": _minhash_pairs_sql(8, 4, 3, 0.5, 1),
+    "XD-simhash": _simhash_sql(32) + " ORDER BY doc_id",
+    "XM-bytestats": (
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, ascii(text) AS first_byte "
+        "FROM documents ORDER BY doc_id"
+    ),
+}

@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines: token stats, quality
+scoring, language ID, fingerprinting.
+
+Everything here is built-in Spark expressions (no UDFs) — each column stays
+inside whole-stage codegen and the operators are embarrassingly parallel:
+pure per-row projections, zero shuffles, so they scale to 100 TB as a single
+mapper pass over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Distinct-stopword-hit profiles for language ID. Tiny on purpose: the
+# n-gram/stopword-profile method works with small anchor sets, and both
+# engines must evaluate them identically.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "les", "et", "est", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "y", "es", "una", "por", "como", "para"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+
+def n_tokens_ws(text: Column) -> Column:
+    """Whitespace token count (single-space-delimited corpora)."""
+    return F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+
+
+def n_tokens_re(text: Column) -> Column:
+    """Regex (BPE-ish) token count."""
+    return F.regexp_count(text, F.lit(TOKEN_RE))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of DISTINCT stopwords of ``lang`` present in the text."""
+    words = F.split(F.lower(text), " ")
+    anchor = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    return F.size(F.array_intersect(words, anchor))
+
+
+def lang_pred(text: Column) -> Column:
+    """Argmax language over stopword profiles; 'und' when nothing hits.
+    Ties break in LANG_PRIORITY order, deterministically."""
+    hits = {lang: stopword_hits(text, lang) for lang in LANG_PRIORITY}
+    expr = F.lit("und")
+    # build the CASE from lowest priority up so earlier langs win ties
+    for i in range(len(LANG_PRIORITY) - 1, -1, -1):
+        lang = LANG_PRIORITY[i]
+        cond = hits[lang] > 0
+        for other in LANG_PRIORITY[:i]:
+            cond = cond & (hits[lang] > hits[other])
+        for other in LANG_PRIORITY[i + 1 :]:
+            cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: counts, ratios, and a composite score.
+    Mirrors the usual pretraining heuristics (length, punctuation density,
+    stopword density)."""
+    text = F.col(text_col)
+    n_words = n_tokens_ws(text)
+    n_chars = F.length(text)
+    punct = F.regexp_count(text, F.lit(r"[^a-zA-Z0-9\s]"))
+    digits = F.regexp_count(text, F.lit(r"[0-9]"))
+    stop_en = stopword_hits(text, "en")
+    return df.select(
+        "*",
+        n_words.alias("q_n_words"),
+        n_chars.alias("q_n_chars"),
+        F.round(punct / n_chars, 6).alias("q_punct_ratio"),
+        F.round(digits / n_chars, 6).alias("q_digit_ratio"),
+        stop_en.alias("q_stop_hits"),
+        F.round(
+            F.log(F.lit(1) + n_words) * (F.lit(1) - punct / n_chars), 6
+        ).alias("q_score"),
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of whitespace-normalized lowercase text."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def rolling_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8, keep_mod: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every k-word shingle,
+    keep hashes ≡ 0 (mod keep_mod) — a deterministic sample of local
+    fingerprints for containment/overlap detection.
+
+    Built from explode + window-free self-zip (arrays), no Python UDF; output
+    is one row per kept fingerprint: (doc key columns..., fp).
+    """
+    from haf_plug_play_spark.ext.hashing import md5_int
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
+    )
+    out = df.withColumn("_sh", F.explode(shingle)).withColumn(
+        "fp", md5_int(F.col("_sh"))
+    )
+    return out.filter(F.col("fp") % keep_mod == 0).drop("_sh")
