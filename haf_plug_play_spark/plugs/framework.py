@@ -26,10 +26,20 @@ PLUG_NAME_RE = re.compile(r"^[a-z]+[_]*[a-z_]*$")
 Transform = Callable[[DataFrame], dict[str, DataFrame]]
 
 
+GoldBuilder = Callable[[dict[str, DataFrame]], DataFrame]
+
+
 @dataclass(frozen=True)
 class Plug:
     """≙ reference defs.json (plugs/*/defs.json): name, enabled, start_block,
-    op filter, and the transform standing in for the handler-function map."""
+    op filter, and the transform standing in for the handler-function map.
+
+    ``transform`` is the batch-mode surface (full-log in, all tables out).
+    For incremental execution the runner uses ``silver`` (append-only fact
+    tables per micro-batch) plus ``gold`` (views over the *cumulative* silver
+    tables) — plugs whose batch outputs are already pure appends leave the
+    defaults (silver = transform, gold = {}).
+    """
 
     name: str
     cj_ids: tuple[str, ...]
@@ -37,10 +47,15 @@ class Plug:
     transform: Transform
     enabled: bool = True
     tables: tuple[str, ...] = field(default=())
+    silver: Transform | None = None
+    gold: dict[str, GoldBuilder] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
         if not PLUG_NAME_RE.match(self.name):
             raise ValueError(f"invalid plug name: {self.name!r}")
+
+    def silver_transform(self, parsed: DataFrame) -> dict[str, DataFrame]:
+        return (self.silver or self.transform)(parsed)
 
 
 def run_plug(plug: Plug, parsed: DataFrame) -> dict[str, DataFrame]:

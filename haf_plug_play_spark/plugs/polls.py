@@ -63,7 +63,11 @@ def _split_envelope(matched: DataFrame) -> DataFrame:
     )
 
 
-def transform(parsed: DataFrame) -> dict[str, DataFrame]:
+def silver_transform(parsed: DataFrame) -> dict[str, DataFrame]:
+    """Append-only silver tables: ops, creates, deletes, votes. The runner
+    appends these per micro-batch; the gold ``polls_content`` view derives
+    from *cumulative* creates+deletes (``content_from``), so incremental
+    processing equals batch processing by construction."""
     matched = parsed.filter((F.col("cj_id") == CJ_ID) & F.col("payload_valid"))
     ops_out = _split_envelope(matched)
 
@@ -78,6 +82,7 @@ def transform(parsed: DataFrame) -> dict[str, DataFrame]:
 
     creates = v1.filter(F.col("op_type") == "create").select(
         "op_id_seq",
+        "block_num",
         "created",
         acct.alias("author"),
         F.get_json_object("payload", "$.permlink").alias("permlink"),
@@ -88,23 +93,50 @@ def transform(parsed: DataFrame) -> dict[str, DataFrame]:
         F.to_timestamp(F.get_json_object("payload", "$.expires")).alias("expires"),
         F.get_json_object("payload", "$.tag").alias("tag"),
     )
-    # First-create-wins (T7): the reference's existence probe under total op
-    # order collapses to row_number()==1 per entity.
+
+    deletes = v1.filter(F.col("op_type") == "delete").select(
+        F.col("op_id_seq").alias("del_op_id_seq"),
+        "block_num",
+        F.col("created").alias("del_created"),
+        acct.alias("author"),
+        F.get_json_object("payload", "$.permlink").alias("permlink"),
+    )
+
+    # Vote append (T9): every vote kept; dangling votes dropped by the inner
+    # join at query time (polls.py:63-65), repeats de-duped by COUNT(DISTINCT).
+    votes = v1.filter(F.col("op_type") == "vote").select(
+        "op_id_seq",
+        "block_num",
+        F.get_json_object("payload", "$.permlink").alias("permlink"),
+        F.get_json_object("payload", "$.author").alias("author"),
+        "created",
+        acct.alias("account"),
+        F.get_json_object("payload", "$.answer").cast("smallint").alias("answer"),
+    )
+
+    return {
+        "polls_ops": ops_out,
+        "polls_creates": creates,
+        "polls_deletes": deletes,
+        "polls_votes": votes,
+    }
+
+
+def content_from(creates: DataFrame, deletes: DataFrame) -> DataFrame:
+    """Gold view: poll entity state from cumulative creates and deletes.
+
+    First-create-wins (T7): the reference's existence probe under total op
+    order collapses to row_number()==1 per entity — and min-op-id-wins makes
+    the result independent of batch arrival order. Guarded soft delete (T8):
+    a delete applies iff it follows the winning create in op order and lands
+    at-or-before the poll's expiry.
+    """
     w = W.partitionBy("author", "permlink").orderBy("op_id_seq")
     content0 = (
         creates.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-
-    deletes = v1.filter(F.col("op_type") == "delete").select(
-        F.col("op_id_seq").alias("del_op_id_seq"),
-        F.col("created").alias("del_created"),
-        acct.alias("author"),
-        F.get_json_object("payload", "$.permlink").alias("permlink"),
-    )
-    # Guarded soft delete (T8): delete applies iff it follows the winning
-    # create in op order and lands at-or-before the poll's expiry.
     c, d = content0.alias("c"), deletes.alias("d")
     deleted_keys = (
         c.join(
@@ -118,7 +150,7 @@ def transform(parsed: DataFrame) -> dict[str, DataFrame]:
         .select("author", "permlink")
         .withColumn("_del", F.lit(True))
     )
-    content = (
+    return (
         content0.join(deleted_keys, ["author", "permlink"], "left")
         .withColumn("deleted", F.coalesce(F.col("_del"), F.lit(False)))
         .drop("_del")
@@ -135,18 +167,15 @@ def transform(parsed: DataFrame) -> dict[str, DataFrame]:
         )
     )
 
-    # Vote append (T9): every vote kept; dangling votes dropped by the inner
-    # join at query time (polls.py:63-65), repeats de-duped by COUNT(DISTINCT).
-    votes = v1.filter(F.col("op_type") == "vote").select(
-        "op_id_seq",
-        F.get_json_object("payload", "$.permlink").alias("permlink"),
-        F.get_json_object("payload", "$.author").alias("author"),
-        "created",
-        acct.alias("account"),
-        F.get_json_object("payload", "$.answer").cast("smallint").alias("answer"),
-    )
 
-    return {"polls_ops": ops_out, "polls_content": content, "polls_votes": votes}
+def transform(parsed: DataFrame) -> dict[str, DataFrame]:
+    """Batch-mode outputs (golden-test surface): silver + derived gold."""
+    t = silver_transform(parsed)
+    return {
+        "polls_ops": t["polls_ops"],
+        "polls_content": content_from(t["polls_creates"], t["polls_deletes"]),
+        "polls_votes": t["polls_votes"].drop("block_num"),
+    }
 
 
 PLUG = Plug(
@@ -155,4 +184,8 @@ PLUG = Plug(
     start_block=59_594_882,  # plugs/polls/defs.json:7
     transform=transform,
     tables=("polls_ops", "polls_content", "polls_votes"),
+    silver=silver_transform,
+    gold={
+        "polls_content": lambda t: content_from(t["polls_creates"], t["polls_deletes"])
+    },
 )

@@ -1,0 +1,64 @@
+"""Plug sync state — ≙ hpp.plug_state / hpp.global_props
+(/root/reference/haf_plug_play/database/sql/tables.sql:3-15).
+
+One JSON document per plug holding the cursor and health fields the
+reference keeps in PostgreSQL: latest_block_num, latest_block_time,
+check_in, massive_synced. Written atomically (tmp + rename) and always
+AFTER the chunk's data writes — the cursor update is the commit point
+(sync.sql:108-111), so a crash between data and cursor replays an
+idempotent chunk instead of losing one.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import tempfile
+from dataclasses import asdict, dataclass
+
+_TS_FMT = "%Y-%m-%dT%H:%M:%S.%f"
+
+
+@dataclass
+class PlugState:
+    plug: str
+    latest_block_num: int = -1
+    latest_block_time: str | None = None
+    check_in: str | None = None
+    massive_synced: bool = False
+
+
+class PlugStateStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, plug: str) -> str:
+        return os.path.join(self.root, f"{plug}.state.json")
+
+    def load(self, plug: str) -> PlugState:
+        try:
+            with open(self._path(plug)) as f:
+                return PlugState(**json.load(f))
+        except FileNotFoundError:
+            return PlugState(plug=plug)
+
+    def save(self, state: PlugState) -> None:
+        state.check_in = datetime.datetime.now(datetime.timezone.utc).strftime(_TS_FMT)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(asdict(state), f)
+        os.replace(tmp, self._path(state.plug))
+
+    def check_in_age(self, plug: str, now: datetime.datetime | None = None) -> float | None:
+        """Seconds since the plug last checked in (watchdog input, ≙
+        database/sql/functions.sql:34-48); None if never."""
+        state = self.load(plug)
+        if state.check_in is None:
+            return None
+        now = now or datetime.datetime.now(datetime.timezone.utc)
+        seen = datetime.datetime.strptime(state.check_in, _TS_FMT).replace(
+            tzinfo=datetime.timezone.utc
+        )
+        return (now - seen).total_seconds()

@@ -1,0 +1,175 @@
+"""Structured Streaming wrapper, health assessment, watchdog.
+
+Reference parity:
+- live sync loop (T1-T3): database/sql/sync.sql:3-42 → ``readStream`` over
+  the op log + ``foreachBatch`` running the same plug transforms; offsets
+  live in the Spark checkpoint instead of hpp.plug_state.
+- exactly-once (T3): each epoch's rows land under ``_epoch=N`` and a retried
+  epoch overwrites its own directory — idempotent replay, mirroring the
+  reference's commit-per-chunk (sync.sql:108-111).
+- health (T12): server/system_status.py:12-29 — BAD when any enabled plug
+  lags the head by > 10 blocks or the head is > 30 s stale.
+- watchdog (T11): database/plugs.py:89-102 — restart dead queries, flag
+  plugs whose check_in went stale (> 60 s, database/sql/functions.sql:43).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from haf_plug_play_spark.ingest.envelope import parse_custom_json
+from haf_plug_play_spark.plugs.framework import Plug
+from haf_plug_play_spark.runner.state import PlugStateStore
+
+MAX_HEALTHY_LAG_BLOCKS = 10  # server/system_status.py:23
+MAX_HEALTHY_HEAD_AGE_S = 30  # server/system_status.py:25-26
+STUCK_SYNC_S = 60  # database/sql/functions.sql:43
+
+
+class StreamingPlugRunner:
+    """Runs a plug as a streaming query over a growing op-log directory."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        plug: Plug,
+        ops_path: str,
+        trx_path: str | None,
+        out_root: str,
+        checkpoint_root: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.plug = plug
+        self.ops_path = ops_path
+        self.trx_path = trx_path
+        self.out_root = out_root
+        self.checkpoint = checkpoint_root or os.path.join(out_root, "_checkpoints", plug.name)
+        self.store = PlugStateStore(os.path.join(out_root, "_state"))
+
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.out_root, self.plug.name, table)
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        trx = (
+            self.spark.read.parquet(self.trx_path) if self.trx_path else None
+        )
+        parsed = parse_custom_json(batch_df, trx)
+        out = self.plug.silver_transform(parsed)
+        for table, df in out.items():
+            # overwrite-by-epoch: replaying epoch N rewrites only its own dir
+            df.write.mode("overwrite").parquet(
+                os.path.join(self._table_dir(table), f"_epoch={epoch_id}")
+            )
+        head = parsed.agg(F.max("block_num").alias("b"), F.max("created").alias("t")).first()
+        state = self.store.load(self.plug.name)
+        if head and head.b is not None:
+            state.latest_block_num = max(state.latest_block_num, int(head.b))
+            state.latest_block_time = head.t.strftime("%Y-%m-%dT%H:%M:%S")
+        self.store.save(state)
+
+    def start(self, ops_schema, available_now: bool = True) -> StreamingQuery:
+        stream = (
+            self.spark.readStream.schema(ops_schema)
+            .option("maxFilesPerTrigger", 4)  # rate limit ≙ 100-block chunks (T2)
+            .parquet(self.ops_path)
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def read_table(self, table: str) -> DataFrame:
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self._table_dir(table)
+        )
+
+
+# ---------------------------------------------------------------- health
+
+
+def sync_status(
+    spark: SparkSession,
+    ops_path: str,
+    store: PlugStateStore,
+    plugs: list[Plug],
+    now: datetime.datetime | None = None,
+) -> dict:
+    """System status ≙ GET /api (server/system_status.py:12-29)."""
+    head = (
+        spark.read.parquet(ops_path)
+        .agg(F.max("block_num").alias("b"), F.max("timestamp").alias("t"))
+        .first()
+    )
+    now = now or datetime.datetime.now(datetime.timezone.utc)
+    head_time = head.t if head and head.t else None
+    head_age = (
+        (now.replace(tzinfo=None) - head_time).total_seconds() if head_time else None
+    )
+    plug_rows = []
+    healthy = head_age is not None and head_age <= MAX_HEALTHY_HEAD_AGE_S
+    for plug in plugs:
+        if not plug.enabled:
+            continue
+        st = store.load(plug.name)
+        lag = (head.b - st.latest_block_num) if head.b is not None else None
+        plug_ok = lag is not None and lag <= MAX_HEALTHY_LAG_BLOCKS
+        healthy = healthy and plug_ok
+        plug_rows.append(
+            {
+                "plug": plug.name,
+                "latest_block_num": st.latest_block_num,
+                "latest_block_time": st.latest_block_time,
+                "lag_blocks": lag,
+                "healthy": plug_ok,
+            }
+        )
+    return {
+        "status": "GOOD" if healthy else "BAD",
+        "head_block_num": head.b,
+        "head_age_seconds": head_age,
+        "plugs": plug_rows,
+    }
+
+
+# ---------------------------------------------------------------- watchdog
+
+
+@dataclass
+class WatchdogReport:
+    stale_plugs: list[str]
+    restarted: list[str]
+
+
+class PlugWatchdog:
+    """≙ AvailablePlugs.plug_watch (database/plugs.py:89-102): every cycle,
+    flag plugs whose check_in is stale and restart dead streaming queries."""
+
+    def __init__(self, store: PlugStateStore, stuck_after_s: float = STUCK_SYNC_S) -> None:
+        self.store = store
+        self.stuck_after_s = stuck_after_s
+        self.queries: dict[str, tuple[StreamingQuery, object]] = {}
+
+    def register(self, plug_name: str, query: StreamingQuery, restart) -> None:
+        self.queries[plug_name] = (query, restart)
+
+    def check(self, now: datetime.datetime | None = None) -> WatchdogReport:
+        stale, restarted = [], []
+        for name, (query, restart) in list(self.queries.items()):
+            age = self.store.check_in_age(name, now)
+            if age is not None and age > self.stuck_after_s:
+                stale.append(name)
+            if query is not None and not query.isActive:
+                new_query = restart()
+                self.queries[name] = (new_query, restart)
+                restarted.append(name)
+        return WatchdogReport(stale_plugs=stale, restarted=restarted)

@@ -1,0 +1,167 @@
+"""Runner tests: chunked backfill == one-shot batch, retry idempotency,
+resume, fork recovery, streaming == batch, health + watchdog."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from haf_plug_play_spark import fixtures
+from haf_plug_play_spark.ingest.envelope import parse_custom_json
+from haf_plug_play_spark.plugs import PLUGS
+from haf_plug_play_spark.plugs.polls import content_from
+from haf_plug_play_spark.runner.batch import PlugRunner
+from haf_plug_play_spark.runner.state import PlugStateStore
+from haf_plug_play_spark.runner.streaming import (
+    PlugWatchdog,
+    StreamingPlugRunner,
+    sync_status,
+)
+
+from .compare import canonical
+
+N_OPS = 4_000
+STEP = 200
+
+
+@pytest.fixture(scope="module")
+def oplog(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("oplog")
+    ops_df, trx_df = fixtures.as_dataframes(spark, N_OPS, 42)
+    ops_path, trx_path = str(root / "ops"), str(root / "trx")
+    ops_df.repartitionByRange(6, "block_num").write.parquet(ops_path)
+    trx_df.repartitionByRange(6, "block_num").write.parquet(trx_path)
+    lo, hi = ops_df.agg({"block_num": "min"}).first()[0], ops_df.agg({"block_num": "max"}).first()[0]
+    return ops_path, trx_path, lo, hi
+
+
+def _expected(spark, ops_path, trx_path, plug, max_block=None):
+    ops = spark.read.parquet(ops_path)
+    if max_block is not None:
+        ops = ops.filter(ops.block_num <= max_block)
+    trx = spark.read.parquet(trx_path)
+    if max_block is not None:
+        trx = trx.filter(trx.block_num <= max_block)
+    return plug.transform(parse_custom_json(ops, trx))
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return canonical(cols, [tuple(r[c] for c in cols) for r in df.select(cols).collect()])
+
+
+def _assert_same(a_df, b_df, label):
+    assert sorted(a_df.columns) == sorted(b_df.columns), label
+    assert _rows(a_df) == _rows(b_df), label
+
+
+def _check_plug_outputs(runner, expected):
+    _assert_same(runner.read_table("polls_ops"), expected["polls_ops"], "polls_ops")
+    _assert_same(
+        runner.read_table("polls_votes").drop("block_num"),
+        expected["polls_votes"],
+        "polls_votes",
+    )
+    _assert_same(runner.read_gold("polls_content"), expected["polls_content"], "polls_content")
+
+
+def test_backfill_equals_batch(spark, oplog, tmp_path):
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path), step=STEP)
+    ranges = runner.backfill(lo, hi)
+    assert len(ranges) >= 5
+    assert all(last // STEP == first // STEP for first, last in ranges)  # bucket-aligned
+    expected = _expected(spark, ops_path, trx_path, PLUGS["polls"])
+    _check_plug_outputs(runner, expected)
+    # retry a middle chunk verbatim → byte-identical state (exactly-once)
+    runner.process_range(*ranges[len(ranges) // 2])
+    _check_plug_outputs(runner, expected)
+
+
+def test_backfill_resume_and_guards(spark, oplog, tmp_path):
+    ops_path, trx_path, lo, hi = oplog
+    mid = (lo + hi) // 2
+    runner = PlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.backfill(lo, mid)
+    # second call spans the whole range: monotonic guard clips to the
+    # cursor's bucket (partial-bucket re-process is idempotent)
+    ranges = runner.backfill(lo, hi)
+    assert ranges[0][0] == ((mid + 1) // STEP) * STEP
+    assert runner.backfill(lo, mid) == []  # stale range → no-op (T10)
+    expected = _expected(spark, ops_path, trx_path, PLUGS["podping"])
+    _assert_same(runner.read_table("podping_ops"), expected["podping_ops"], "podping_ops")
+    _assert_same(runner.read_table("podping_updates"), expected["podping_updates"], "podping_updates")
+
+
+def test_fork_recovery(spark, oplog, tmp_path):
+    ops_path, trx_path, lo, hi = oplog
+    fork = lo + (hi - lo) * 2 // 3
+    runner = PlugRunner(spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.backfill(lo, hi)
+    runner.recover_fork(fork)
+    assert runner.store.load("polls").latest_block_num == fork
+    truncated = _expected(spark, ops_path, trx_path, PLUGS["polls"], max_block=fork)
+    _check_plug_outputs(runner, truncated)
+    # re-sync the tail: state must converge to the full-log result
+    runner.backfill(lo, hi)
+    full = _expected(spark, ops_path, trx_path, PLUGS["polls"])
+    _check_plug_outputs(runner, full)
+
+
+def test_streaming_matches_batch(spark, oplog, tmp_path):
+    ops_path, trx_path, _, _ = oplog
+    srunner = StreamingPlugRunner(
+        spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path)
+    )
+    q = srunner.start(fixtures.OPS_SCHEMA, available_now=True)
+    q.awaitTermination(120)
+    expected = _expected(spark, ops_path, trx_path, PLUGS["polls"])
+    _assert_same(srunner.read_table("polls_ops"), expected["polls_ops"], "polls_ops")
+    content = content_from(
+        srunner.read_table("polls_creates"), srunner.read_table("polls_deletes")
+    )
+    _assert_same(content, expected["polls_content"], "polls_content")
+
+
+def test_sync_status(spark, oplog, tmp_path):
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.backfill(lo, hi)
+    head_time = (
+        spark.read.parquet(ops_path).agg({"timestamp": "max"}).first()[0]
+    )
+    fresh_now = head_time.replace(tzinfo=datetime.timezone.utc) + datetime.timedelta(seconds=5)
+    status = sync_status(spark, ops_path, runner.store, [PLUGS["polls"]], now=fresh_now)
+    assert status["status"] == "GOOD" and status["plugs"][0]["lag_blocks"] == 0
+    stale_now = fresh_now + datetime.timedelta(minutes=10)
+    assert sync_status(spark, ops_path, runner.store, [PLUGS["polls"]], now=stale_now)["status"] == "BAD"
+    # lagging cursor → BAD even with fresh head
+    st = runner.store.load("polls")
+    st.latest_block_num = hi - 50
+    runner.store.save(st)
+    assert sync_status(spark, ops_path, runner.store, [PLUGS["polls"]], now=fresh_now)["status"] == "BAD"
+
+
+def test_watchdog(spark, oplog, tmp_path):
+    ops_path, trx_path, _, _ = oplog
+    store = PlugStateStore(str(tmp_path / "_state"))
+    srunner = StreamingPlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path))
+
+    def restart():
+        return srunner.start(fixtures.OPS_SCHEMA, available_now=True)
+
+    q = restart()
+    q.awaitTermination(120)
+    assert not q.isActive  # availableNow query drains and stops
+    dog = PlugWatchdog(store)
+    dog.register("podping", q, restart)
+    report = dog.check()
+    assert report.restarted == ["podping"]  # dead query restarted (T11)
+    q2 = dog.queries["podping"][0]
+    q2.awaitTermination(120)
+    # stale check_in detection (stuck sync, functions.sql:43)
+    st = store.load("podping")
+    store.save(st)
+    old = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(seconds=120)
+    assert dog.check(now=old).stale_plugs == ["podping"]
