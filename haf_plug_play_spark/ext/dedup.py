@@ -78,15 +78,25 @@ def minhash_signatures(
     num_hashes: int = 16, n: int = 3, seed: int = 1,
 ) -> DataFrame:
     """MinHash signature per doc: h_i = min over shingles of
-    (a_i·md5_int(shingle) + b_i) mod P. One explode + one groupBy —
-    signature computation is a single shuffle regardless of num_hashes."""
+    (a_i·md5_int(shingle) + b_i) mod P.
+
+    Computed as a pure projection — shingle hashes live in a per-row array
+    and each h_i is an array_min over a transform — so signatures cost ZERO
+    shuffles at any scale (the naive explode+groupBy formulation shuffles
+    the entire shingle set)."""
+    from haf_plug_play_spark.ext.hashing import MERSENNE_P
+
     params = hash_params(num_hashes, seed)
-    sh = _shingle_rows(df, id_col, text_col, n).withColumn("x", md5_int(F.col("shingle")))
-    aggs = [
-        F.min(universal_hash(F.col("x"), a, b)).alias(f"h{i}")
+    xs = F.transform(
+        word_shingles(F.col(text_col), n), lambda s: md5_int(s) % MERSENNE_P
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("_xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
+        ).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return sh.groupBy(F.col("_id").alias(id_col)).agg(*aggs)
+    return df.withColumn("_xs", xs).select(F.col(id_col), *sig_cols)
 
 
 def minhash_lsh_pairs(
@@ -118,32 +128,42 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return candidates.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", "inter", "union_sz", "jaccard"
+    # Exact-Jaccard verify per candidate pair via array_intersect — the
+    # candidate set is LSH-bounded, so this never touches the corpus-wide
+    # shingle self-join the standalone ngram_jaccard_pairs needs.
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("union_sz", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union_sz", "jaccard")
     )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint per doc: per word w, h = md5_int(w); bit b of the
     fingerprint is 1 iff sum over words of ±1 (sign of bit b of h) > 0.
-    Explode + one groupBy with ``bits`` conditional sums."""
-    words = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
-    ).withColumn("h", md5_int(F.col("w")))
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    agg = words.groupBy(F.col("_id").alias(id_col)).agg(*bit_sums)
+
+    Pure projection: word hashes in a per-row array, each bit-sum an
+    aggregate over it — no explode, no shuffle at any scale."""
+    hs = F.transform(F.split(F.lower(F.col(text_col)), " "), md5_int)
+    with_h = df.withColumn("_hs", hs)
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        s = F.aggregate(
+            F.col("_hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        term = F.when(s > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
-    return agg.select(id_col, fp.cast("bigint").alias("simhash"))
+    return with_h.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(

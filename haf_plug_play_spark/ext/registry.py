@@ -146,11 +146,8 @@ def xt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def xt_rollfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup._shingle_rows(docs, "doc_id", "text", 8)
-    return (
-        sh.select(F.col("_id").alias("doc_id"), md5_int(F.col("shingle")).alias("fp"))
-        .filter(F.col("fp") % 8 == 0)
-        .orderBy("doc_id", "fp")
+    return xt.rolling_fingerprints(docs, "doc_id", "text", k=8, keep_mod=8).orderBy(
+        "doc_id", "fp"
     )
 
 

@@ -90,23 +90,22 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(norm)
 
 
-def rolling_fingerprints(df: DataFrame, text_col: str = "text", k: int = 8, keep_mod: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprints: hash every k-word shingle,
-    keep hashes ≡ 0 (mod keep_mod) — a deterministic sample of local
-    fingerprints for containment/overlap detection.
+def rolling_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, keep_mod: int = 8,
+) -> DataFrame:
+    """Winnowing-style document fingerprints: hash every distinct k-word
+    shingle, keep hashes ≡ 0 (mod keep_mod) — a deterministic sample of
+    local fingerprints for containment/overlap detection.
 
-    Built from explode + window-free self-zip (arrays), no Python UDF; output
-    is one row per kept fingerprint: (doc key columns..., fp).
+    The hash + keep filter run INSIDE the per-row array (transform + filter
+    higher-order functions), so only kept fingerprints are ever exploded —
+    ~1/keep_mod of the naive explode volume, still zero Python.
+    Output: one row per kept fingerprint (id_col, fp).
     """
+    from haf_plug_play_spark.ext.dedup import word_shingles
     from haf_plug_play_spark.ext.hashing import md5_int
 
-    words = F.split(F.lower(F.col(text_col)), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    shingle = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, k))
-    )
-    out = df.withColumn("_sh", F.explode(shingle)).withColumn(
-        "fp", md5_int(F.col("_sh"))
-    )
-    return out.filter(F.col("fp") % keep_mod == 0).drop("_sh")
+    fps = F.transform(word_shingles(F.col(text_col), k), md5_int)
+    kept = F.filter(fps, lambda fp: fp % keep_mod == 0)
+    return df.select(F.col(id_col), F.explode(kept).alias("fp"))
