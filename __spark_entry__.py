@@ -27,6 +27,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(CANONICAL_QUERIES)
     try:
+        from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+        q.update(ADVANCED_QUERIES)
+    except ImportError:
+        pass
+    try:
         from haf_plug_play_spark.ext.registry import EXT_QUERIES
 
         q.update(EXT_QUERIES)
@@ -39,6 +45,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each SQL-expressible query."""
     o: dict[str, str] = {}
     o.update(ORACLE_SQL)
+    try:
+        from haf_plug_play_spark.queries.advanced import ADVANCED_ORACLE_SQL
+
+        o.update(ADVANCED_ORACLE_SQL)
+    except ImportError:
+        pass
     try:
         from haf_plug_play_spark.ext.registry import EXT_ORACLE_SQL
 

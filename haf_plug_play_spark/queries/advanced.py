@@ -1,0 +1,233 @@
+"""Advanced analytics queries: windowed/time-bucketed aggregation,
+sessionization, multi-aggregate TPC-H-Q1 shape, rollup, quantiles, pivot,
+as-of join. Extends the canonical matrix (FIXTURES.md §2) with the Spark
+OLAP surface the reference gets "for free" in PostgreSQL and SURVEY §7
+declares explicitly.
+
+Money-typed sums are computed as DECIMAL(18,6): decimal aggregation is
+exact and associative, so the engine and the DuckDB oracle agree regardless
+of partial-aggregation order — double sums over 60k rows would differ in
+the 3rd-6th decimal from float reassociation alone.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.operators.temporal import asof_join, sessionize
+from haf_plug_play_spark.sources.tables import load_table
+
+_DEC = "decimal(18,6)"
+
+
+def qw1_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the batch twin of the streaming windowed
+    agg (haf_plug_play_spark/streaming); epoch-aligned 5-minute buckets."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "5 minutes").start.alias("w_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).alias("total_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+def qw2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) rolled up per session."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, key="user_id", ts="ts", gap_seconds=1800, order_tie="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("s_start"),
+            F.max("ts").alias("s_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def qa3_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the multi-aggregate pricing summary (partial+final
+    hash agg; decimal math exact in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast(_DEC)
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.col("l_discount").cast(_DEC)
+    tax = F.col("l_tax").cast(_DEC)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(_DEC) - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(_DEC) - disc) * (F.lit(1).cast(_DEC) + tax)).alias("sum_charge"),
+            F.round(F.avg(qty), 6).alias("avg_qty"),
+            F.round(F.avg(price), 6).alias("avg_price"),
+            F.round(F.avg(disc), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def qg1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def qa4_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≙ DuckDB
+    quantile_cont, both linear interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def qp1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts into per-type columns, keyed by user decile."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.withColumn("user_decile", F.col("user_id") % 10)
+        .groupBy("user_decile")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    # Spark pivot leaves empty cells NULL; the conditional-count oracle says 0
+    return pivoted.select(
+        "user_decile",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    ).orderBy("user_decile")
+
+
+def qas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the user's most recent click at or
+    before it (union + last-ignorenulls window — no native Spark as-of)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "click_event_id"},
+        tie_col="event_id",
+    )
+    return out.select("event_id", "user_id", "click_event_id").orderBy("event_id")
+
+
+def qad_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — approximate, so no cross-engine
+    oracle; pytest bounds it against the exact count."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "QW1-window": qw1_window,
+    "QW2-sessions": qw2_sessions,
+    "QA3-lineitem-agg": qa3_lineitem_agg,
+    "QG1-rollup": qg1_rollup,
+    "QA4-quantile": qa4_quantile,
+    "QP1-pivot": qp1_pivot,
+    "QAS-asof": qas_asof,
+    "QAD-approx-distinct": qad_approx_distinct,
+}
+
+ADVANCED_ORACLE_SQL: dict[str, str] = {
+    "QW1-window": (
+        "SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, "
+        "count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "QW2-sessions": (
+        "WITH flagged AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 OR lag(ts) OVER w IS NULL "
+        "THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id "
+        "FROM flagged) "
+        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS s_start, "
+        "max(ts) AS s_end FROM sess GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "QA3-lineitem-agg": (
+        "SELECT l_returnflag, l_linestatus, "
+        "sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS sum_charge, "
+        "round(avg(CAST(l_quantity AS DECIMAL(18,6))), 6) AS avg_qty, "
+        "round(avg(CAST(l_extendedprice AS DECIMAL(18,6))), 6) AS avg_price, "
+        "round(avg(CAST(l_discount AS DECIMAL(18,6))), 6) AS avg_disc, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "QG1-rollup": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
+    ),
+    "QA4-quantile": (
+        "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 6) AS p50, "
+        "round(quantile_cont(l_quantity, 0.9), 6) AS p90 "
+        "FROM lineitem GROUP BY 1 ORDER BY 1"
+    ),
+    "QP1-pivot": (
+        "SELECT user_id % 10 AS user_decile, "
+        + ", ".join(
+            f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES
+        )
+        + " FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QAS-asof": (
+        "SELECT p.event_id, p.user_id, c.event_id AS click_event_id "
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p "
+        "LEFT JOIN LATERAL (SELECT e.event_id FROM events e "
+        "WHERE e.event_type = 'click' AND e.user_id = p.user_id AND e.ts <= p.ts "
+        "ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) c ON true "
+        "ORDER BY p.event_id"
+    ),
+}

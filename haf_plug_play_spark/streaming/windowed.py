@@ -1,0 +1,32 @@
+"""Windowed streaming aggregation with late-data handling.
+
+The reference never needs watermarks — its blockchain input is totally
+ordered (SURVEY T13) — but the engine's event-stream surface does: this is
+the Structured Streaming twin of the batch QW1-window query
+(queries/advanced.py), sharing its 5-minute epoch-aligned windows so batch
+and streaming results are directly comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_aggs(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type. On a streaming
+    DataFrame the watermark bounds state and admits late rows up to its lag;
+    on a batch DataFrame the same code degenerates to a plain group-by."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.window("ts", window).start.alias("w_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+    )
