@@ -1,0 +1,73 @@
+"""CLI — ≙ the reference's ``haf_plug_play`` entry point
+(run_plug_play.py:10-20): boot plugs, sync, report status. Here the
+subcommands drive the batch runner and health over parquet op logs.
+
+    python -m haf_plug_play_spark.cli backfill --plug polls \\
+        --ops /data/ops --trx /data/trx --out /data/derived \\
+        --start 1000 --end 5000 [--step 100]
+    python -m haf_plug_play_spark.cli status --ops /data/ops --out /data/derived
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from haf_plug_play_spark.plugs import PLUGS
+from haf_plug_play_spark.runner.batch import PlugRunner
+from haf_plug_play_spark.runner.state import PlugStateStore
+from haf_plug_play_spark.runner.streaming import sync_status
+from haf_plug_play_spark.session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--ops", required=True, help="op-log parquet path")
+    p.add_argument("--out", required=True, help="derived-table output root")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="haf_plug_play_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("backfill", help="massive-sync a plug over a block range")
+    _add_common(b)
+    b.add_argument("--trx", default=None, help="transactions parquet path")
+    b.add_argument("--plug", required=True, choices=sorted(PLUGS))
+    b.add_argument("--start", type=int, required=True)
+    b.add_argument("--end", type=int, required=True)
+    b.add_argument("--step", type=int, default=100)
+
+    s = sub.add_parser("status", help="sync health (≙ GET /api)")
+    _add_common(s)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("haf_plug_play_spark_cli")
+    if args.cmd == "backfill":
+        runner = PlugRunner(
+            spark, PLUGS[args.plug], args.ops, args.trx, args.out, step=args.step
+        )
+        ranges = runner.backfill(args.start, args.end)
+        print(
+            json.dumps(
+                {
+                    "plug": args.plug,
+                    "chunks": len(ranges),
+                    "cursor": runner.store.load(args.plug).latest_block_num,
+                }
+            )
+        )
+    elif args.cmd == "status":
+        import os
+
+        store = PlugStateStore(os.path.join(args.out, "_state"))
+        print(json.dumps(sync_status(spark, args.ops, store, list(PLUGS.values()))))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

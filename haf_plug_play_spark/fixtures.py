@@ -138,7 +138,8 @@ def _he_payload(rng: random.Random, accounts: list[str]) -> str:
             "contractAction": action,
             "contractPayload": {
                 "symbol": rng.choice(["LEO", "BEE", "PIZZA", "SWAP.HIVE"]),
-                "to": rng.choice(accounts),
+                # 'null' is the sidechain burn address
+                "to": "null" if rng.random() < 0.06 else rng.choice(accounts),
                 "quantity": qty,
                 "memo": rng.choice(["", "thanks", "tip", None]),
             },

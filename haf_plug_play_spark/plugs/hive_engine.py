@@ -42,9 +42,12 @@ def transform(parsed: DataFrame) -> dict[str, DataFrame]:
 
     ops_out = matched.select(*OPS_COLUMNS)
 
+    contract = F.get_json_object("payload", "$.contractName")
+    action = F.get_json_object("payload", "$.contractAction")
+    details = F.get_json_object("payload", "$.contractPayload")
+
     transfers = matched.filter(
-        (F.get_json_object("payload", "$.contractName") == "tokens")
-        & (F.get_json_object("payload", "$.contractAction") == "transfer")
+        (contract == "tokens") & (action == "transfer")
     ).select(
         "op_id_seq",
         "block_num",
@@ -59,7 +62,28 @@ def transform(parsed: DataFrame) -> dict[str, DataFrame]:
         .alias("qty"),
         F.get_json_object("payload", "$.contractPayload.memo").alias("memo"),
     )
-    return {"he_ops": ops_out, "he_transfers": transfers}
+    # The remaining capture tables the reference declares but leaves as
+    # details-JSON skeletons (tables.sql:26-57): nft ops, token issuances,
+    # and burns (transfers to the 'null' account, the sidechain convention).
+    base = ["op_id_seq", "block_num", "created"]
+    nfts = matched.filter(contract == "nft").select(
+        *base, action.alias("action"), details.alias("details")
+    )
+    issuances = matched.filter((contract == "tokens") & (action == "issue")).select(
+        *base, details.alias("details")
+    )
+    burns = matched.filter(
+        (contract == "tokens")
+        & (action == "transfer")
+        & (F.get_json_object("payload", "$.contractPayload.to") == "null")
+    ).select(*base, details.alias("details"))
+    return {
+        "he_ops": ops_out,
+        "he_transfers": transfers,
+        "he_nfts": nfts,
+        "he_issuances": issuances,
+        "he_burns": burns,
+    }
 
 
 PLUG = Plug(
@@ -67,5 +91,5 @@ PLUG = Plug(
     cj_ids=(CJ_ID,),
     start_block=60_100_000,  # plugs/hive_engine/defs.json:7
     transform=transform,
-    tables=("he_ops", "he_transfers"),
+    tables=("he_ops", "he_transfers", "he_nfts", "he_issuances", "he_burns"),
 )

@@ -152,6 +152,26 @@ def qas_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "click_event_id").orderBy("event_id")
 
 
+def qu1_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6 — absent in the reference, declared in
+    the engine surface): distinct INTERSECT / EXCEPT / UNION cardinalities
+    between customer keys and order keys."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    rows = [
+        ("except", customer.subtract(orders)),
+        ("intersect", customer.intersect(orders)),
+        ("union", customer.union(orders).distinct()),
+    ]
+    out = None
+    for name, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(name).alias("op"), "n")
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("op")
+
+
 def qad_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — approximate, so no cross-engine
     oracle; pytest bounds it against the exact count."""
@@ -171,6 +191,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QA4-quantile": qa4_quantile,
     "QP1-pivot": qp1_pivot,
     "QAS-asof": qas_asof,
+    "QU1-setops": qu1_setops,
     "QAD-approx-distinct": qad_approx_distinct,
 }
 
@@ -221,6 +242,15 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
             f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES
         )
         + " FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QU1-setops": (
+        "SELECT 'except' AS op, count(*) AS n FROM "
+        "(SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) "
+        "UNION ALL SELECT 'intersect', count(*) FROM "
+        "(SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) "
+        "UNION ALL SELECT 'union', count(*) FROM "
+        "(SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders) "
+        "ORDER BY op"
     ),
     "QAS-asof": (
         "SELECT p.event_id, p.user_id, c.event_id AS click_event_id "

@@ -19,12 +19,26 @@ import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# X13 block↔time arithmetic: Hive's 3-second cadence (plugs/polls/polls.py:18)
+BLOCKS_PER_DAY = 28_800
+PODPING_DEFAULT_WINDOW = 30 * BLOCKS_PER_DAY  # plugs/podping/podping.py:18
+POLLS_DEFAULT_WINDOW = BLOCKS_PER_DAY  # plugs/polls/polls.py:18
+
+
+def _head_block(df: DataFrame) -> int:
+    head = df.agg(F.max("block_num")).first()[0]
+    return int(head) if head is not None else 0
+
 
 def podping_counts(
-    updates: DataFrame, block_range: tuple[int, int], limit: int = 20
+    updates: DataFrame, block_range: tuple[int, int] | None = None, limit: int = 20
 ) -> DataFrame:
     """Feed-update counts, top-k by count (plugs/podping/podping.py:13-27).
+    Default range = last 30 days of blocks behind the head (podping.py:16-18).
     Plans as partial/final hash agg + TakeOrderedAndProject."""
+    if block_range is None:
+        head = _head_block(updates)
+        block_range = (head - PODPING_DEFAULT_WINDOW, head)
     return (
         updates.filter(F.col("block_num").between(*block_range))
         .groupBy("url")
@@ -54,11 +68,18 @@ def podping_url_latest_feed_update(
 
 
 def poll_ops(
-    ops: DataFrame, op_type: str | None = None, block_range: tuple[int, int] | None = None
+    ops: DataFrame,
+    op_type: str | None = None,
+    block_range: tuple[int, int] | None = None,
+    default_window: bool = False,
 ) -> DataFrame:
     """Raw poll ops search (plugs/polls/polls.py:13-27); optional-predicate
-    composition (F9) via chained filters."""
+    composition (F9) via chained filters. ``default_window`` mirrors the
+    reference's head−28800 fallback (polls.py:16-18)."""
     df = ops
+    if block_range is None and default_window:
+        head = _head_block(ops)
+        block_range = (head - POLLS_DEFAULT_WINDOW, head)
     if block_range is not None:
         df = df.filter(F.col("block_num").between(*block_range))
     if op_type is not None:

@@ -36,6 +36,7 @@ def replay(ops_rows: list[dict], trx_rows: list[dict]) -> dict[str, list[dict]]:
     polls_ops, polls_votes = [], []
     polls_content: dict[tuple, dict] = {}  # (author, permlink) → row
     he_ops, he_transfers = [], []
+    he_nfts, he_issuances, he_burns = [], [], []
 
     # total replay order: (block_num, trx_in_block, id) — sync.sql:99
     for op in sorted(ops_rows, key=lambda o: (o["block_num"], o["trx_in_block"], o["id"])):
@@ -128,17 +129,35 @@ def replay(ops_rows: list[dict], trx_rows: list[dict]) -> dict[str, list[dict]]:
             )
             if not isinstance(p, dict):
                 continue
-            if p.get("contractName") == "tokens" and p.get("contractAction") == "transfer":
-                cp = p.get("contractPayload") or {}
+            contract, action = p.get("contractName"), p.get("contractAction")
+            cp = p.get("contractPayload")
+            details = (
+                json.dumps(cp, separators=(",", ":")) if cp is not None else None
+            )
+            if contract == "tokens" and action == "transfer":
+                cpd = cp or {}
                 try:
-                    qty = Decimal(cp.get("quantity")) if cp.get("quantity") is not None else None
+                    qty = Decimal(cpd.get("quantity")) if cpd.get("quantity") is not None else None
                 except (InvalidOperation, TypeError):
                     qty = None
                 sender = auths[0] if auths else (posting[0] if posting else None)
                 he_transfers.append(
                     dict(op_id_seq=oid, block_num=blk, created=ts,
-                         symbol=cp.get("symbol"), from_acct=sender,
-                         to_acct=cp.get("to"), qty=qty, memo=cp.get("memo"))
+                         symbol=cpd.get("symbol"), from_acct=sender,
+                         to_acct=cpd.get("to"), qty=qty, memo=cpd.get("memo"))
+                )
+                if cpd.get("to") == "null":
+                    he_burns.append(
+                        dict(op_id_seq=oid, block_num=blk, created=ts, details=details)
+                    )
+            elif contract == "nft":
+                he_nfts.append(
+                    dict(op_id_seq=oid, block_num=blk, created=ts,
+                         action=action, details=details)
+                )
+            elif contract == "tokens" and action == "issue":
+                he_issuances.append(
+                    dict(op_id_seq=oid, block_num=blk, created=ts, details=details)
                 )
 
     return {
@@ -149,4 +168,7 @@ def replay(ops_rows: list[dict], trx_rows: list[dict]) -> dict[str, list[dict]]:
         "polls_votes": polls_votes,
         "he_ops": he_ops,
         "he_transfers": he_transfers,
+        "he_nfts": he_nfts,
+        "he_issuances": he_issuances,
+        "he_burns": he_burns,
     }

@@ -26,6 +26,9 @@ TABLE_COLUMNS = {
                "req_auths", "req_posting_auths", "cj_id", "payload"],
     "he_transfers": ["op_id_seq", "block_num", "created", "symbol", "from_acct",
                      "to_acct", "qty", "memo"],
+    "he_nfts": ["op_id_seq", "block_num", "created", "action", "details"],
+    "he_issuances": ["op_id_seq", "block_num", "created", "details"],
+    "he_burns": ["op_id_seq", "block_num", "created", "details"],
 }
 
 
