@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from haf_plug_play_spark.ext.hashing import hash_params, md5_int, universal_hash
+from haf_plug_play_spark.ext.hashing import hash_params, md5_int
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from haf_plug_play_spark.ext import dedup, similarity, text as xt
-from haf_plug_play_spark.ext.hashing import MERSENNE_P, hash_params, md5_int, md5_int_sql
+from haf_plug_play_spark.ext.hashing import MERSENNE_P, hash_params, md5_int_sql
 from haf_plug_play_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------- SQL helpers

@@ -1,0 +1,70 @@
+"""Physical-plan regression tests: lock in the Catalyst properties the
+engine's scale posture depends on (SCALE.md). A refactor that silently
+breaks pushdown, top-k, broadcast, or shuffle-freeness fails here, not at
+100 TB."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from haf_plug_play_spark.ext.registry import EXT_QUERIES
+from haf_plug_play_spark.queries.canonical import CANONICAL_QUERIES
+
+from .conftest import SF_ORACLE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_range_pushdown(spark):
+    plan = _plan(CANONICAL_QUERIES["QS1-scan-range"](spark, SF_ORACLE))
+    assert "GreaterThanOrEqual(event_id,100)" in plan
+    assert "LessThanOrEqual(event_id,199)" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(CANONICAL_QUERIES["QA1-topk"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+    assert "EqualTo(event_type,purchase)" in plan  # filter reached the scan
+
+
+def test_partial_aggregation(spark):
+    plan = _plan(CANONICAL_QUERIES["QA2-cntdistinct"](spark, SF_ORACLE))
+    # partial + final pairs — map-side combine before the shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_anti_joins(spark):
+    semi = _plan(CANONICAL_QUERIES["QF8-semi"](spark, SF_ORACLE))
+    anti = _plan(CANONICAL_QUERIES["QJ5-anti"](spark, SF_ORACLE))
+    assert "LeftSemi" in semi and "LeftAnti" in anti
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    plan = _plan(EXT_QUERIES["XD-minhash-sig"](spark, SF_ORACLE))
+    # the single Exchange is the declared ORDER BY; signature computation
+    # itself must not shuffle (SCALE.md)
+    exchanges = [
+        line
+        for line in plan.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
+    ]
+    assert len(exchanges) <= 1, exchanges
+
+
+def test_text_ops_shuffle_free(spark):
+    for qid in ("XT-langid", "XT-quality", "XT-tokens", "XT-fingerprint"):
+        plan = _plan(EXT_QUERIES[qid](spark, SF_ORACLE))
+        exchanges = [
+            line
+            for line in plan.splitlines()
+            if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
+        ]
+        assert len(exchanges) <= 1, (qid, exchanges)  # only the ORDER BY
