@@ -27,7 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from haf_plug_play_spark.ingest.envelope import parse_custom_json
+from haf_plug_play_spark.ingest.envelope import dead_letter, parse_custom_json
 from haf_plug_play_spark.plugs.framework import Plug
 from haf_plug_play_spark.runner.state import PlugStateStore
 
@@ -113,7 +113,11 @@ class PlugRunner:
         """One micro-batch: parse → plug silver transform → idempotent
         partition-aligned writes → cursor (last)."""
         parsed = self._parsed_range(first, last)
-        out = self.plug.silver_transform(parsed)
+        out = dict(self.plug.silver_transform(parsed))
+        # T14: malformed-but-matched ops land in a queryable dead-letter
+        # table instead of being silently skipped (functions.sql:91-96 logs
+        # and drops; we keep the evidence).
+        out["_dead_letter"] = dead_letter(parsed, self.plug.cj_ids)
         max_row = (
             parsed.agg(
                 F.max("block_num").alias("b"), F.max("created").alias("t")

@@ -79,6 +79,25 @@ def test_backfill_equals_batch(spark, oplog, tmp_path):
     _check_plug_outputs(runner, expected)
 
 
+def test_dead_letter_persisted(spark, oplog, tmp_path):
+    """T14: malformed matched ops survive as a queryable table."""
+    import json
+
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.backfill(lo, hi)
+    dl = runner.read_table("_dead_letter")
+    rows = dl.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.cj_id in PLUGS["podping"].cj_ids
+        try:
+            json.loads(r.payload)
+            raise AssertionError("valid JSON in dead letter")
+        except ValueError:
+            pass
+
+
 def test_backfill_resume_and_guards(spark, oplog, tmp_path):
     ops_path, trx_path, lo, hi = oplog
     mid = (lo + hi) // 2
