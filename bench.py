@@ -47,6 +47,36 @@ def main() -> None:
         df.toPandas()  # Arrow-batched materialization (2-3x py4j collect)
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Sync-path throughput: backfill the podping plug over a generated op
+    # log and report blocks/sec — comparable against the reference's
+    # operational constants (1 block / 3 s live cadence, 100-block chunks;
+    # BASELINE.md §A).
+    sync_blocks_per_sec = None
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bench_sync_")
+    try:
+        from haf_plug_play_spark import fixtures
+        from haf_plug_play_spark.plugs import PLUGS
+        from haf_plug_play_spark.runner.batch import PlugRunner
+
+        ops_df, trx_df = fixtures.as_dataframes(spark, 10_000, 42)
+        ops_df.write.parquet(f"{work}/ops")
+        trx_df.write.parquet(f"{work}/trx")
+        lo = ops_df.agg({"block_num": "min"}).first()[0]
+        hi = ops_df.agg({"block_num": "max"}).first()[0]
+        runner = PlugRunner(
+            spark, PLUGS["podping"], f"{work}/ops", f"{work}/trx", f"{work}/out", step=500
+        )
+        t0 = time.perf_counter()
+        runner.backfill(lo, hi)
+        sync_blocks_per_sec = round((hi - lo + 1) / (time.perf_counter() - t0), 1)
+    except Exception as exc:  # probe must never break the bench contract
+        print(f"sync throughput probe failed: {exc!r}", file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     # Headline metric = the canonical §2 matrix (BASELINE.md's bench query
     # set); advanced/extension timings are reported alongside.
     canonical_total = round(sum(timings[q] for q in CANONICAL_QUERIES), 4)
@@ -59,6 +89,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "all_queries_sec": round(sum(timings.values()), 4),
+                "sync_blocks_per_sec": sync_blocks_per_sec,
             }
         )
     )

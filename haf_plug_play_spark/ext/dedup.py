@@ -251,7 +251,7 @@ def embedding_cosine_pairs_exact(
 
 def embedding_cosine_pairs(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.9, n_planes: int = 8, seed: int = 5,
+    threshold: float = 0.9, n_planes: int = 8, seed: int = 5, dim: int = 64,
 ) -> DataFrame:
     """Embedding NEAR-DUPLICATE pairs: cosine ≥ threshold, for thresholds in
     the near-dup regime (≥ ~0.9) — below that the angle is too wide for any
@@ -262,10 +262,18 @@ def embedding_cosine_pairs(
     boundary pairs aren't lost), then exact cosine verification — no false
     positives; recall is property-tested on clustered data.
     """
-    from haf_plug_play_spark.ext.similarity import cosine, hyperplane_bucket, unit_norm
+    from haf_plug_play_spark.ext.similarity import cosine, hyperplane_bucket, norm
 
-    v = df.select(F.col(id_col).alias("_id"), unit_norm(F.col(vec_col)).alias("u"))
-    bucketed = v.withColumn("b", hyperplane_bucket(F.col("u"), n_planes, seed))
+    # normalize against a once-computed norm column (an inline unit_norm
+    # would re-evaluate the O(dim) norm fold per element)
+    v = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_n", norm(F.col("_v")))
+        .select("_id", F.transform("_v", lambda x: x / F.col("_n")).alias("u"))
+    )
+    # dim must match the vectors: mismatched hyperplanes null out every dot
+    # product and collapse all rows into one bucket (silent O(n²) cross)
+    bucketed = v.withColumn("b", hyperplane_bucket(F.col("u"), n_planes, seed, dim))
     probes = bucketed.select(
         "_id", "u",
         F.explode(

@@ -54,20 +54,25 @@ def make_fake_image(media_id: int, width: int, height: int) -> bytes:
     return header + body
 
 
-def attach_fake_media(documents: DataFrame) -> DataFrame:
+def attach_fake_media(documents: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
     """Derive a deterministic media table from documents (test harness):
-    binary = fake image whose pixels derive from doc_id."""
-    return documents.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(F.col("text"), "utf-8").alias("content"),  # opaque payload
-        F.struct(
-            F.lit("fake").alias("format"),
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(None).cast("int").alias("duration_ms"),
-        ).alias("meta"),
+    content = a decodable fake-image container seeded by doc_id
+    (``make_fake_image``), so the output feeds straight into
+    ``decode_media``/``byte_histogram``."""
+    w, h = width, height
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "content": [make_fake_image(int(d), w, h) for d in pdf["doc_id"]],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        _attach, "media_id long, kind string, content binary"
     )
 
 

@@ -51,7 +51,6 @@ class PlugRunner:
         self.out_root = out_root
         self.step = step
         self.store = PlugStateStore(os.path.join(out_root, "_state"))
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     # ------------------------------------------------------------ plumbing
 
@@ -76,6 +75,9 @@ class PlugRunner:
             df.withColumn("block_bucket", (F.col("block_num") / self.step).cast("long"))
             .repartition("block_bucket")
             .write.mode("overwrite")
+            # per-write dynamic overwrite: replaces only the touched buckets
+            # without flipping the session-wide overwrite semantics
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("block_bucket")
             .parquet(self._table_dir(table))
         )
@@ -87,9 +89,12 @@ class PlugRunner:
         try:
             return self.spark.read.parquet(self._table_dir(table)).drop("block_bucket")
         except Exception:
-            empty_ops = self.spark.read.parquet(self.ops_path).limit(0)
-            out = self.plug.silver_transform(parse_custom_json(empty_ops))
-            return out[table]
+            empty_parsed = parse_custom_json(
+                self.spark.read.parquet(self.ops_path).limit(0)
+            )
+            if table == "_dead_letter":
+                return dead_letter(empty_parsed, self.plug.cj_ids)
+            return self.plug.silver_transform(empty_parsed)[table]
 
     def read_gold(self, table: str) -> DataFrame:
         """Gold view over cumulative silver tables (e.g. polls_content)."""
@@ -126,7 +131,9 @@ class PlugRunner:
         for table, df in out.items():
             self._write_append_table(table, df)
         state = self.store.load(self.plug.name)
-        state.latest_block_num = last
+        # monotonic: replaying an old chunk (idempotent retry) must not
+        # rewind the cursor
+        state.latest_block_num = max(state.latest_block_num, last)
         if max_row and max_row.t is not None:
             state.latest_block_time = max_row.t.strftime("%Y-%m-%dT%H:%M:%S")
         self.store.save(state)
@@ -135,16 +142,22 @@ class PlugRunner:
         """Massive sync: chunked traversal with monotonic guards. Returns the
         chunk ranges processed. Chunks align to step boundaries so retries
         overwrite exactly their own partitions."""
-        cursor = self.store.load(self.plug.name).latest_block_num
+        state = self.store.load(self.plug.name)
+        cursor = state.latest_block_num
         begin = max(start_block, cursor + 1)
         if end_block <= cursor:  # stale range → no-op (T10)
             return []
+        if state.start_block is None:  # first-ever sync: record the floor
+            state.start_block = begin
+            self.store.save(state)
         # Align the resume point DOWN to its bucket boundary: a cursor that
         # stopped mid-bucket means that bucket holds a partial chunk, and a
         # partition overwrite starting past the boundary would drop the rows
-        # before it. Re-processing the bucket head is idempotent by design.
+        # before it. The floor is the PERSISTED first-ever start block, not
+        # this call's start_block — a caller resuming with a later
+        # start_block must still re-derive the full partial bucket.
         ranges = []
-        first = max(start_block, (begin // self.step) * self.step)
+        first = max(state.start_block, (begin // self.step) * self.step)
         while first <= end_block:
             bucket_end = ((first // self.step) + 1) * self.step - 1
             last = min(bucket_end, end_block)
@@ -181,16 +194,16 @@ class PlugRunner:
                 elif bucket == fork_bucket:
                     boundary = os.path.join(tdir, entry)
             if boundary is not None:
-                kept = (
+                # the .rewrite copy is fully written before the source dir
+                # is removed, so no caching is needed
+                (
                     self.spark.read.parquet(boundary)
                     .filter(F.col("block_num") <= fork_block)
-                    .cache()
+                    .write.mode("overwrite")
+                    .parquet(boundary + ".rewrite")
                 )
-                kept.count()
-                kept.write.mode("overwrite").parquet(boundary + ".rewrite")
                 shutil.rmtree(boundary)
                 os.replace(boundary + ".rewrite", boundary)
-                kept.unpersist()
         state = self.store.load(self.plug.name)
         state.latest_block_num = min(state.latest_block_num, fork_block)
         self.store.save(state)

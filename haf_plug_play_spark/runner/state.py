@@ -27,6 +27,11 @@ class PlugState:
     latest_block_time: str | None = None
     check_in: str | None = None
     massive_synced: bool = False
+    # First block this plug ever synced — the store's floor. Resume
+    # bucket-realignment must never reach below it (it would fabricate
+    # rows outside the plug's scope), and must always reach down to it
+    # within the partial bucket (or rows already synced would be lost).
+    start_block: int | None = None
 
 
 class PlugStateStore:

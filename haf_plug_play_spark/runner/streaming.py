@@ -105,16 +105,19 @@ def sync_status(
     now: datetime.datetime | None = None,
 ) -> dict:
     """System status ≙ GET /api (server/system_status.py:12-29)."""
+    # Epoch seconds computed JVM-side: collect() renders timestamps in the
+    # PROCESS-local timezone, which would skew the age by the UTC offset on
+    # non-UTC hosts; unix_timestamp is timezone-proof.
     head = (
         spark.read.parquet(ops_path)
-        .agg(F.max("block_num").alias("b"), F.max("timestamp").alias("t"))
+        .agg(
+            F.max("block_num").alias("b"),
+            F.max(F.unix_timestamp("timestamp")).alias("epoch"),
+        )
         .first()
     )
     now = now or datetime.datetime.now(datetime.timezone.utc)
-    head_time = head.t if head and head.t else None
-    head_age = (
-        (now.replace(tzinfo=None) - head_time).total_seconds() if head_time else None
-    )
+    head_age = (now.timestamp() - head.epoch) if head and head.epoch is not None else None
     plug_rows = []
     healthy = head_age is not None and head_age <= MAX_HEALTHY_HEAD_AGE_S
     for plug in plugs:

@@ -172,6 +172,14 @@ def test_multimodal_decode_and_features(spark):
     assert joined.startswith(b"FAKEIMG\x00")
 
 
+def test_attach_fake_media_roundtrip(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").limit(10)
+    media = multimodal.attach_fake_media(docs, width=4, height=3)
+    dec = multimodal.decode_media(media).collect()
+    assert len(dec) == 10
+    assert all(r.width == 4 and r.height == 3 for r in dec)
+
+
 def test_multimodal_real_decode_raises(spark):
     media = spark.createDataFrame(
         [(1, "image", b"\x89PNG\r\n\x1a\n....", None)], multimodal.MEDIA_SCHEMA

@@ -113,6 +113,63 @@ def test_backfill_resume_and_guards(spark, oplog, tmp_path):
     _assert_same(runner.read_table("podping_updates"), expected["podping_updates"], "podping_updates")
 
 
+def test_resume_with_later_start_block_keeps_bucket_head(spark, oplog, tmp_path):
+    """Regression (review finding): resuming with a start_block INSIDE the
+    cursor's bucket must still re-derive the full partial bucket — aligning
+    to the call's start_block instead of the persisted floor silently
+    deleted the bucket-head rows on partition overwrite."""
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path), step=STEP)
+    mid = ((lo + (hi - lo) // 2) // STEP) * STEP + STEP // 2  # mid-bucket stop
+    runner.backfill(lo, mid)
+    # resume asking only for a LATER start inside the same bucket
+    runner.backfill(mid - STEP // 4, hi)
+    expected = _expected(spark, ops_path, trx_path, PLUGS["podping"])
+    _assert_same(runner.read_table("podping_ops"), expected["podping_ops"], "podping_ops")
+
+
+def test_cursor_never_rewinds_on_replay(spark, oplog, tmp_path):
+    """Regression (review finding): replaying an old chunk (idempotent
+    retry) must not rewind the sync cursor."""
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.backfill(lo, hi)
+    runner.process_range((lo // STEP) * STEP, (lo // STEP) * STEP + STEP - 1)
+    assert runner.store.load("podping").latest_block_num == hi
+
+
+def test_read_gold_on_clean_oplog(spark, tmp_path):
+    """Regression (review finding): a synced range with NO malformed ops
+    leaves an empty _dead_letter dir; read_table/read_gold must fall back
+    to its schema instead of raising KeyError."""
+    import datetime
+    import json
+
+    rows = [
+        {
+            "id": i + 1, "block_num": 1000 + i, "trx_in_block": 0,
+            "timestamp": datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=3 * i),
+            "op_type_id": 18,
+            "body": json.dumps({"type": "custom_json_operation", "value": {
+                "id": "polls", "required_auths": [], "required_posting_auths": ["alice"],
+                "json": json.dumps([[1, "app"], "create", {
+                    "permlink": f"p{i}", "question": "q", "answers": ["a", "b"],
+                    "expires": "2024-06-01 00:00:00", "tag": "t"}])}}),
+        }
+        for i in range(6)
+    ]
+    from haf_plug_play_spark import fixtures as fx
+
+    ops_df = spark.createDataFrame(rows, fx.OPS_SCHEMA)
+    ops_path = str(tmp_path / "ops")
+    ops_df.write.parquet(ops_path)
+    runner = PlugRunner(spark, PLUGS["polls"], ops_path, None, str(tmp_path / "out"), step=10)
+    runner.backfill(1000, 1005)
+    assert runner.read_table("_dead_letter").count() == 0
+    content = runner.read_gold("polls_content")
+    assert content.count() == 6
+
+
 def test_fork_recovery(spark, oplog, tmp_path):
     ops_path, trx_path, lo, hi = oplog
     fork = lo + (hi - lo) * 2 // 3
