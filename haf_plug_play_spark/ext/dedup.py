@@ -134,11 +134,15 @@ def minhash_lsh_pairs(
     sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # bigint counters to match the SQL-engine convention (Spark size() is INT)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
     return (
         candidates.join(a, "id_a").join(b, "id_b")
         .withColumn("inter", inter)
-        .withColumn("union_sz", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .withColumn(
+            "union_sz",
+            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter"),
+        )
         .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "union_sz", "jaccard")

@@ -184,7 +184,7 @@ def xm_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
         F.ascii("text").alias("first_byte"),
     ).orderBy("doc_id")
 

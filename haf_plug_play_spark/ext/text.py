@@ -28,20 +28,24 @@ LANG_PRIORITY = ("en", "de", "fr", "es")
 
 
 def n_tokens_ws(text: Column) -> Column:
-    """Whitespace token count (single-space-delimited corpora)."""
-    return F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    """Whitespace token count (single-space-delimited corpora).
+    BIGINT: Spark length() is INT but every SQL engine counts in BIGINT."""
+    return (
+        F.length(text) - F.length(F.regexp_replace(text, " ", "")) + F.lit(1)
+    ).cast("long")
 
 
 def n_tokens_re(text: Column) -> Column:
-    """Regex (BPE-ish) token count."""
-    return F.regexp_count(text, F.lit(TOKEN_RE))
+    """Regex (BPE-ish) token count (BIGINT, see n_tokens_ws)."""
+    return F.regexp_count(text, F.lit(TOKEN_RE)).cast("long")
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
-    """Number of DISTINCT stopwords of ``lang`` present in the text."""
+    """Number of DISTINCT stopwords of ``lang`` present in the text
+    (BIGINT, see n_tokens_ws)."""
     words = F.split(F.lower(text), " ")
     anchor = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-    return F.size(F.array_intersect(words, anchor))
+    return F.size(F.array_intersect(words, anchor)).cast("long")
 
 
 def lang_pred(text: Column) -> Column:
@@ -74,7 +78,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*",
         n_words.alias("q_n_words"),
-        n_chars.alias("q_n_chars"),
+        n_chars.cast("long").alias("q_n_chars"),
         F.round(punct / n_chars, 6).alias("q_punct_ratio"),
         F.round(digits / n_chars, 6).alias("q_digit_ratio"),
         stop_en.alias("q_stop_hits"),

@@ -8,6 +8,16 @@ Money-typed sums are computed as DECIMAL(18,6): decimal aggregation is
 exact and associative, so the engine and the DuckDB oracle agree regardless
 of partial-aggregation order — double sums over 60k rows would differ in
 the 3rd-6th decimal from float reassociation alone.
+
+Result-type contract (round-2 fix): the driver's hash is type-sensitive, and
+Spark's decimal widening rules differ from DuckDB's (sum(decimal(18,6)) is
+decimal(28,6) in Spark vs DECIMAL(38,6) in DuckDB; windowed sum(int) is
+BIGINT in Spark vs INT128 in DuckDB). So every aggregate is computed exactly
+in decimal and then the FINAL output column is cast to an engine-neutral
+type — DOUBLE for money/averages, BIGINT for counters — in both the Spark
+query and the oracle SQL. Casting the same exact decimal to double on both
+sides is deterministic; averages divide the exact decimal sum (as double) by
+the bigint count on both sides so the IEEE operation sequence is identical.
 """
 
 from __future__ import annotations
@@ -34,7 +44,7 @@ def qw1_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast(_DEC)).alias("total_value"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
         )
         .orderBy("w_start", "event_type")
     )
@@ -45,7 +55,8 @@ def qw2_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     s = sessionize(events, key="user_id", ts="ts", gap_seconds=1800, order_tie="event_id")
     return (
-        s.groupBy("user_id", "session_id")
+        s.withColumn("session_id", F.col("session_id").cast("long"))
+        .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("s_start"),
@@ -68,13 +79,13 @@ def qa3_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast(_DEC) - disc)).alias("sum_disc_price"),
-            F.sum(price * (F.lit(1).cast(_DEC) - disc) * (F.lit(1).cast(_DEC) + tax)).alias("sum_charge"),
-            F.round(F.avg(qty), 6).alias("avg_qty"),
-            F.round(F.avg(price), 6).alias("avg_price"),
-            F.round(F.avg(disc), 6).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(_DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(_DEC) - disc) * (F.lit(1).cast(_DEC) + tax)).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(disc).cast("double") / F.count("*"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -88,7 +99,7 @@ def qg1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast(_DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
         )
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(),
@@ -198,7 +209,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ADVANCED_ORACLE_SQL: dict[str, str] = {
     "QW1-window": (
         "SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, "
-        "count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS total_value "
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "QW2-sessions": (
@@ -209,25 +220,26 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "sess AS (SELECT user_id, ts, sum(new_s) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id "
         "FROM flagged) "
-        "SELECT user_id, session_id, count(*) AS n_events, min(ts) AS s_start, "
+        "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+        "count(*) AS n_events, min(ts) AS s_start, "
         "max(ts) AS s_end FROM sess GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "QA3-lineitem-agg": (
         "SELECT l_returnflag, l_linestatus, "
-        "sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty, "
-        "sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price, "
-        "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price, "
-        "sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS sum_charge, "
-        "round(avg(CAST(l_quantity AS DECIMAL(18,6))), 6) AS avg_qty, "
-        "round(avg(CAST(l_extendedprice AS DECIMAL(18,6))), 6) AS avg_price, "
-        "round(avg(CAST(l_discount AS DECIMAL(18,6))), 6) AS avg_disc, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE) AS sum_disc_price, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DOUBLE) AS sum_charge, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_price, "
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_disc, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "QG1-rollup": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n, "
-        "sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty "
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
         "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
     ),

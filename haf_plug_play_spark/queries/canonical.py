@@ -214,7 +214,12 @@ def qo3_replay_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        events.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
+        events.select(
+            "event_id",
+            "user_id",
+            # bigint on both sides: Spark row_number() is INT, DuckDB's BIGINT
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
         .orderBy("user_id", "rn")
     )
 
@@ -316,8 +321,11 @@ def qe3_toklen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ext/text — whitespace token count, engine-portable formulation."""
     documents = load_table(spark, sf_dir, "documents")
     n_tokens = (
-        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1)
-    ).alias("n_tokens")
+        # bigint on both sides: Spark length() is INT, DuckDB's BIGINT
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")) + F.lit(1))
+        .cast("long")
+        .alias("n_tokens")
+    )
     return (
         documents.filter(F.col("doc_id") < 100)
         .select("doc_id", n_tokens)

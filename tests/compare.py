@@ -47,7 +47,51 @@ def duck_result(con, sql: str) -> tuple[list[str], list[tuple]]:
     return cols, cur.fetchall()
 
 
-def assert_matches(df, con, sql: str, qid: str = "") -> None:
+def _norm_type(t: str) -> str:
+    """Collapse engine-specific spellings into a neutral type family.
+    Int WIDTHS and decimal (precision, scale) are preserved on purpose: the
+    driver's hash is type-sensitive, so bigint-vs-hugeint or
+    decimal(28,6)-vs-decimal(38,6) must FAIL here, not be papered over."""
+    t = t.strip().lower()
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    return {
+        "varchar": "string",
+        "text": "string",
+        "integer": "int",
+        "float": "float",
+        "float8": "double",
+        "real": "float",
+    }.get(t, t)
+
+
+def spark_type_sig(df) -> dict[str, str]:
+    return {f.name: _norm_type(f.dataType.simpleString()) for f in df.schema.fields}
+
+
+def duck_type_sig(con, sql: str) -> dict[str, str]:
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return {r[0]: _norm_type(r[1]) for r in rows}
+
+
+def assert_types_match(df, con, sql: str, qid: str = "") -> None:
+    """Type-strict schema comparison mirroring the driver's type-sensitive
+    hash: a Spark decimal(28,6) against a DuckDB DECIMAL(38,6), or a BIGINT
+    against an INT128, fails here even when the values round-trip equal."""
+    ssig = spark_type_sig(df)
+    dsig = duck_type_sig(con, sql)
+    assert set(ssig) == set(dsig), (
+        f"{qid}: column mismatch spark={sorted(ssig)} duck={sorted(dsig)}"
+    )
+    diffs = {c: (ssig[c], dsig[c]) for c in ssig if ssig[c] != dsig[c]}
+    assert not diffs, f"{qid}: result-type mismatches (spark, duck): {diffs}"
+
+
+def assert_matches(df, con, sql: str, qid: str = "", strict_types: bool = False) -> None:
+    if strict_types:
+        assert_types_match(df, con, sql, qid)
     scols, srows = spark_result(df)
     dcols, drows = duck_result(con, sql)
     assert sorted(scols) == sorted(dcols), (

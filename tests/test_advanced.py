@@ -16,7 +16,7 @@ from .conftest import SF_ORACLE
 @pytest.mark.parametrize("qid", sorted(ADVANCED_ORACLE_SQL))
 def test_advanced_oracle(spark, duck, qid):
     df = ADVANCED_QUERIES[qid](spark, SF_ORACLE)
-    assert_matches(df, duck, ADVANCED_ORACLE_SQL[qid], qid)
+    assert_matches(df, duck, ADVANCED_ORACLE_SQL[qid], qid, strict_types=True)
 
 
 def test_approx_distinct_bounded(spark, duck):

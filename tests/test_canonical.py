@@ -18,7 +18,7 @@ def test_registry_alignment():
 @pytest.mark.parametrize("qid", sorted(CANONICAL_QUERIES))
 def test_canonical_query(spark, duck, qid):
     df = CANONICAL_QUERIES[qid](spark, SF_ORACLE)
-    assert_matches(df, duck, ORACLE_SQL[qid], qid)
+    assert_matches(df, duck, ORACLE_SQL[qid], qid, strict_types=True)
 
 
 def test_entry_smoke(spark):

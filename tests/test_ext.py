@@ -18,7 +18,7 @@ from .conftest import SF_ORACLE
 @pytest.mark.parametrize("qid", sorted(EXT_ORACLE_SQL))
 def test_ext_oracle(spark, duck, qid):
     df = EXT_QUERIES[qid](spark, SF_ORACLE)
-    assert_matches(df, duck, EXT_ORACLE_SQL[qid], qid)
+    assert_matches(df, duck, EXT_ORACLE_SQL[qid], qid, strict_types=True)
 
 
 @pytest.fixture(scope="module")
