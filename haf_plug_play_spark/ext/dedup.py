@@ -214,43 +214,71 @@ def simhash_pairs(
 
 def embedding_cosine_pairs_exact(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.4,
+    threshold: float = 0.4, block_rows: int = 4096,
 ) -> DataFrame:
     """Exact cosine pairs ≥ threshold — the brute-force baseline. Correct at
-    any threshold; quadratic by nature, so at scale it verifies the LSH path
-    on samples rather than running on the full corpus.
+    any threshold; quadratic COMPUTE by nature, but fully distributed: no
+    driver-side materialization at any input size.
 
-    Physical plan: the normalized matrix is broadcast once; each partition
-    multiplies its block against it with NumPy under mapInPandas (Arrow
-    batches). One scan, no shuffle, BLAS-speed — ~100× the per-pair
-    expression-fold formulation this replaces.
+    Physical plan (distributed block matrix multiply): vectors are hashed
+    into ceil(n / block_rows) blocks, each block packed into one row
+    (groupBy + collect_list — ~block_rows·dim·8 B ≈ 2 MB per row), then the
+    upper-triangle block-pair join (bx ≤ by) fans the O(B²) block pairs
+    across executors and each pair is multiplied with NumPy/BLAS under
+    mapInPandas. Shuffle volume is O(n·B) — each block is replicated once
+    per partner block — versus the driver OOM of the old collect+broadcast
+    at 100 TB. Every unordered vector pair lives in exactly one block-pair
+    row, so output is exact-once: the diagonal block keeps id_a < id_b, an
+    off-diagonal hit is emitted oriented (min, max).
     """
     import numpy as np
 
-    spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b = spark.sparkContext.broadcast((ids, mat))
+    n = df.count()
+    n_blocks = max(1, -(-n // block_rows))
+    v = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    blocks = (
+        v.groupBy(F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).alias("blk"))
+        .agg(F.collect_list(F.struct("_id", "_v")).alias("items"))
+    )
+    bx = blocks.select(F.col("blk").alias("bx"), F.col("items").alias("items_x"))
+    by = blocks.select(F.col("blk").alias("by"), F.col("items").alias("items_y"))
+    pairs = bx.join(by, F.col("bx") <= F.col("by")).repartition(
+        max(32, n_blocks), "bx", "by"
+    )
 
-    def _block(batches):
+    def _mult(batches):
         import pandas as pd
 
-        all_ids, all_u = b.value
-        for pdf in batches:
-            blk_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            blk = np.array(list(pdf[vec_col]), dtype=np.float64)
-            blk /= np.linalg.norm(blk, axis=1, keepdims=True)
-            sims = np.round(blk @ all_u.T, 6)
-            ai, bj = np.nonzero((sims >= threshold) & (blk_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {"id_a": blk_ids[ai], "id_b": all_ids[bj], "cosine": sims[ai, bj]}
-            )
+        def unpack(items):
+            ids = np.fromiter((it["_id"] for it in items), dtype=np.int64, count=len(items))
+            mat = np.array([it["_v"] for it in items], dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
 
-    return df.select(id_col, vec_col).mapInPandas(
-        _block, "id_a long, id_b long, cosine double"
-    )
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                ids_x, U = unpack(row.items_x)
+                diag = row.bx == row.by
+                ids_y, V = (ids_x, U) if diag else unpack(row.items_y)
+                sims = np.round(U @ V.T, 6)
+                hit = sims >= threshold
+                if diag:
+                    hit &= ids_x[:, None] < ids_y[None, :]
+                ai, bj = np.nonzero(hit)
+                a, b, c = ids_x[ai], ids_y[bj], sims[ai, bj]
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": c}
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return pairs.mapInPandas(_mult, "id_a long, id_b long, cosine double")
 
 
 def embedding_cosine_pairs(

@@ -3,13 +3,18 @@ with DuckDB oracle SQL.
 
 Hash-bearing oracles (minhash/simhash/fingerprints) are *generated* from the
 same constants as the engine (ext/hashing.py), so engine and oracle agree
-bit-for-bit by construction. Float-ranking queries (cosine top-k, ANN) are
-deliberately oracle-less per FIXTURES.md — the driver records a rows-only
-check and pytest verifies them against a NumPy golden instead.
+bit-for-bit by construction. Float-ranking oracles (cosine top-k, ANN,
+cosine pairs) mirror the engine's floating-point op ORDER — normalize, then
+a sequential dot product, then round to 6 dp — so both engines compute the
+same doubles to ~1 ulp and the 6-dp rounding agrees; hyperplane-LSH oracles
+embed the identical seed-derived plane literals the engine uses
+(similarity._planes), making the bucket assignment reproducible in SQL.
+Only QAD-approx-distinct stays oracle-less (genuinely approximate).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -209,12 +214,130 @@ def xd_embcos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs_exact(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
+def _planted_corpus(emb: DataFrame) -> DataFrame:
+    """Embeddings plus a 2×-scaled copy of each vector (vec_id + 1_000_000).
+
+    Scaling by a power of two is EXACT in IEEE doubles, so each copy
+    normalizes to the bit-identical unit vector as its original: cosine
+    exactly 1.0, same LSH bucket. That plants one guaranteed-found near-dup
+    pair per vector, making the ≥0.9 query (empty on the raw corpus)
+    exercise the whole bucket→probe→verify pipeline against an exact oracle.
+    """
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    scaled = base.select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return base.unionByName(scaled)
+
+
 def xd_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-verified near-dup pairs at the real near-dup threshold (0.9) —
-    deterministic empty set on this corpus; recall is tested on clustered
-    data in tests/test_ext.py."""
+    """LSH-verified near-dup pairs at the real near-dup threshold (0.9) over
+    the planted corpus (see _planted_corpus): exactly one cosine-1.0 pair
+    per vector must survive bucket + multi-probe + exact verify."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_cosine_pairs(emb, threshold=0.9).orderBy("id_a", "id_b")
+    return dedup.embedding_cosine_pairs(_planted_corpus(emb), threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ------------------------------------------------- float-ranking oracle SQL
+
+_VD = "CAST(embedding AS DOUBLE[])"
+
+
+def _vec_sql(vec: list[float]) -> str:
+    """A DOUBLE[] literal that parses to the bit-identical IEEE doubles the
+    engine uses (repr round-trips exactly)."""
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _cosine_sql(vec_expr: str, query_vec: list[float]) -> str:
+    """Mirror similarity.cosine_topk's op order: dot(v,q) / (norm(v) * qn)
+    with qn precomputed the same way (sequential Python sum + sqrt)."""
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    return (
+        f"round(list_dot_product({vec_expr}, {_vec_sql(query_vec)}) / "
+        f"(sqrt(list_dot_product({vec_expr}, {vec_expr})) * {qn!r}), 6)"
+    )
+
+
+def _cosine_topk_sql(query_vec: list[float], k: int) -> str:
+    return (
+        f"SELECT vec_id, {_cosine_sql(_VD, query_vec)} AS cosine "
+        f"FROM embeddings ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+def _bucket_sql(vec_expr: str, n_planes: int, seed: int, dim: int) -> str:
+    """Hyperplane bucket with the engine's OWN seed-derived plane literals
+    (similarity._planes) — bit i set iff dot(v, plane_i) > 0."""
+    planes = similarity._planes(dim, n_planes, seed)
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, {_vec_sql(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+def _ann_lsh_sql(query_vec: list[float], k: int, n_planes: int = 8, seed: int = 5) -> str:
+    """Replicates ann_lsh_topk end-to-end: bucket every vector, keep the
+    query's bucket + hamming-1 probes (computed Python-side exactly as the
+    engine does), exact-rank the survivors."""
+    dim = len(query_vec)
+    planes = similarity._planes(dim, n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, plane)) > 0:
+            qbucket |= 1 << i
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(n_planes)]
+    return (
+        f"WITH b AS (SELECT vec_id, {_VD} AS v, "
+        f"{_bucket_sql(_VD, n_planes, seed, dim)} AS bucket FROM embeddings) "
+        f"SELECT vec_id, {_cosine_sql('v', query_vec)} AS cosine FROM b "
+        f"WHERE bucket IN ({', '.join(str(p) for p in probes)}) "
+        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+# Normalized corpus CTEs: u = v / ||v|| with the same op order the engine
+# uses (norm = sqrt of the self dot product, then an elementwise divide).
+_UNIT_CTE = (
+    f"u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u "
+    f"FROM (SELECT vec_id, {_VD} AS v FROM embeddings))"
+)
+
+_PLANTED_CTE = (
+    f"corpus AS (SELECT vec_id, {_VD} AS v FROM embeddings "
+    f"UNION ALL SELECT vec_id + 1000000 AS vec_id, "
+    f"list_transform({_VD}, x -> x * 2) AS v FROM embeddings), "
+    "u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u "
+    "FROM corpus)"
+)
+
+
+def _cosine_pairs_sql(cte: str, threshold: float, renorm: bool) -> str:
+    """All-pairs exact cosine over normalized vectors (quadratic — oracle
+    only; the engine's block multiply / LSH produce the identical set).
+
+    ``renorm`` mirrors the engine's op order exactly: the block-multiply
+    path rounds the unit-vector dot directly (renorm=False), the LSH verify
+    divides by the ≈1.0 unit norms first (renorm=True, similarity.cosine).
+    """
+    if renorm:
+        cos = (
+            "round(list_dot_product(a.u, b.u) / "
+            "(sqrt(list_dot_product(a.u, a.u)) * sqrt(list_dot_product(b.u, b.u))), 6)"
+        )
+    else:
+        cos = "round(list_dot_product(a.u, b.u), 6)"
+    return (
+        f"WITH {cte}, p AS ("
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine "
+        "FROM u a JOIN u b ON a.vec_id < b.vec_id) "
+        f"SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold} "
+        "ORDER BY id_a, id_b"
+    )
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -229,7 +352,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-minhash-pairs": xd_minhash_pairs,
     "XD-simhash": xd_simhash,
     "XM-bytestats": xm_bytestats,
-    # float-ranking queries: engine-only (NumPy golden in tests)
     "XS-cosine-topk": xs_cosine_topk,
     "XS-ann-lsh": xs_ann_lsh,
     "XD-embcos-pairs": xd_embcos_pairs,
@@ -277,4 +399,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, ascii(text) AS first_byte "
         "FROM documents ORDER BY doc_id"
     ),
+    "XS-cosine-topk": _cosine_topk_sql(_QUERY_VEC, 10),
+    "XS-ann-lsh": _ann_lsh_sql(_QUERY_VEC, 10),
+    "XD-embcos-pairs": _cosine_pairs_sql(_UNIT_CTE, 0.4, renorm=False),
+    "XD-embcos-lsh": _cosine_pairs_sql(_PLANTED_CTE, 0.9, renorm=True),
 }

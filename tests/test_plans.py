@@ -59,6 +59,32 @@ def test_minhash_signatures_shuffle_free(spark):
     assert len(exchanges) <= 1, exchanges
 
 
+def test_embcos_exact_fully_distributed(spark, monkeypatch):
+    """The exact-cosine baseline must never materialize the corpus on the
+    driver: building the lineage with DataFrame.collect banned proves the
+    broadcast-from-driver formulation stays gone; the executed plan must be
+    the block cross-join + mapInPandas block multiply."""
+    from pyspark.sql import DataFrame
+
+    from haf_plug_play_spark.ext import dedup
+    from haf_plug_play_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side collect() in exact-cosine lineage")
+
+    monkeypatch.setattr(DataFrame, "collect", _banned)
+    try:
+        df = dedup.embedding_cosine_pairs_exact(emb, threshold=0.4)
+        plan = _plan(df)
+    finally:
+        monkeypatch.undo()
+    assert "MapInPandas" in plan
+    assert "NestedLoopJoin" in plan or "CartesianProduct" in plan  # bx <= by block join
+    assert df.count() > 0
+
+
 def test_text_ops_shuffle_free(spark):
     for qid in ("XT-langid", "XT-quality", "XT-tokens", "XT-fingerprint"):
         plan = _plan(EXT_QUERIES[qid](spark, SF_ORACLE))
