@@ -44,17 +44,66 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def _jaccard_verify(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    candidates: DataFrame, threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of a bounded candidate set via per-row
+    shingle arrays (array_intersect) — shared by the LSH and df-capped
+    inverted-index paths. Computes over the FULL shingle sets, so a capped
+    or banded candidate generator never distorts the reported scores."""
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    # bigint counters to match the SQL-engine convention (Spark size() is INT)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return (
+        candidates.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", inter)
+        .withColumn(
+            "union_sz",
+            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter"),
+        )
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "union_sz", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n: int = 3, threshold: float = 0.5,
+    n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard ≥ threshold.
 
     Inverted-index plan: explode shingles → self-join on shingle (only
     colliding docs meet) → intersection counts → |A∪B| = |A|+|B|−|A∩B|.
     Output: (id_a, id_b, inter, union_sz, jaccard) with id_a < id_b.
+
+    ``max_shingle_df`` is the standard skew guard for corpus scale: a
+    corpus-wide stop-phrase shingle otherwise lands every document in one
+    join bucket (quadratic blowup). With the cap, shingles appearing in more
+    than ``max_shingle_df`` docs are dropped from the candidate INDEX only;
+    surviving candidates are verified against their full shingle sets, so
+    reported scores are exact. The only semantic change: a pair whose every
+    shared shingle is corpus-hot generates no candidate — by construction
+    such pairs sit far below any useful threshold.
     """
     sh = _shingle_rows(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+        )
+        idx = sh.join(hot, "shingle", "left_anti")
+        x, y = idx.alias("a"), idx.alias("b")
+        candidates = (
+            x.join(y, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+        return _jaccard_verify(df, id_col, text_col, n, candidates, threshold)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -131,22 +180,7 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verify per candidate pair via array_intersect — the
     # candidate set is LSH-bounded, so this never touches the corpus-wide
     # shingle self-join the standalone ngram_jaccard_pairs needs.
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh"))
-    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    # bigint counters to match the SQL-engine convention (Spark size() is INT)
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
-    return (
-        candidates.join(a, "id_a").join(b, "id_b")
-        .withColumn("inter", inter)
-        .withColumn(
-            "union_sz",
-            (F.size("sh_a") + F.size("sh_b")).cast("long") - F.col("inter"),
-        )
-        .withColumn("jaccard", F.round(F.col("inter") / F.col("union_sz"), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "inter", "union_sz", "jaccard")
-    )
+    return _jaccard_verify(df, id_col, text_col, n, candidates, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:

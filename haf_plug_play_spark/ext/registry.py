@@ -90,11 +90,25 @@ _JACCARD_CTE = (
 )
 
 
-def _jaccard_pairs_sql(n: int, threshold: float) -> str:
+def _jaccard_pairs_sql(n: int, threshold: float, max_df: int | None = None) -> str:
+    if max_df is None:
+        return (
+            f"WITH {_JACCARD_CTE.format(shingles=_shingles_sql(n))} "
+            f"SELECT id_a, id_b, inter, union_sz, jaccard FROM pairs "
+            f"WHERE jaccard >= {threshold} ORDER BY id_a, id_b"
+        )
+    # df-capped candidate index (the engine's skew guard), full-set verify:
+    # scores come from the uncapped pair CTE, candidacy from the capped one
     return (
-        f"WITH {_JACCARD_CTE.format(shingles=_shingles_sql(n))} "
-        f"SELECT id_a, id_b, inter, union_sz, jaccard FROM pairs "
-        f"WHERE jaccard >= {threshold} ORDER BY id_a, id_b"
+        f"WITH {_JACCARD_CTE.format(shingles=_shingles_sql(n))}, "
+        f"dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), "
+        f"idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) "
+        f"WHERE dfc.df <= {max_df}), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id) "
+        f"SELECT p.id_a, p.id_b, p.inter, p.union_sz, p.jaccard FROM pairs p "
+        f"JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b "
+        f"WHERE p.jaccard >= {threshold} ORDER BY p.id_a, p.id_b"
     )
 
 
@@ -167,7 +181,9 @@ def xd_exact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def xd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=100
+    ).orderBy("id_a", "id_b")
 
 
 def xd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,7 +407,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
         "SELECT md5(text) AS text_key, min(doc_id) AS keep_id, count(*) AS copies "
         "FROM documents GROUP BY 1 ORDER BY 1"
     ),
-    "XD-ngram-jaccard": _jaccard_pairs_sql(3, 0.5),
+    "XD-ngram-jaccard": _jaccard_pairs_sql(3, 0.5, max_df=100),
     "XD-minhash-sig": _minhash_sig_sql(8, 3, 1) + " ORDER BY doc_id",
     "XD-minhash-pairs": _minhash_pairs_sql(8, 4, 3, 0.5, 1),
     "XD-simhash": _simhash_sql(32) + " ORDER BY doc_id",

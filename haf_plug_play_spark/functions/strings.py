@@ -49,17 +49,34 @@ def slugify(text: Column, max_len: int = 32) -> Column:
     return F.regexp_replace(F.lower(folded), "[^a-z-]", "")
 
 
-def unique_slug(candidates: DataFrame, slug_col: str, taken: DataFrame, taken_col: str) -> DataFrame:
+def unique_slug(
+    candidates: DataFrame,
+    slug_col: str,
+    taken: DataFrame,
+    taken_col: str,
+    order_col: str | None = None,
+) -> DataFrame:
     """Uniqueness pass: left-anti against taken slugs; colliding candidates
     get ``-N`` suffixes by collision rank (the set-based form of the
-    reference's probe-and-increment loop)."""
+    reference's probe-and-increment loop).
+
+    ``order_col`` supplies the DETERMINISTIC collision order (the reference
+    probes in op-arrival order, so callers pass their op sequence column).
+    Suffixes must not depend on partitioning — SURVEY §4.3.2 bans
+    nondeterministic ids — so when no order column exists the first data
+    column is used and must be a unique key (asserted by name to fail loudly
+    rather than silently reshuffle suffixes between runs).
+    """
     from pyspark.sql import Window as W
 
+    if order_col is None:
+        order_col = candidates.columns[0]
+    assert order_col in candidates.columns, f"order_col {order_col!r} not in candidates"
     t = taken.select(F.col(taken_col).alias("_slug")).distinct()
     c = candidates.withColumn("_slug", F.col(slug_col))
     free = c.join(t, "_slug", "left_anti").withColumn("slug_final", F.col("_slug"))
     clash = c.join(t, "_slug", "left_semi")
-    w = W.partitionBy("_slug").orderBy(F.monotonically_increasing_id())
+    w = W.partitionBy("_slug").orderBy(F.col(order_col))
     suffixed = clash.withColumn(
         "slug_final", F.concat(F.col("_slug"), F.lit("-"), F.row_number().over(w))
     )

@@ -10,7 +10,9 @@ Reference parity:
 - health (T12): server/system_status.py:12-29 — BAD when any enabled plug
   lags the head by > 10 blocks or the head is > 30 s stale.
 - watchdog (T11): database/plugs.py:89-102 — restart dead queries, flag
-  plugs whose check_in went stale (> 60 s, database/sql/functions.sql:43).
+  plugs whose check_in went stale (> 60 s, database/sql/functions.sql:43),
+  and cancel + restart live-but-wedged queries (the reference cancels the
+  stuck backend, database/sql/functions.sql:49-62).
 """
 
 from __future__ import annotations
@@ -55,10 +57,23 @@ class StreamingPlugRunner:
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.out_root, self.plug.name, table)
 
-    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        trx = (
-            self.spark.read.parquet(self.trx_path) if self.trx_path else None
+    def _trx_for_range(self, lo: int, hi: int) -> DataFrame:
+        """Trx scan clipped to a block range — the filter reaches the parquet
+        scan (PushedFilters), mirroring the batch path (batch.py). Without
+        this, every epoch re-read the ENTIRE trx log: a per-epoch full scan
+        of a 100 TB table, for a join that only needs the batch's blocks."""
+        return self.spark.read.parquet(self.trx_path).filter(
+            F.col("block_num").between(lo, hi)
         )
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        trx = None
+        if self.trx_path:
+            rng = batch_df.agg(
+                F.min("block_num").alias("lo"), F.max("block_num").alias("hi")
+            ).first()
+            if rng is not None and rng.lo is not None:
+                trx = self._trx_for_range(int(rng.lo), int(rng.hi))
         parsed = parse_custom_json(batch_df, trx)
         out = self.plug.silver_transform(parsed)
         for table, df in out.items():
@@ -169,9 +184,18 @@ class PlugWatchdog:
         stale, restarted = [], []
         for name, (query, restart) in list(self.queries.items()):
             age = self.store.check_in_age(name, now)
-            if age is not None and age > self.stuck_after_s:
+            stuck = age is not None and age > self.stuck_after_s
+            if stuck:
                 stale.append(name)
             if query is not None and not query.isActive:
+                new_query = restart()
+                self.queries[name] = (new_query, restart)
+                restarted.append(name)
+            elif query is not None and stuck:
+                # live-but-wedged query: cancel + restart, parity with the
+                # reference's stuck-sync backend cancel
+                # (database/sql/functions.sql:49-62, database/plugs.py:98-101)
+                query.stop()
                 new_query = restart()
                 self.queries[name] = (new_query, restart)
                 restarted.append(name)

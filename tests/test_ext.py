@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from haf_plug_play_spark.ext import dedup, multimodal, similarity
 from haf_plug_play_spark.ext.registry import EXT_ORACLE_SQL, EXT_QUERIES, _QUERY_VEC
@@ -114,6 +115,39 @@ def test_embcos_lsh_recall_clustered(spark):
     assert exact, "clusters must produce ≥0.9 pairs"
     assert lsh <= exact
     assert len(lsh) / len(exact) >= 0.9
+
+
+def test_ngram_jaccard_df_cap_kills_skew(spark):
+    """A corpus-wide stop-phrase shingle must not quadratically explode the
+    inverted-index join: with the df cap, hot shingles leave the candidate
+    index, so docs sharing ONLY the stop phrase never become candidates —
+    and genuinely near-dup pairs still surface with exact (full-set) scores."""
+    hot_tail = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unique{i} marker{i} token{i} filler{i} " + hot_tail) for i in range(200)]
+    # plant one true near-dup pair sharing rare shingles
+    rows.append((900, "alpha beta gamma delta epsilon zeta eta theta " + hot_tail))
+    rows.append((901, "alpha beta gamma delta epsilon zeta eta theta " + hot_tail))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert set(got) == {(900, 901)}
+    assert got[(900, 901)] == 1.0  # full-set verify: scores stay exact
+    # the capped candidate generator (hot shingles df>100 removed) must see
+    # only pairs sharing a RARE shingle — the planted pair, not ~200²/2
+    sh = dedup._shingle_rows(docs, "doc_id", "text", 3)
+    hot = sh.groupBy("shingle").count().filter("count > 100")
+    idx = sh.join(hot, "shingle", "left_anti")
+    n_cand = (
+        idx.alias("a")
+        .join(
+            idx.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select("a._id", "b._id")
+        .distinct()
+        .count()
+    )
+    assert n_cand == 1  # without the cap this is 201*200/2 = 20_100
 
 
 def test_minhash_lsh_recall_vs_exact(spark):

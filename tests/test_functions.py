@@ -48,9 +48,33 @@ def test_unique_slug(spark):
         [(1, "my-poll"), (2, "my-poll"), (3, "fresh")], "id int, slug string"
     )
     taken = spark.createDataFrame([("my-poll",)], "permlink string")
-    out = {r.id: r.slug_final for r in unique_slug(cands, "slug", taken, "permlink").collect()}
+    out = {
+        r.id: r.slug_final
+        for r in unique_slug(cands, "slug", taken, "permlink", order_col="id").collect()
+    }
     assert out[3] == "fresh"
-    assert sorted([out[1], out[2]]) == ["my-poll-1", "my-poll-2"]
+    # deterministic by op order, not merely unique: id 1 probes first
+    assert out[1] == "my-poll-1" and out[2] == "my-poll-2"
+
+
+def test_unique_slug_deterministic_across_shuffles(spark):
+    """Reference parity: suffixes follow probe (op-arrival) order. Two runs
+    over the same rows in scrambled input order / partitioning must assign
+    identical suffixes — the monotonically_increasing_id formulation this
+    replaces failed exactly this property."""
+    rows = [(i, f"slug-{i % 5}") for i in range(50)]
+    taken = spark.createDataFrame([(f"slug-{i}",) for i in range(5)], "permlink string")
+    a = spark.createDataFrame(rows, "op_seq long, slug string").repartition(7)
+    b = (
+        spark.createDataFrame(list(reversed(rows)), "op_seq long, slug string")
+        .repartition(3)
+        .sortWithinPartitions(F.desc("slug"))
+    )
+    ra = {r.op_seq: r.slug_final for r in unique_slug(a, "slug", taken, "permlink", "op_seq").collect()}
+    rb = {r.op_seq: r.slug_final for r in unique_slug(b, "slug", taken, "permlink", "op_seq").collect()}
+    assert ra == rb
+    # rank follows op_seq within each colliding slug: op 0 gets -1, op 5 gets -2
+    assert ra[0] == "slug-0-1" and ra[5] == "slug-0-2" and ra[45] == "slug-0-10"
 
 
 def test_cli_backfill_and_status(spark, tmp_path, capsys):

@@ -219,6 +219,52 @@ def test_sync_status(spark, oplog, tmp_path):
     assert sync_status(spark, ops_path, runner.store, [PLUGS["polls"]], now=fresh_now)["status"] == "BAD"
 
 
+def test_streaming_trx_scan_range_pushdown(spark, oplog, tmp_path):
+    """Each epoch's trx scan must clip to the batch's block range AND push
+    the range into the parquet scan — a per-epoch full scan of the trx log
+    is a scale-killer at 100 TB."""
+    from .test_plans import _plan
+
+    ops_path, trx_path, lo, _ = oplog
+    srunner = StreamingPlugRunner(
+        spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path)
+    )
+    plan = _plan(srunner._trx_for_range(lo, lo + 99))
+    assert f"GreaterThanOrEqual(block_num,{lo})" in plan
+    assert f"LessThanOrEqual(block_num,{lo + 99})" in plan
+
+
+def test_watchdog_cancels_stuck_live_query(tmp_path):
+    """A live query whose plug check_in went stale is wedged: the watchdog
+    must stop() and restart it (parity with the reference's stuck-backend
+    cancel), not just report it."""
+
+    class FakeQuery:
+        def __init__(self):
+            self.stopped = False
+
+        @property
+        def isActive(self):
+            return not self.stopped
+
+        def stop(self):
+            self.stopped = True
+
+    store = PlugStateStore(str(tmp_path / "_state"))
+    store.save(store.load("wedged"))  # stamps check_in = now
+    q1, q2 = FakeQuery(), FakeQuery()
+    dog = PlugWatchdog(store)
+    dog.register("wedged", q1, lambda: q2)
+    # fresh check_in: live query left alone
+    assert dog.check().restarted == []
+    assert not q1.stopped
+    # stale check_in + still active → cancel + restart
+    future = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(seconds=120)
+    report = dog.check(now=future)
+    assert report.stale_plugs == ["wedged"] and report.restarted == ["wedged"]
+    assert q1.stopped and dog.queries["wedged"][0] is q2
+
+
 def test_watchdog(spark, oplog, tmp_path):
     ops_path, trx_path, _, _ = oplog
     store = PlugStateStore(str(tmp_path / "_state"))
