@@ -11,6 +11,10 @@ parse, `hive_engine.tokens` is dispatched but undefined, tables.sql declares
 - transfers with the first (typed) definition — qty NUMERIC(18,10)
   (tables.sql:14-24); reserved-word columns `from`/`to` become
   from_acct/to_acct (FIXTURES.md §3.4)
+- nfts / issuances / burns promoted from details-JSON skeletons to typed
+  columns per tables.sql:26-57's evident intent (symbol/to/qty/memo,
+  owners from the signing accounts), raw contractPayload retained in
+  `details`
 
 The transfer sender is the op's signing account (first active auth, falling
 back to posting auth) — the payload carries only the recipient.
@@ -62,21 +66,50 @@ def transform(parsed: DataFrame) -> dict[str, DataFrame]:
         .alias("qty"),
         F.get_json_object("payload", "$.contractPayload.memo").alias("memo"),
     )
-    # The remaining capture tables the reference declares but leaves as
-    # details-JSON skeletons (tables.sql:26-57): nft ops, token issuances,
-    # and burns (transfers to the 'null' account, the sidechain convention).
+    # The remaining capture tables, typed per tables.sql:26-57's evident
+    # intent (the reference leaves them as details-JSON skeletons with a
+    # "TODO: investigate expanding" note): typed payload fields are promoted
+    # to columns, the raw contractPayload JSON stays in ``details`` for
+    # anything the schema doesn't name.
     base = ["op_id_seq", "block_num", "created"]
+    symbol = F.get_json_object("payload", "$.contractPayload.symbol")
+    to_acct = F.get_json_object("payload", "$.contractPayload.to")
+    qty = F.get_json_object("payload", "$.contractPayload.quantity").cast("decimal(18,10)")
+    memo = F.get_json_object("payload", "$.contractPayload.memo")
+    sender = F.coalesce(
+        F.element_at("req_auths", 1), F.element_at("req_posting_auths", 1)
+    )
+    # owners VARCHAR(16)[] (tables.sql:29): the signing accounts — active
+    # auths when present, else posting auths (size() is -1 on NULL arrays,
+    # so the fallback covers both null and empty)
+    owners = F.when(F.size("req_auths") > 0, F.col("req_auths")).otherwise(
+        F.col("req_posting_auths")
+    )
     nfts = matched.filter(contract == "nft").select(
-        *base, action.alias("action"), details.alias("details")
+        *base,
+        action.alias("action"),
+        symbol.alias("symbol"),
+        owners.alias("owners"),
+        details.alias("details"),
     )
     issuances = matched.filter((contract == "tokens") & (action == "issue")).select(
-        *base, details.alias("details")
+        *base,
+        symbol.alias("symbol"),
+        to_acct.alias("to_acct"),
+        qty.alias("qty"),
+        memo.alias("memo"),
+        details.alias("details"),
     )
     burns = matched.filter(
-        (contract == "tokens")
-        & (action == "transfer")
-        & (F.get_json_object("payload", "$.contractPayload.to") == "null")
-    ).select(*base, details.alias("details"))
+        (contract == "tokens") & (action == "transfer") & (to_acct == "null")
+    ).select(
+        *base,
+        symbol.alias("symbol"),
+        sender.alias("from_acct"),
+        qty.alias("qty"),
+        memo.alias("memo"),
+        details.alias("details"),
+    )
     return {
         "he_ops": ops_out,
         "he_transfers": transfers,

@@ -148,16 +148,28 @@ def replay(ops_rows: list[dict], trx_rows: list[dict]) -> dict[str, list[dict]]:
                 )
                 if cpd.get("to") == "null":
                     he_burns.append(
-                        dict(op_id_seq=oid, block_num=blk, created=ts, details=details)
+                        dict(op_id_seq=oid, block_num=blk, created=ts,
+                             symbol=cpd.get("symbol"), from_acct=sender,
+                             qty=qty, memo=cpd.get("memo"), details=details)
                     )
             elif contract == "nft":
+                cpd = cp if isinstance(cp, dict) else {}
                 he_nfts.append(
                     dict(op_id_seq=oid, block_num=blk, created=ts,
-                         action=action, details=details)
+                         action=action, symbol=cpd.get("symbol"),
+                         owners=(auths if auths else posting),
+                         details=details)
                 )
             elif contract == "tokens" and action == "issue":
+                cpd = cp if isinstance(cp, dict) else {}
+                try:
+                    qty = Decimal(cpd.get("quantity")) if cpd.get("quantity") is not None else None
+                except (InvalidOperation, TypeError):
+                    qty = None
                 he_issuances.append(
-                    dict(op_id_seq=oid, block_num=blk, created=ts, details=details)
+                    dict(op_id_seq=oid, block_num=blk, created=ts,
+                         symbol=cpd.get("symbol"), to_acct=cpd.get("to"),
+                         qty=qty, memo=cpd.get("memo"), details=details)
                 )
 
     return {

@@ -26,9 +26,12 @@ TABLE_COLUMNS = {
                "req_auths", "req_posting_auths", "cj_id", "payload"],
     "he_transfers": ["op_id_seq", "block_num", "created", "symbol", "from_acct",
                      "to_acct", "qty", "memo"],
-    "he_nfts": ["op_id_seq", "block_num", "created", "action", "details"],
-    "he_issuances": ["op_id_seq", "block_num", "created", "details"],
-    "he_burns": ["op_id_seq", "block_num", "created", "details"],
+    "he_nfts": ["op_id_seq", "block_num", "created", "action", "symbol",
+                "owners", "details"],
+    "he_issuances": ["op_id_seq", "block_num", "created", "symbol", "to_acct",
+                     "qty", "memo", "details"],
+    "he_burns": ["op_id_seq", "block_num", "created", "symbol", "from_acct",
+                 "qty", "memo", "details"],
 }
 
 

@@ -1,0 +1,188 @@
+"""Endpoint-layer tests: the framework-agnostic ``api_routes`` table must
+reproduce the reference's HTTP menu (server/serve.py:12-46,
+plug_endpoints/podping.py, plug_endpoints/polls.py) — positional-schema
+JSON, validation errors, and the probe-and-increment permlink — without an
+HTTP stack (this container has no fastapi)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark import fixtures
+from haf_plug_play_spark.ingest.envelope import parse_custom_json
+from haf_plug_play_spark.plugs import PLUGS
+from haf_plug_play_spark.queries import plug_queries as Q
+from haf_plug_play_spark.serve import ApiError, api_routes, df_to_json_rows
+
+NOW = fixtures.EPOCH.replace(hour=2)
+
+REFERENCE_MENU = {
+    ("GET", "/api"),
+    ("GET", "/api/podping/history/counts"),
+    ("GET", "/api/podping/history/latest/iri"),
+    ("POST", "/api/polls/new_permlink"),
+    ("GET", "/api/polls/ops"),
+    ("GET", "/api/polls/active"),
+    ("GET", "/api/polls/{author}/{permlink}"),
+    ("GET", "/api/polls/{author}/{permlink}/votes"),
+    ("GET", "/api/polls/{author}"),
+}
+
+
+@pytest.fixture(scope="module")
+def derived(spark):
+    ops_df, trx_df = fixtures.as_dataframes(spark, 10_000, 42)
+    parsed = parse_custom_json(ops_df, trx_df)
+    out = {}
+    for plug in PLUGS.values():
+        out.update(plug.transform(parsed))
+    for df in out.values():
+        df.cache()
+    return out
+
+
+@pytest.fixture(scope="module")
+def routes(derived):
+    ctx = dict(derived)
+    ctx["now"] = NOW
+    ctx["status"] = lambda: {"status": "GOOD", "head_block_num": 123}
+    return api_routes(ctx)
+
+
+def test_menu_matches_reference(routes):
+    assert set(routes) == REFERENCE_MENU
+
+
+def test_root_status(routes):
+    assert routes[("GET", "/api")]() == {"status": "GOOD", "head_block_num": 123}
+
+
+def test_podping_counts_positional_schema(routes, derived):
+    got = routes[("GET", "/api/podping/history/counts")]("[1000, 2500]", 20)
+    expected = df_to_json_rows(
+        Q.podping_counts(derived["podping_updates"], (1000, 2500), 20),
+        ["url", "count"],
+    )
+    assert got == expected and len(got) > 0
+    assert list(got[0]) == ["url", "count"]  # podping.py:36 field names
+
+
+def test_podping_counts_validation(routes):
+    with pytest.raises(ApiError) as e:
+        routes[("GET", "/api/podping/history/counts")]('"not-a-list"')
+    assert e.value.status_code == 400 and "array" in e.value.detail
+    with pytest.raises(ApiError) as e:
+        routes[("GET", "/api/podping/history/counts")]("[1, \"two\"]")
+    assert "integers" in e.value.detail
+
+
+def test_podping_latest_iri(routes, derived):
+    url = (
+        derived["podping_updates"]
+        .groupBy("url")
+        .count()
+        .orderBy(F.desc("count"), "url")
+        .first()
+        .url
+    )
+    got = routes[("GET", "/api/podping/history/latest/iri")](url, 5)
+    assert got["iri"] == url
+    assert isinstance(got["time_since_last_update"], int)
+    assert 0 < len(got["feed_updates"]) <= 5
+    assert list(got["feed_updates"][0]) == [
+        "trx_id", "block_num", "created", "reason", "medium",
+    ]  # podping.py:54
+    with pytest.raises(ApiError):
+        routes[("GET", "/api/podping/history/latest/iri")]("https://no.such/feed", 5)
+
+
+def test_new_permlink_probe_increment(spark, derived):
+    content = spark.createDataFrame(
+        [("alice", "my-poll"), ("alice", "my-poll-1"), ("alice", "unrelated")],
+        "author string, permlink string",
+    )
+    routes = api_routes({"polls_content": content})
+    handler = routes[("POST", "/api/polls/new_permlink")]
+    # taken twice for alice → next suffix; free for bob → base slug
+    assert handler("alice", "My Poll!") == "my-poll-2"
+    assert handler("bob", "My Poll!") == "my-poll"
+    with pytest.raises(ApiError):
+        handler("a-way-too-long-author-name", "q")
+    with pytest.raises(ApiError):
+        handler("alice", "q" * 256)
+
+
+def test_poll_ops_endpoint(routes, derived):
+    got = routes[("GET", "/api/polls/ops")]("vote", "[1000, 2000]")
+    expected = df_to_json_rows(
+        Q.poll_ops(derived["polls_ops"], "vote", (1000, 2000)),
+        ["transaction_id", "req_posting_auths", "op_type", "op_payload"],
+    )
+    assert got == expected and len(got) > 0
+    assert list(got[0]) == [
+        "transaction_id", "req_posting_auths", "op_type", "op_payload",
+    ]  # polls.py:101
+    # invalid op_type: the reference builds no SQL and returns []
+    assert routes[("GET", "/api/polls/ops")]("delete", None) == []
+
+
+def test_polls_active_endpoint(routes, derived):
+    got = routes[("GET", "/api/polls/active")]("")
+    expected = df_to_json_rows(
+        Q.polls_active(derived["polls_content"], None, now=NOW),
+        ["author", "permlink", "question", "answers", "expires", "tag", "created"],
+    )
+    assert got == expected and len(got) > 0
+    with pytest.raises(ApiError):
+        routes[("GET", "/api/polls/active")]("a-tag-longer-than-sixteen")
+
+
+def _poll_with_votes(derived):
+    return (
+        derived["polls_votes"]
+        .join(
+            derived["polls_content"].filter(~F.col("deleted")),
+            ["author", "permlink"],
+        )
+        .groupBy("author", "permlink")
+        .count()
+        .orderBy(F.desc("count"), "author", "permlink")
+        .first()
+    )
+
+
+def test_get_poll_with_votes(routes, derived):
+    row = _poll_with_votes(derived)
+    got = routes[("GET", "/api/polls/{author}/{permlink}")](row.author, row.permlink)
+    assert got["author"] == row.author and got["permlink"] == row.permlink
+    assert set(got) == {
+        "author", "permlink", "question", "answers", "expires", "tag",
+        "created", "votes",
+    }
+    assert got["votes"] and list(got["votes"][0]) == ["answer", "count"]  # summary
+    full = routes[("GET", "/api/polls/{author}/{permlink}")](
+        row.author, row.permlink, summary=False
+    )
+    assert full["votes"] and list(full["votes"][0]) == ["account", "answer"]
+    with pytest.raises(ApiError) as e:
+        routes[("GET", "/api/polls/{author}/{permlink}")]("nobody", "nothing")
+    assert e.value.detail == "Poll not found"
+
+
+def test_poll_votes_endpoint(routes, derived):
+    row = _poll_with_votes(derived)
+    got = routes[("GET", "/api/polls/{author}/{permlink}/votes")](row.author, row.permlink)
+    assert len(got) > 0 and list(got[0]) == ["account", "answer"]  # polls.py:227
+
+
+def test_polls_user_endpoint(routes, derived):
+    author = derived["polls_content"].filter(~F.col("deleted")).first().author
+    got = routes[("GET", "/api/polls/{author}")](author)
+    expected = df_to_json_rows(
+        Q.polls_user(derived["polls_content"], author, False, None, now=NOW),
+        ["permlink", "question", "answers", "expires", "tag", "created"],
+    )
+    assert got == expected and len(got) > 0
+    with pytest.raises(ApiError):
+        routes[("GET", "/api/polls/{author}")](author, active="yes")
