@@ -14,6 +14,8 @@ Scale posture (the 100 TB contract):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -91,17 +93,40 @@ def ngram_jaccard_pairs(
     """
     sh = _shingle_rows(df, id_col, text_col, n)
     if max_shingle_df is not None:
+        # Hot shingles are FEW by definition (df > cap bounds their number
+        # by corpus_shingles / cap) — broadcast the anti-join.
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
         )
-        idx = sh.join(hot, "shingle", "left_anti")
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # Count-only stats (no arrays shuffled): capped inter from the
+        # capped index self-join, full size + hot count per doc.
+        stats = sh.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
+        ).groupBy("_id").agg(
+            F.count("*").alias("sz"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
+        )
         x, y = idx.alias("a"), idx.alias("b")
-        candidates = (
+        capped = (
             x.join(y, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .distinct()
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count("*").alias("c_inter"))
+        )
+        sa = stats.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("n_hot").alias("hot_a"))
+        sb = stats.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("n_hot").alias("hot_b"))
+        # Sound prefilter: true inter ≤ c_inter + min(hot_a, hot_b), so the
+        # upper bound below dominates the true jaccard; only pairs whose
+        # bound clears the threshold pay for the full-array verify.
+        ub_inter = F.col("c_inter") + F.least("hot_a", "hot_b")
+        upper = ub_inter / (F.col("sz_a") + F.col("sz_b") - ub_inter)
+        candidates = (
+            capped.join(sa, "id_a").join(sb, "id_b")
+            .filter(upper >= threshold)
+            .select("id_a", "id_b")
         )
         return _jaccard_verify(df, id_col, text_col, n, candidates, threshold)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
@@ -256,19 +281,25 @@ def embedding_cosine_pairs_exact(
 
     Physical plan (distributed block matrix multiply): vectors are hashed
     into ceil(n / block_rows) blocks, each block packed into one row
-    (groupBy + collect_list — ~block_rows·dim·8 B ≈ 2 MB per row), then the
-    upper-triangle block-pair join (bx ≤ by) fans the O(B²) block pairs
-    across executors and each pair is multiplied with NumPy/BLAS under
-    mapInPandas. Shuffle volume is O(n·B) — each block is replicated once
-    per partner block — versus the driver OOM of the old collect+broadcast
-    at 100 TB. Every unordered vector pair lives in exactly one block-pair
+    (groupBy + collect_list — ~block_rows·dim·8 B ≈ 2 MB per row). The
+    upper-triangle block-pair fan-out is an EXPLODE of partner ids followed
+    by an equi-join back to the packed blocks — deliberately not a
+    theta-join (bx ≤ by), which would plan as a nested-loop broadcast of
+    the multi-MB packed rows and die at corpus scale (244k blocks ≈ 1 TB
+    broadcast at 10⁹ vectors). The equi-join shuffles O(n·B) bytes — each
+    block replicated once per partner — which is the unavoidable cost of
+    exact all-pairs; each pair row is then multiplied with NumPy/BLAS under
+    mapInPandas. Every unordered vector pair lives in exactly one block-pair
     row, so output is exact-once: the diagonal block keeps id_a < id_b, an
     off-diagonal hit is emitted oriented (min, max).
     """
     import numpy as np
 
     n = df.count()
-    n_blocks = max(1, -(-n // block_rows))
+    # block_rows caps memory per task; the sqrt(2P) floor guarantees at
+    # least ~P block-pair tasks so small corpora still use the whole cluster
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_blocks = max(1, -(-n // block_rows), min(n, math.isqrt(2 * par) + 1))
     v = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -277,11 +308,15 @@ def embedding_cosine_pairs_exact(
         v.groupBy(F.pmod(F.xxhash64("_id"), F.lit(n_blocks)).alias("blk"))
         .agg(F.collect_list(F.struct("_id", "_v")).alias("items"))
     )
-    bx = blocks.select(F.col("blk").alias("bx"), F.col("items").alias("items_x"))
-    by = blocks.select(F.col("blk").alias("by"), F.col("items").alias("items_y"))
-    pairs = bx.join(by, F.col("bx") <= F.col("by")).repartition(
-        max(32, n_blocks), "bx", "by"
+    partners = blocks.select(
+        F.col("blk").alias("bx"),
+        F.col("items").alias("items_x"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("by"),
     )
+    pairs = partners.join(
+        blocks.select(F.col("blk").alias("by"), F.col("items").alias("items_y")),
+        "by",
+    ).repartition(max(32, n_blocks), "bx", "by")
 
     def _mult(batches):
         import pandas as pd
@@ -330,8 +365,8 @@ def embedding_cosine_pairs(
     """
     from haf_plug_play_spark.ext.similarity import cosine, hyperplane_bucket, norm
 
-    # normalize against a once-computed norm column (an inline unit_norm
-    # would re-evaluate the O(dim) norm fold per element)
+    # normalize against a once-computed norm column (an inline per-element
+    # norm expression would re-evaluate the O(dim) fold per element)
     v = (
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_n", norm(F.col("_v")))

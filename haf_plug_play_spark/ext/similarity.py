@@ -33,13 +33,6 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
-def unit_norm(a: Column) -> Column:
-    """Unit-normalize an array column. NOTE: as a pure expression the norm
-    fold re-evaluates per element (O(dim²) per row) — in hot paths compute
-    ``norm(a)`` into a column once and divide (see embedding_cosine_pairs)."""
-    return F.transform(a, lambda x: x / norm(a))
-
-
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 

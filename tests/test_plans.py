@@ -81,7 +81,11 @@ def test_embcos_exact_fully_distributed(spark, monkeypatch):
     finally:
         monkeypatch.undo()
     assert "MapInPandas" in plan
-    assert "NestedLoopJoin" in plan or "CartesianProduct" in plan  # bx <= by block join
+    # the block-pair fan-out must be an EQUI-join on the partner id — a
+    # theta (bx <= by) formulation plans as a nested-loop broadcast of the
+    # multi-MB packed block rows, which cannot scale
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan  # hash/sort-merge equi-join on "by"
     assert df.count() > 0
 
 
