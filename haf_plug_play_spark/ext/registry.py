@@ -223,6 +223,15 @@ def xs_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, _QUERY_VEC, k=10)
 
 
+def xs_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe top-k with the seeded (untrained) coarse quantizer —
+    deterministic pure function of the seed, so the assignment reproduces
+    in SQL; the trained variant's recall is pytest-verified on clustered
+    data (tests/test_ext.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _QUERY_VEC, k=10)
+
+
 def xd_embcos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact baseline (this corpus has no ≥0.9 near-dups; 0.4 exercises the
     operator with non-empty output)."""
@@ -293,6 +302,29 @@ def _bucket_sql(vec_expr: str, n_planes: int, seed: int, dim: int) -> str:
         f"(CASE WHEN list_dot_product({vec_expr}, {_vec_sql(p)}) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
+    )
+
+
+def _ivf_sql(query_vec: list[float], k: int, n_centroids: int = 8, n_probe: int = 3, seed: int = 7) -> str:
+    """Replicates ivf_topk with the same seeded centroid literals: per-row
+    assignment is list_position(list_min) over the identical c·c − 2·(v·c)
+    scores, probes are computed Python-side exactly as the engine does."""
+    cents = similarity._seed_centroids(len(query_vec), n_centroids, seed)
+    scores = ", ".join(
+        f"({sum(c * c for c in cent)!r} - 2.0 * list_dot_product(v, {_vec_sql(cent)}))"
+        for cent in cents
+    )
+    qd = [
+        sum(c * c for c in cent) - 2.0 * sum(a * b for a, b in zip(query_vec, cent))
+        for cent in cents
+    ]
+    probes = [i + 1 for i in sorted(range(len(cents)), key=lambda i: (qd[i], i))[:n_probe]]
+    return (
+        f"WITH s AS (SELECT vec_id, {_VD} AS v FROM embeddings), "
+        f"a AS (SELECT vec_id, v, list_position([{scores}], list_min([{scores}])) AS cell FROM s) "
+        f"SELECT vec_id, {_cosine_sql('v', query_vec)} AS cosine FROM a "
+        f"WHERE cell IN ({', '.join(str(p) for p in probes)}) "
+        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
     )
 
 
@@ -370,6 +402,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XM-bytestats": xm_bytestats,
     "XS-cosine-topk": xs_cosine_topk,
     "XS-ann-lsh": xs_ann_lsh,
+    "XS-ivf": xs_ivf,
     "XD-embcos-pairs": xd_embcos_pairs,
     "XD-embcos-lsh": xd_embcos_lsh,
 }
@@ -417,6 +450,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     ),
     "XS-cosine-topk": _cosine_topk_sql(_QUERY_VEC, 10),
     "XS-ann-lsh": _ann_lsh_sql(_QUERY_VEC, 10),
+    "XS-ivf": _ivf_sql(_QUERY_VEC, 10),
     "XD-embcos-pairs": _cosine_pairs_sql(_UNIT_CTE, 0.4, renorm=False),
     "XD-embcos-lsh": _cosine_pairs_sql(_PLANTED_CTE, 0.9, renorm=True),
 }

@@ -87,3 +87,87 @@ def ann_lsh_topk(
         "_b", hyperplane_bucket(F.col(vec_col).cast("array<double>"), n_planes, seed, dim)
     ).filter(F.col("_b").isin(probe))
     return cosine_topk(v, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------- IVF
+
+
+def _seed_centroids(dim: int, k: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(k)]
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based index of the nearest centroid by squared euclidean distance.
+
+    The per-centroid score is ``c·c − 2·(v·c)`` (the row-constant v·v term
+    dropped): argmin-equivalent, and expressible with the same sequential
+    dot product in SQL (list_dot_product), so a DuckDB oracle reproduces
+    the assignment. Ties resolve to the LOWEST index on both engines
+    (array_position / list_position return the first match of the min).
+    """
+    scores = F.array(
+        *[
+            F.lit(sum(c * c for c in cent))
+            - F.lit(2.0) * dot(vec, F.array(*[F.lit(float(c)) for c in cent]))
+            for cent in centroids
+        ]
+    )
+    return F.array_position(scores, F.array_min(scores))
+
+
+def ivf_centroids(
+    emb: DataFrame, k: int = 8, iters: int = 3, seed: int = 7,
+    vec_col: str = "embedding", dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seeded Gaussian init + Lloyd
+    iterations. All heavy work is distributed (assignment is a projection,
+    the mean is a posexplode + groupBy avg); only k×dim floats ever reach
+    the driver per iteration. Empty clusters keep their previous centroid.
+    The result is a function of (data, k, iters, seed) alone, up to
+    floating-point reassociation in the distributed mean — which is why the
+    SQL-oracled canonical query uses the seeded quantizer, not this."""
+    cents = _seed_centroids(dim, k, seed)
+    v = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(iters):
+        means = (
+            v.withColumn("_c", nearest_centroid(F.col("_v"), cents))
+            .select("_c", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_c", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r._c - 1][r._pos] = r._m
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 8, n_probe: int = 3, seed: int = 7,
+) -> DataFrame:
+    """IVF approximate top-k — the classic scale path for ANN: assign every
+    vector to its nearest coarse centroid (one projection, no shuffle),
+    keep only the ``n_probe`` cells nearest the query, exact-rank the
+    survivors. Candidate volume ≈ n_probe/n_centroids of the corpus
+    regardless of corpus size.
+
+    ``centroids`` defaults to the seeded (untrained) quantizer so the
+    canonical query stays a pure function of the seed (SQL-oracle-able);
+    pass ``ivf_centroids(emb)`` for the trained, higher-recall variant.
+    """
+    dim = len(query_vec)
+    cents = centroids if centroids is not None else _seed_centroids(dim, n_centroids, seed)
+    qd = [
+        sum(c * c for c in cent) - 2.0 * sum(a * b for a, b in zip(query_vec, cent))
+        for cent in cents
+    ]
+    probes = [i + 1 for i in sorted(range(len(cents)), key=lambda i: (qd[i], i))[:n_probe]]
+    v = emb.withColumn(
+        "_c", nearest_centroid(F.col(vec_col).cast("array<double>"), cents)
+    ).filter(F.col("_c").isin(probes))
+    return cosine_topk(v, query_vec, k, id_col, vec_col)

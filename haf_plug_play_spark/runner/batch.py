@@ -117,6 +117,13 @@ class PlugRunner:
     def process_range(self, first: int, last: int) -> None:
         """One micro-batch: parse → plug silver transform → idempotent
         partition-aligned writes → cursor (last)."""
+        # per-plug scheduler pool ≙ the reference's process-per-plug
+        # isolation (database/plugs.py:14,99): concurrent plugs running in
+        # separate driver threads get fair-shared executor slots instead of
+        # one plug's backfill starving the others
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"plug-{self.plug.name}"
+        )
         parsed = self._parsed_range(first, last)
         out = dict(self.plug.silver_transform(parsed))
         # T14: malformed-but-matched ops land in a queryable dead-letter

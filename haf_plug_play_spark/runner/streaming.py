@@ -89,6 +89,11 @@ class StreamingPlugRunner:
         self.store.save(state)
 
     def start(self, ops_schema, available_now: bool = True) -> StreamingQuery:
+        # per-plug scheduler pool, mirroring the batch path (see
+        # PlugRunner.process_range): concurrent plug streams fair-share
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"plug-{self.plug.name}"
+        )
         stream = (
             self.spark.readStream.schema(ops_schema)
             .option("maxFilesPerTrigger", 4)  # rate limit ≙ 100-block chunks (T2)

@@ -41,6 +41,11 @@ def get_spark(app_name: str = "haf_plug_play_spark", master: str | None = None) 
         .config("spark.sql.shuffle.partitions", os.environ.get(
             "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # FAIR + per-plug pools (runner sets spark.scheduler.pool): the
+        # reference isolates plugs in their own PG backends
+        # (database/plugs.py:14,99); FIFO would let one plug's backfill
+        # starve every other plug's live sync
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     # In local mode the driver is the only JVM; give it headroom if offered.

@@ -79,6 +79,33 @@ def test_ann_lsh_recall_clustered(spark):
     assert len(set(exact) & approx) >= 8
 
 
+def test_ivf_trained_recall_clustered(spark):
+    """Trained IVF (Lloyd iterations) must recover near neighbors on
+    clustered data: the query's cluster lands in one cell and n_probe=3
+    covers boundary spill. Also checks training is stable across input
+    partitioning (up to float reassociation in the distributed mean)."""
+    import random
+
+    rng = random.Random(13)
+    rows, vid = [], 0
+    bases = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(10)]
+    for b in bases:
+        for _ in range(40):
+            rows.append((vid, [x + rng.gauss(0, 0.05) for x in b]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = similarity.ivf_centroids(emb, k=8, iters=3, seed=7)
+    c2 = similarity.ivf_centroids(emb.repartition(5), k=8, iters=3, seed=7)
+    assert np.allclose(np.array(c1), np.array(c2), atol=1e-9)
+    query = [x + rng.gauss(0, 0.05) for x in bases[2]]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, query, k=10).collect()]
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_topk(emb, query, k=10, centroids=c1, n_probe=3).collect()
+    }
+    assert len(set(exact) & approx) >= 8
+
+
 def test_embcos_pairs_exact_numpy_golden(spark, np_emb):
     ids, V = np_emb
     U = V / np.linalg.norm(V, axis=1, keepdims=True)

@@ -219,6 +219,18 @@ def test_sync_status(spark, oplog, tmp_path):
     assert sync_status(spark, ops_path, runner.store, [PLUGS["polls"]], now=fresh_now)["status"] == "BAD"
 
 
+def test_per_plug_scheduler_pool(spark, oplog, tmp_path):
+    """Concurrent plugs must run in their own scheduler pool (≙ the
+    reference's process-per-plug isolation, database/plugs.py:14,99)."""
+    ops_path, trx_path, lo, _ = oplog
+    runner = PlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.process_range(lo, lo + STEP - 1)
+    assert (
+        spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        == "plug-podping"
+    )
+
+
 def test_streaming_trx_scan_range_pushdown(spark, oplog, tmp_path):
     """Each epoch's trx scan must clip to the batch's block range AND push
     the range into the parquet scan — a per-epoch full scan of the trx log
