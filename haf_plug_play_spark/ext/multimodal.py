@@ -130,6 +130,77 @@ def byte_histogram(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_hist, HIST_SCHEMA)
 
 
+def _decode_fake_image(mid, buf: bytes):
+    if buf[:8] != b"FAKEIMG\x00":
+        # A real implementation calls PIL here.
+        raise NotImplementedError(
+            f"real media decode not available in this container "
+            f"(media_id={mid}, magic={buf[:8]!r})"
+        )
+    import numpy as np
+
+    w, h = struct.unpack("<II", buf[8:16])
+    px = np.frombuffer(buf[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+    return px
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize, Arrow-batched per partition (no shuffle).
+    The resample math is real (index-mapped NumPy gather on the pixel
+    grid); only the codec boundary is the fake container — a real impl
+    swaps ``_decode_fake_image`` for PIL and re-encodes."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_fake_image(mid, bytes(content))
+                h, w = px.shape
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = px[ys][:, xs]
+                body = b"FAKEIMG\x00" + struct.pack("<II", out_w, out_h) + out.tobytes()
+                rows.append((mid, out_w, out_h, body))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
+
+    return media.select("media_id", "content").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id long, px_mean double, px_std double, embedding array<double>"
+
+
+def image_features(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Feature extraction: global pixel stats + a grid×grid mean-pooled,
+    unit-normalized embedding (array<double>) — the output column feeds the
+    similarity/dedup operators directly (ext/similarity.py), so media
+    near-dup detection composes from these two operators."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_fake_image(mid, bytes(content)).astype(np.float64)
+                h, w = px.shape
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                pooled = np.add.reduceat(np.add.reduceat(px, ys, axis=0), xs, axis=1)
+                emb = pooled.ravel()
+                n = np.linalg.norm(emb)
+                if n > 0:
+                    emb = emb / n
+                rows.append((mid, float(px.mean()), float(px.std()), emb.tolist()))
+            yield pd.DataFrame(rows, columns=["media_id", "px_mean", "px_std", "embedding"])
+
+    return media.select("media_id", "content").mapInPandas(_features, FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 

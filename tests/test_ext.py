@@ -241,6 +241,48 @@ def test_attach_fake_media_roundtrip(spark):
     assert all(r.width == 4 and r.height == 3 for r in dec)
 
 
+def test_multimodal_resize_golden(spark):
+    """Nearest-neighbor resize must match the plain-NumPy reference on the
+    fake pixel grid, and the output must itself be decodable."""
+    media = spark.createDataFrame(
+        [(7, "image", multimodal.make_fake_image(7, 8, 6), None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.resize_images(media, 4, 3).collect()[0]
+    assert (out.width, out.height) == (4, 3)
+    src = np.frombuffer(
+        multimodal.make_fake_image(7, 8, 6)[16:], dtype=np.uint8
+    ).reshape(6, 8)
+    expect = src[(np.arange(3) * 6) // 3][:, (np.arange(4) * 8) // 4]
+    got = np.frombuffer(bytes(out.content)[16:], dtype=np.uint8).reshape(3, 4)
+    assert (got == expect).all()
+    dec = multimodal.decode_media(
+        spark.createDataFrame(
+            [(7, "image", bytes(out.content), None)], multimodal.MEDIA_SCHEMA
+        )
+    ).collect()[0]
+    assert (dec.width, dec.height) == (4, 3)
+
+
+def test_multimodal_features_feed_similarity(spark):
+    """image_features' embedding column must compose with the similarity
+    operators: identical images are exact neighbors (cosine 1.0)."""
+    rows = [
+        (i, "image", multimodal.make_fake_image(i % 5, 8, 8), None) for i in range(10)
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.image_features(media)
+    got = {r.media_id: r for r in feats.collect()}
+    assert len(got) == 10 and len(got[0].embedding) == 16
+    assert got[0].px_mean == got[5].px_mean  # same fake content mod 5
+    q = list(got[3].embedding)
+    top = similarity.cosine_topk(
+        feats, q, k=2, id_col="media_id", vec_col="embedding"
+    ).collect()
+    assert {r.media_id for r in top} == {3, 8}  # 3 and its duplicate 3+5
+    assert all(r.cosine == 1.0 for r in top)
+
+
 def test_multimodal_real_decode_raises(spark):
     media = spark.createDataFrame(
         [(1, "image", b"\x89PNG\r\n\x1a\n....", None)], multimodal.MEDIA_SCHEMA
