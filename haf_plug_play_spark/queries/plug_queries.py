@@ -146,6 +146,52 @@ def poll_votes(content: DataFrame, votes: DataFrame, author: str, permlink: str)
     )
 
 
+def he_token_volume(
+    transfers: DataFrame, block_range: tuple[int, int] | None = None
+) -> DataFrame:
+    """Per-symbol transfer volume over a block range — the analytical read
+    the reference's hive_engine plug declares tables for but never ships a
+    query menu over (plugs/hive_engine/ has no StateQuery). Decimal sums
+    computed exactly, surfaced as DOUBLE at the JSON boundary (X12)."""
+    df = transfers
+    if block_range is not None:
+        df = df.filter(F.col("block_num").between(*block_range))
+    return (
+        df.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_transfers"),
+            F.sum("qty").cast("double").alias("total_qty"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def he_top_recipients(
+    transfers: DataFrame, symbol: str, limit: int = 20
+) -> DataFrame:
+    """Top accounts by received amount for one token (A1/O1 shape:
+    partial+final agg then TakeOrderedAndProject)."""
+    return (
+        transfers.filter(F.col("symbol") == symbol)
+        .groupBy("to_acct")
+        .agg(F.sum("qty").cast("double").alias("received"))
+        .orderBy(F.desc("received"), "to_acct")
+        .limit(limit)
+    )
+
+
+def he_burn_totals(burns: DataFrame) -> DataFrame:
+    """Burned supply per symbol (transfers to the sidechain 'null' account)."""
+    return (
+        burns.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_burns"),
+            F.sum("qty").cast("double").alias("burned"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def polls_user(
     content: DataFrame,
     author: str,

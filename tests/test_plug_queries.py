@@ -141,6 +141,36 @@ def test_poll_votes(derived, duck_state):
     assert_matches(df, duck_state, sql, "poll_votes")
 
 
+def test_he_token_volume(derived, duck_state):
+    df = Q.he_token_volume(derived["he_transfers"], (1000, 5000))
+    sql = """
+        SELECT symbol, count(*) AS n_transfers,
+               CAST(sum(qty) AS DOUBLE) AS total_qty
+        FROM he_transfers WHERE block_num BETWEEN 1000 AND 5000
+        GROUP BY symbol ORDER BY symbol
+    """
+    assert_matches(df, duck_state, sql, "he_token_volume")
+
+
+def test_he_top_recipients(derived, duck_state):
+    df = Q.he_top_recipients(derived["he_transfers"], "LEO", limit=10)
+    sql = """
+        SELECT to_acct, CAST(sum(qty) AS DOUBLE) AS received
+        FROM he_transfers WHERE symbol = 'LEO'
+        GROUP BY to_acct ORDER BY received DESC, to_acct LIMIT 10
+    """
+    assert_matches(df, duck_state, sql, "he_top_recipients")
+
+
+def test_he_burn_totals(derived, duck_state):
+    df = Q.he_burn_totals(derived["he_burns"])
+    sql = """
+        SELECT symbol, count(*) AS n_burns, CAST(sum(qty) AS DOUBLE) AS burned
+        FROM he_burns GROUP BY symbol ORDER BY symbol
+    """
+    assert_matches(df, duck_state, sql, "he_burn_totals")
+
+
 def test_get_poll_and_user(derived, duck_state):
     author, permlink = _polls_with_votes(duck_state)[0]
     df = Q.get_poll(derived["polls_content"], author, permlink)

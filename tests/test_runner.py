@@ -219,6 +219,38 @@ def test_sync_status(spark, oplog, tmp_path):
     assert sync_status(spark, ops_path, runner.store, [PLUGS["polls"]], now=fresh_now)["status"] == "BAD"
 
 
+def test_compaction_preserves_rows(spark, oplog, tmp_path):
+    """Small-file compaction must fold a fragmented bucket into fewer files
+    with byte-identical content, leaving already-compact buckets alone."""
+    from haf_plug_play_spark.runner.maintenance import compact_table
+
+    ops_path, trx_path, lo, _ = oplog
+    runner = PlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.backfill(lo, lo + 3 * STEP - 1)
+    tdir = runner._table_dir("podping_ops")
+    # fragment one bucket: rewrite it as many tiny files
+    import os
+
+    bucket = next(d for d in sorted(os.listdir(tdir)) if d.startswith("block_bucket="))
+    bdir = os.path.join(tdir, bucket)
+    df = spark.read.parquet(bdir)
+    before_rows = _rows(df)
+    df.repartition(8).write.mode("overwrite").parquet(bdir + ".tmp")
+    import shutil
+
+    shutil.rmtree(bdir)
+    os.replace(bdir + ".tmp", bdir)
+    assert len([f for f in os.listdir(bdir) if f.endswith(".parquet")]) == 8
+    stats = compact_table(spark, tdir)
+    assert stats["buckets_compacted"] == 1  # only the fragmented bucket
+    assert len([f for f in os.listdir(bdir) if f.endswith(".parquet")]) == 1
+    assert _rows(spark.read.parquet(bdir)) == before_rows
+    # cumulative read still works and the runner's table is intact
+    assert _rows(runner.read_table("podping_ops")) == _rows(
+        runner.read_table("podping_ops")
+    )
+
+
 def test_per_plug_scheduler_pool(spark, oplog, tmp_path):
     """Concurrent plugs must run in their own scheduler pool (≙ the
     reference's process-per-plug isolation, database/plugs.py:14,99)."""
