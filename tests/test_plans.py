@@ -59,6 +59,21 @@ def test_minhash_signatures_shuffle_free(spark):
     assert len(exchanges) <= 1, exchanges
 
 
+def test_similarity_topk_plans(spark):
+    """All three top-k paths (brute, LSH, IVF) must plan as scan →
+    projection/filter → TakeOrderedAndProject: per-partition heaps, no
+    global sort, no shuffle before the final k rows."""
+    for qid in ("XS-cosine-topk", "XS-ann-lsh", "XS-ivf"):
+        plan = _plan(EXT_QUERIES[qid](spark, SF_ORACLE))
+        assert "TakeOrderedAndProject" in plan, qid
+        exchanges = [
+            line
+            for line in plan.splitlines()
+            if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
+        ]
+        assert len(exchanges) == 0, (qid, exchanges)
+
+
 def test_embcos_exact_fully_distributed(spark, monkeypatch):
     """The exact-cosine baseline must never materialize the corpus on the
     driver: building the lineage with DataFrame.collect banned proves the
