@@ -89,6 +89,42 @@ def test_stateful_running_user_state(spark, events_stream_dir, tmp_path):
     assert f == b
 
 
+def test_stream_exact_dedup_bounded_state(spark, tmp_path):
+    """Duplicates arriving across micro-batches (within the watermark) must
+    collapse to one row; the batch call over the same data is the oracle."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.streaming import stream_exact_dedup
+
+    events = load_table(spark, SF_SMOKE, "events").limit(200)
+    doubled = events.union(events)  # every row twice, spread across files
+    src = str(tmp_path / "dup_events")
+    doubled.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_exact_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_out")
+    assert got.count() == got.select("event_id").distinct().count()
+    expected = stream_exact_dedup(doubled, ["event_id"])  # batch oracle
+    assert got.count() == expected.count() == 200
+    assert (
+        got.agg(F.sum("event_id")).first()[0]
+        == expected.agg(F.sum("event_id")).first()[0]
+    )
+
+
 def test_serve_normalization():
     rows = [
         (Decimal("1.50"), datetime.datetime(2024, 1, 2, 3, 4, 5), b"\xde\xad", ["a"]),
