@@ -133,6 +133,12 @@ def _minhash_pairs_sql(num_hashes: int, bands: int, n: int, threshold: float, se
 
 _TOKEN_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
+# composite quality score, shared by XT-quality and the pipeline query
+_QSCORE_SQL = (
+    "round(ln(1 + (length(text) - length(replace(text, ' ', '')) + 1)) * "
+    r"(1 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) / length(text)), 6)"
+)
+
 
 def xt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -199,6 +205,24 @@ def xd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs).orderBy("doc_id")
+
+
+def xp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep as ONE Catalyst plan — the composition
+    the extension operators exist for: language-ID gate + quality-score
+    gate + exact-dedup keep-first, all codegen'd projections plus a single
+    window. Identical texts carry identical scores, so dedup and the gates
+    commute; keep-first runs before the gates to mirror the census."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = xt.with_quality(docs).select(
+        "doc_id", "text", xt.lang_pred(F.col("text")).alias("lang"), "q_score"
+    )
+    kept = dedup.exact_dedup(scored, ["text"], "doc_id")
+    return (
+        kept.filter((F.col("lang") == "en") & (F.col("q_score") >= 2.0))
+        .select("doc_id", "lang", "q_score")
+        .orderBy("doc_id")
+    )
 
 
 def xm_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,6 +424,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-minhash-pairs": xd_minhash_pairs,
     "XD-simhash": xd_simhash,
     "XM-bytestats": xm_bytestats,
+    "XP-pipeline": xp_pipeline,
     "XS-cosine-topk": xs_cosine_topk,
     "XS-ann-lsh": xs_ann_lsh,
     "XS-ivf": xs_ivf,
@@ -418,9 +443,16 @@ EXT_ORACLE_SQL: dict[str, str] = {
         "round(len(regexp_extract_all(text, '[0-9]')) / length(text), 6) AS q_digit_ratio, "
         f"len(list_intersect(string_split(lower(text), ' '), "
         f"[{', '.join(repr(w) for w in xt.LANG_STOPWORDS['en'])}])) AS q_stop_hits, "
-        "round(ln(1 + (length(text) - length(replace(text, ' ', '')) + 1)) * "
-        r"(1 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) / length(text)), 6) AS q_score "
+        f"{_QSCORE_SQL} AS q_score "
         "FROM documents ORDER BY doc_id"
+    ),
+    "XP-pipeline": (
+        f"WITH scored AS (SELECT doc_id, text, {_langid_case_sql()} AS lang, "
+        f"{_QSCORE_SQL} AS q_score FROM documents), "
+        "kept AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn "
+        "FROM scored) "
+        "SELECT doc_id, lang, q_score FROM kept "
+        "WHERE rn = 1 AND lang = 'en' AND q_score >= 2.0 ORDER BY doc_id"
     ),
     "XT-tokens": (
         "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_ws, "

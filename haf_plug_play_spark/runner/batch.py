@@ -74,6 +74,9 @@ class PlugRunner:
         (
             df.withColumn("block_bucket", (F.col("block_num") / self.step).cast("long"))
             .repartition("block_bucket")
+            # sorted files → tight parquet min/max zone maps on block_num,
+            # so sub-bucket range predicates skip row groups (SCALE.md)
+            .sortWithinPartitions("block_num")
             .write.mode("overwrite")
             # per-write dynamic overwrite: replaces only the touched buckets
             # without flipping the session-wide overwrite semantics
