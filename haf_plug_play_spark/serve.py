@@ -83,7 +83,11 @@ def _parse_block_range(block_range) -> tuple[int, int] | None:
     if block_range is None or block_range == "":
         return None
     if isinstance(block_range, str):
-        block_range = json.loads(block_range)
+        try:
+            block_range = json.loads(block_range)
+        except ValueError:
+            # the reference lets this 500; surface the clean 400 instead
+            raise ApiError(400, "Block range must be a JSON array")
     if not isinstance(block_range, (list, tuple)):
         raise ApiError(400, "Block range must be an array")
     for block_num in block_range:

@@ -118,6 +118,21 @@ def test_embcos_pairs_exact_numpy_golden(spark, np_emb):
     assert got == true_pairs and len(true_pairs) > 0
 
 
+def test_embcos_exact_edge_inputs(spark):
+    """Degenerate inputs must not break the block multiply: empty corpus,
+    single vector, corpus smaller than one block."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert dedup.embedding_cosine_pairs_exact(empty).count() == 0
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert dedup.embedding_cosine_pairs_exact(one).count() == 0
+    three = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.id_a, r.id_b): r.cosine for r in dedup.embedding_cosine_pairs_exact(three, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}
+
+
 def test_embcos_lsh_recall_clustered(spark):
     """In the near-dup regime (cosine ≥ 0.9) multi-probe hyperplane LSH must
     find nearly all pairs, with zero false positives (exact verify)."""

@@ -75,6 +75,9 @@ def test_podping_counts_validation(routes):
     with pytest.raises(ApiError) as e:
         routes[("GET", "/api/podping/history/counts")]("[1, \"two\"]")
     assert "integers" in e.value.detail
+    with pytest.raises(ApiError) as e:
+        routes[("GET", "/api/podping/history/counts")]("not json at all")
+    assert e.value.status_code == 400
 
 
 def test_podping_latest_iri(routes, derived):
