@@ -4,12 +4,16 @@ with DuckDB oracle SQL.
 Hash-bearing oracles (minhash/simhash/fingerprints) are *generated* from the
 same constants as the engine (ext/hashing.py), so engine and oracle agree
 bit-for-bit by construction. Float-ranking oracles (cosine top-k, ANN,
-cosine pairs) mirror the engine's floating-point op ORDER — normalize, then
-a sequential dot product, then round to 6 dp — so both engines compute the
-same doubles to ~1 ulp and the 6-dp rounding agrees; hyperplane-LSH oracles
-embed the identical seed-derived plane literals the engine uses
-(similarity._planes), making the bucket assignment reproducible in SQL.
-Only QAD-approx-distinct stays oracle-less (genuinely approximate).
+cosine pairs) mirror the engine's floating-point op STRUCTURE — normalize,
+dot, round to 6 dp — with seed-derived plane/centroid literals embedded in
+the SQL, so bucket/cell assignment reproduces exactly. For the
+expression-fold paths (top-k, LSH verify) the accumulation order is
+sequential on both engines (~1 ulp apart); the exact-pairs path multiplies
+with BLAS (blocked/pairwise accumulation), so its parity additionally
+assumes no pair's cosine sits within a few ulps of a 6-dp rounding
+boundary or the threshold — overwhelmingly likely on real data and
+validated empirically at sf0.01, but not a bit-level guarantee. Only
+QAD-approx-distinct stays oracle-less (genuinely approximate).
 """
 
 from __future__ import annotations

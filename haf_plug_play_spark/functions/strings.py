@@ -54,23 +54,21 @@ def unique_slug(
     slug_col: str,
     taken: DataFrame,
     taken_col: str,
-    order_col: str | None = None,
+    order_col: str,
 ) -> DataFrame:
     """Uniqueness pass: left-anti against taken slugs; colliding candidates
     get ``-N`` suffixes by collision rank (the set-based form of the
     reference's probe-and-increment loop).
 
-    ``order_col`` supplies the DETERMINISTIC collision order (the reference
-    probes in op-arrival order, so callers pass their op sequence column).
-    Suffixes must not depend on partitioning — SURVEY §4.3.2 bans
-    nondeterministic ids — so when no order column exists the first data
-    column is used and must be a unique key (asserted by name to fail loudly
-    rather than silently reshuffle suffixes between runs).
+    ``order_col`` is REQUIRED and must be a unique key: it supplies the
+    deterministic collision order (the reference probes in op-arrival
+    order, so callers pass their op sequence column). Suffixes must not
+    depend on partitioning — SURVEY §4.3.2 bans nondeterministic ids — and
+    a non-unique order column would silently reshuffle suffixes between
+    runs, so there is deliberately no default.
     """
     from pyspark.sql import Window as W
 
-    if order_col is None:
-        order_col = candidates.columns[0]
     assert order_col in candidates.columns, f"order_col {order_col!r} not in candidates"
     t = taken.select(F.col(taken_col).alias("_slug")).distinct()
     c = candidates.withColumn("_slug", F.col(slug_col))

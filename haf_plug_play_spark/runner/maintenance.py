@@ -6,11 +6,22 @@ bucket — the classic small-files problem: at 100 TB the scan cost becomes
 file-open dominated and the driver's split enumeration balloons. Compaction
 rewrites each bucket to ceil(bytes / target) files.
 
-Crash safety mirrors recover_fork's rewrite protocol (runner/batch.py): the
-compacted copy is fully written to a sibling ``.compact`` directory before
-the original is swapped out, so a crash mid-compaction leaves either the
-old or the new complete bucket, never a partial one. Buckets are
-independent — at scale, shard the bucket list across concurrent calls.
+Crash-safety protocol: the compacted copy is fully written to an
+UNDERSCORE-prefixed sibling directory (Spark's file index ignores ``_*``
+and ``.*`` paths, so readers never see it and later compaction runs never
+mistake it for a bucket), then the swap is two directory RENAMES — old
+bucket aside, new bucket in — never an rmtree of live data. A crash
+leaves, in order of the windows: a stray ``_compact_*`` (garbage-collected
+on the next run), or a moved-aside ``_old_*`` with the bucket missing
+(restored on the next run), or the finished state. The only invisibility
+window is between the two renames — microseconds, versus the unbounded
+rmtree window of the naive swap.
+
+Single-writer assumption: compaction must not run concurrently with a
+sync writing the same table (the runner's model is one writer per plug —
+run compact between chunks or from the maintenance CLI while sync is
+paused). Buckets are independent — at scale, shard the bucket list across
+concurrent calls.
 """
 
 from __future__ import annotations
@@ -23,6 +34,24 @@ from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_BYTES = 128 << 20  # HDFS-block-sized files
 
+_TMP_PREFIX = "_compact_"
+_OLD_PREFIX = "_old_"
+
+
+def _recover(table_dir: str) -> None:
+    """Finish or roll back an interrupted compaction: restore a moved-aside
+    bucket whose replacement never landed; drop stray temp dirs."""
+    for entry in os.listdir(table_dir):
+        if entry.startswith(_OLD_PREFIX):
+            bucket = entry[len(_OLD_PREFIX):]
+            bdir = os.path.join(table_dir, bucket)
+            if not os.path.isdir(bdir):
+                os.replace(os.path.join(table_dir, entry), bdir)
+            else:
+                shutil.rmtree(os.path.join(table_dir, entry))
+        elif entry.startswith(_TMP_PREFIX):
+            shutil.rmtree(os.path.join(table_dir, entry))
+
 
 def compact_table(
     spark: SparkSession,
@@ -34,6 +63,7 @@ def compact_table(
     stats = {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
     if not os.path.isdir(table_dir):
         return stats
+    _recover(table_dir)
     for entry in sorted(os.listdir(table_dir)):
         if not entry.startswith("block_bucket="):
             continue
@@ -45,10 +75,21 @@ def compact_table(
         if n_out >= len(files):
             stats["files_after"] += len(files)
             continue
-        tmp = bdir + ".compact"
-        spark.read.parquet(bdir).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(bdir)
+        tmp = os.path.join(table_dir, _TMP_PREFIX + entry)
+        old = os.path.join(table_dir, _OLD_PREFIX + entry)
+        (
+            spark.read.parquet(bdir)
+            .coalesce(n_out)
+            # re-establish the zone-map invariant the runner's writes set up
+            # (batch.py sortWithinPartitions): concatenated small files would
+            # otherwise span the whole bucket per row group
+            .sortWithinPartitions("block_num")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.replace(bdir, old)
         os.replace(tmp, bdir)
+        shutil.rmtree(old)
         stats["buckets_compacted"] += 1
         stats["files_after"] += len(
             [f for f in os.listdir(bdir) if f.endswith(".parquet")]

@@ -181,27 +181,40 @@ class PlugWatchdog:
         self.store = store
         self.stuck_after_s = stuck_after_s
         self.queries: dict[str, tuple[StreamingQuery, object]] = {}
+        self._last_restart: dict[str, datetime.datetime] = {}
 
     def register(self, plug_name: str, query: StreamingQuery, restart) -> None:
         self.queries[plug_name] = (query, restart)
 
     def check(self, now: datetime.datetime | None = None) -> WatchdogReport:
+        now = now or datetime.datetime.now(datetime.timezone.utc)
         stale, restarted = [], []
         for name, (query, restart) in list(self.queries.items()):
             age = self.store.check_in_age(name, now)
             stuck = age is not None and age > self.stuck_after_s
             if stuck:
                 stale.append(name)
+            # cooldown: check_in only refreshes when a batch COMMITS, so a
+            # freshly-restarted query still shows the stale timestamp; give
+            # every restart a full stuck_after_s window to make progress or
+            # the cancel path becomes a kill loop that never lets a slow
+            # batch finish
+            last = self._last_restart.get(name)
+            in_cooldown = (
+                last is not None and (now - last).total_seconds() <= self.stuck_after_s
+            )
             if query is not None and not query.isActive:
                 new_query = restart()
                 self.queries[name] = (new_query, restart)
+                self._last_restart[name] = now
                 restarted.append(name)
-            elif query is not None and stuck:
+            elif query is not None and stuck and not in_cooldown:
                 # live-but-wedged query: cancel + restart, parity with the
                 # reference's stuck-sync backend cancel
                 # (database/sql/functions.sql:49-62, database/plugs.py:98-101)
                 query.stop()
                 new_query = restart()
                 self.queries[name] = (new_query, restart)
+                self._last_restart[name] = now
                 restarted.append(name)
         return WatchdogReport(stale_plugs=stale, restarted=restarted)

@@ -90,8 +90,11 @@ def _parse_block_range(block_range) -> tuple[int, int] | None:
             raise ApiError(400, "Block range must be a JSON array")
     if not isinstance(block_range, (list, tuple)):
         raise ApiError(400, "Block range must be an array")
+    if len(block_range) != 2:
+        raise ApiError(400, "Block range must have exactly two items")
     for block_num in block_range:
-        if not isinstance(block_num, int):
+        # bool is an int subclass; [true, false] is not a block range
+        if not isinstance(block_num, int) or isinstance(block_num, bool):
             raise ApiError(400, "Block range items must be integers")
     return (block_range[0], block_range[1])
 

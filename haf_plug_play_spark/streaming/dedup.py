@@ -20,9 +20,15 @@ def stream_exact_dedup(
     ts_col: str = "ts",
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """First occurrence per key wins. Streaming: state bounded by
-    ``watermark`` on ``ts_col``. Batch: degenerates to dropDuplicates, so
-    the same call is the test oracle for itself."""
+    """First occurrence per key wins. Streaming: first ARRIVAL, state
+    bounded by ``watermark`` on ``ts_col``. Batch: earliest ``ts_col``
+    (deterministic keep-first via ext.dedup.exact_dedup — a bare
+    dropDuplicates would keep a partition-dependent arbitrary row,
+    violating the engine's determinism rule, SURVEY §4.3.2). The two
+    agree whenever duplicates are full-row identical or arrive in
+    ``ts_col`` order."""
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
-    return df.dropDuplicates(keys)
+    from haf_plug_play_spark.ext.dedup import exact_dedup
+
+    return exact_dedup(df, keys, ts_col)

@@ -307,6 +307,11 @@ def test_watchdog_cancels_stuck_live_query(tmp_path):
     report = dog.check(now=future)
     assert report.stale_plugs == ["wedged"] and report.restarted == ["wedged"]
     assert q1.stopped and dog.queries["wedged"][0] is q2
+    # cooldown: check_in only refreshes on batch commit, so the restarted
+    # query still looks stale — it must get a full window, not a kill loop
+    assert dog.check(now=future).restarted == [] and not q2.stopped
+    later = future + datetime.timedelta(seconds=120)
+    assert dog.check(now=later).restarted == ["wedged"] and q2.stopped
 
 
 def test_watchdog(spark, oplog, tmp_path):
