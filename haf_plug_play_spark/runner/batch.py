@@ -111,9 +111,12 @@ class PlugRunner:
 
     def _silver_table_names(self) -> list[str]:
         # discover from a dry transform on an empty frame? keep it simple:
-        # whatever directories exist under the plug root
+        # whatever directories exist under the plug root (skipping
+        # compaction's side-car .maintenance dirs)
         root = os.path.join(self.out_root, self.plug.name)
-        return sorted(os.listdir(root)) if os.path.isdir(root) else []
+        if not os.path.isdir(root):
+            return []
+        return sorted(t for t in os.listdir(root) if not t.endswith(".maintenance"))
 
     # ------------------------------------------------------------ sync
 

@@ -6,16 +6,17 @@ bucket — the classic small-files problem: at 100 TB the scan cost becomes
 file-open dominated and the driver's split enumeration balloons. Compaction
 rewrites each bucket to ceil(bytes / target) files.
 
-Crash-safety protocol: the compacted copy is fully written to an
-UNDERSCORE-prefixed sibling directory (Spark's file index ignores ``_*``
-and ``.*`` paths, so readers never see it and later compaction runs never
-mistake it for a bucket), then the swap is two directory RENAMES — old
-bucket aside, new bucket in — never an rmtree of live data. A crash
-leaves, in order of the windows: a stray ``_compact_*`` (garbage-collected
-on the next run), or a moved-aside ``_old_*`` with the bucket missing
-(restored on the next run), or the finished state. The only invisibility
-window is between the two renames — microseconds, versus the unbounded
-rmtree window of the naive swap.
+Crash-safety protocol: the compacted copy is fully written OUTSIDE the
+table directory (a ``<table>.maintenance`` sibling — anything inside the
+table path, even underscore-prefixed, is parsed by Spark's partition
+discovery as a conflicting partition column), then the swap is two
+directory RENAMES — old bucket aside into the maintenance dir, new bucket
+in — never an rmtree of live data. A crash leaves, in order of the
+windows: a stray ``_compact_*`` (garbage-collected on the next run), or a
+moved-aside ``_old_*`` with the bucket missing (restored on the next
+run), or the finished state. The only invisibility window is between the
+two renames — microseconds, versus the unbounded rmtree window of the
+naive swap.
 
 Single-writer assumption: compaction must not run concurrently with a
 sync writing the same table (the runner's model is one writer per plug —
@@ -38,19 +39,26 @@ _TMP_PREFIX = "_compact_"
 _OLD_PREFIX = "_old_"
 
 
+def _maint_dir(table_dir: str) -> str:
+    return table_dir.rstrip("/") + ".maintenance"
+
+
 def _recover(table_dir: str) -> None:
     """Finish or roll back an interrupted compaction: restore a moved-aside
     bucket whose replacement never landed; drop stray temp dirs."""
-    for entry in os.listdir(table_dir):
+    mdir = _maint_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return
+    for entry in os.listdir(mdir):
         if entry.startswith(_OLD_PREFIX):
             bucket = entry[len(_OLD_PREFIX):]
             bdir = os.path.join(table_dir, bucket)
             if not os.path.isdir(bdir):
-                os.replace(os.path.join(table_dir, entry), bdir)
+                os.replace(os.path.join(mdir, entry), bdir)
             else:
-                shutil.rmtree(os.path.join(table_dir, entry))
+                shutil.rmtree(os.path.join(mdir, entry))
         elif entry.startswith(_TMP_PREFIX):
-            shutil.rmtree(os.path.join(table_dir, entry))
+            shutil.rmtree(os.path.join(mdir, entry))
 
 
 def compact_table(
@@ -75,8 +83,10 @@ def compact_table(
         if n_out >= len(files):
             stats["files_after"] += len(files)
             continue
-        tmp = os.path.join(table_dir, _TMP_PREFIX + entry)
-        old = os.path.join(table_dir, _OLD_PREFIX + entry)
+        mdir = _maint_dir(table_dir)
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, _TMP_PREFIX + entry)
+        old = os.path.join(mdir, _OLD_PREFIX + entry)
         (
             spark.read.parquet(bdir)
             .coalesce(n_out)
@@ -104,6 +114,8 @@ def compact_plug(spark: SparkSession, out_root: str, plug_name: str, **kw) -> di
     if not os.path.isdir(root):
         return total
     for table in sorted(os.listdir(root)):
+        if table.endswith(".maintenance"):
+            continue
         s = compact_table(spark, os.path.join(root, table), **kw)
         for k in total:
             total[k] += s[k]

@@ -251,6 +251,40 @@ def test_compaction_preserves_rows(spark, oplog, tmp_path):
     )
 
 
+def test_compaction_crash_recovery(spark, oplog, tmp_path):
+    """Interrupted compaction states must self-heal on the next run: a
+    moved-aside bucket whose replacement never landed is restored; stray
+    temp dirs are dropped; readers never see either (underscore prefix)."""
+    import os
+    import shutil
+
+    from haf_plug_play_spark.runner.maintenance import compact_table
+
+    ops_path, trx_path, lo, _ = oplog
+    runner = PlugRunner(spark, PLUGS["podping"], ops_path, trx_path, str(tmp_path), step=STEP)
+    runner.backfill(lo, lo + 2 * STEP - 1)
+    tdir = runner._table_dir("podping_ops")
+    mdir = tdir + ".maintenance"
+    os.makedirs(mdir, exist_ok=True)
+    before = _rows(spark.read.parquet(tdir))
+    buckets = sorted(d for d in os.listdir(tdir) if d.startswith("block_bucket="))
+    # crash window A: temp dir written, swap never started
+    shutil.copytree(os.path.join(tdir, buckets[0]), os.path.join(mdir, "_compact_" + buckets[0]))
+    # crash window B: bucket moved aside, replacement never landed
+    os.replace(os.path.join(tdir, buckets[1]), os.path.join(mdir, "_old_" + buckets[1]))
+    # leftovers live OUTSIDE the table dir: readers see neither duplicates
+    # nor a conflicting partition column (bucket[1]'s rows are invisible
+    # until recovery, but nothing is duplicated/partial)
+    mid = spark.read.parquet(tdir)
+    assert mid.select("block_bucket").distinct().count() == len(buckets) - 1
+    compact_table(spark, tdir)
+    assert sorted(d for d in os.listdir(tdir) if d.startswith("block_bucket=")) == buckets
+    assert os.listdir(mdir) == []
+    assert _rows(spark.read.parquet(tdir)) == before
+    # the maintenance side-car never pollutes table discovery
+    assert "podping_ops.maintenance" not in runner._silver_table_names()
+
+
 def test_per_plug_scheduler_pool(spark, oplog, tmp_path):
     """Concurrent plugs must run in their own scheduler pool (≙ the
     reference's process-per-plug isolation, database/plugs.py:14,99)."""

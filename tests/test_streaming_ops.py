@@ -105,8 +105,12 @@ def test_stream_exact_dedup_bounded_state(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
+    # watermark must exceed the fixture's whole event-time span: files
+    # arrive in arbitrary ts order, and any row older than
+    # (max seen ts - watermark) would be dropped as late — a real-feed
+    # tuning concern, but nondeterminism in a correctness test
     q = (
-        stream_exact_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+        stream_exact_dedup(stream, ["event_id"], ts_col="ts", watermark="3650 days")
         .writeStream.outputMode("append")
         .format("memory")
         .queryName("dedup_out")
