@@ -128,3 +128,77 @@ def test_polls_state_machine_equivalence(spark, ops):
                 o[0] == "delete"
                 for o in ops
             )
+
+
+# ---------------------------------------------------------------- text ops
+
+
+def _py_n_tokens_ws(text: str) -> int:
+    return len(text) - len(text.replace(" ", "")) + 1
+
+
+def _py_n_tokens_re(text: str) -> int:
+    import re
+
+    return len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", text))
+
+
+_TEXT_ALPHABET = st.sampled_from(
+    list("abc XYZ 019 .,!?-_#éü中 ")  # letters, digits, punct, unicode
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(_TEXT_ALPHABET, min_size=1, max_size=60), min_size=1, max_size=20))
+def test_token_counts_match_python_reference(spark, texts):
+    """The engine's codegen token counters must agree with plain-Python
+    references on arbitrary text (regex-dialect drift guard)."""
+    from haf_plug_play_spark.ext import text as xt
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: (r.ws, r.re)
+        for r in df.select(
+            "i",
+            xt.n_tokens_ws(F.col("t")).alias("ws"),
+            xt.n_tokens_re(F.col("t")).alias("re"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == (_py_n_tokens_ws(t), _py_n_tokens_re(t)), repr(t)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(st.sampled_from(list("ab cd ef gh ij ")), min_size=5, max_size=50),
+        min_size=2,
+        max_size=12,
+    ),
+    cap=st.integers(min_value=1, max_value=5),
+)
+def test_jaccard_df_cap_prefilter_sound(spark, texts, cap):
+    """The df-capped candidate path may only LOSE pairs whose every shared
+    shingle is corpus-hot; any pair it does emit must carry the exact
+    full-set score — i.e. capped output ⊆ uncapped output, value-identical."""
+    from haf_plug_play_spark.ext import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    full = {
+        (r.id_a, r.id_b): (r.inter, r.union_sz, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): (r.inter, r.union_sz, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=2, threshold=0.3, max_shingle_df=cap
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert v == full[k], k
