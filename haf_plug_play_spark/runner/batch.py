@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from haf_plug_play_spark.ingest.envelope import dead_letter, parse_custom_json
 from haf_plug_play_spark.plugs.framework import Plug
+from haf_plug_play_spark.runner.fs import LocalFS
 from haf_plug_play_spark.runner.state import PlugStateStore
 
 DEFAULT_STEP = 100  # blocks per chunk — sync.sql:59
@@ -43,6 +44,7 @@ class PlugRunner:
         trx_path: str | None,
         out_root: str,
         step: int = DEFAULT_STEP,
+        fs=None,
     ) -> None:
         self.spark = spark
         self.plug = plug
@@ -50,7 +52,10 @@ class PlugRunner:
         self.trx_path = trx_path
         self.out_root = out_root
         self.step = step
-        self.store = PlugStateStore(os.path.join(out_root, "_state"))
+        # control-plane FS seam (runner/fs.py): LocalFS default,
+        # HadoopFS(spark) for hdfs://-or-object-store out_roots
+        self.fs = fs or LocalFS()
+        self.store = PlugStateStore(os.path.join(out_root, "_state"), fs=self.fs)
 
     # ------------------------------------------------------------ plumbing
 
@@ -105,7 +110,7 @@ class PlugRunner:
         silver = {
             t: self.read_table(t)
             for t in self._silver_table_names()
-            if os.path.isdir(self._table_dir(t))
+            if self.fs.isdir(self._table_dir(t))
         }
         return builder(silver)
 
@@ -114,9 +119,7 @@ class PlugRunner:
         # whatever directories exist under the plug root (skipping
         # compaction's side-car .maintenance dirs)
         root = os.path.join(self.out_root, self.plug.name)
-        if not os.path.isdir(root):
-            return []
-        return sorted(t for t in os.listdir(root) if not t.endswith(".maintenance"))
+        return [t for t in self.fs.listdir(root) if not t.endswith(".maintenance")]
 
     # ------------------------------------------------------------ sync
 
@@ -190,20 +193,18 @@ class PlugRunner:
         reset the cursor; the next backfill re-derives the tail from the
         (rewound) op log. Partition layout makes this cheap: whole buckets
         past the fork are deleted; the boundary bucket is rewritten."""
-        import shutil
-
         fork_bucket = fork_block // self.step
         for table in self._silver_table_names():
             tdir = self._table_dir(table)
-            if not os.path.isdir(tdir):
+            if not self.fs.isdir(tdir):
                 continue
             boundary = None
-            for entry in os.listdir(tdir):
+            for entry in self.fs.listdir(tdir):
                 if not entry.startswith("block_bucket="):
                     continue
                 bucket = int(entry.split("=", 1)[1])
                 if bucket > fork_bucket:
-                    shutil.rmtree(os.path.join(tdir, entry))
+                    self.fs.delete(os.path.join(tdir, entry))
                 elif bucket == fork_bucket:
                     boundary = os.path.join(tdir, entry)
             if boundary is not None:
@@ -215,8 +216,8 @@ class PlugRunner:
                     .write.mode("overwrite")
                     .parquet(boundary + ".rewrite")
                 )
-                shutil.rmtree(boundary)
-                os.replace(boundary + ".rewrite", boundary)
+                self.fs.delete(boundary)
+                self.fs.rename(boundary + ".rewrite", boundary)
         state = self.store.load(self.plug.name)
         state.latest_block_num = min(state.latest_block_num, fork_block)
         self.store.save(state)

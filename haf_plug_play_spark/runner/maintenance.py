@@ -29,9 +29,10 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import SparkSession
+
+from haf_plug_play_spark.runner.fs import LocalFS
 
 DEFAULT_TARGET_BYTES = 128 << 20  # HDFS-block-sized files
 
@@ -43,48 +44,53 @@ def _maint_dir(table_dir: str) -> str:
     return table_dir.rstrip("/") + ".maintenance"
 
 
-def _recover(table_dir: str) -> None:
+def _recover(table_dir: str, fs) -> None:
     """Finish or roll back an interrupted compaction: restore a moved-aside
     bucket whose replacement never landed; drop stray temp dirs."""
     mdir = _maint_dir(table_dir)
-    if not os.path.isdir(mdir):
-        return
-    for entry in os.listdir(mdir):
+    for entry in fs.listdir(mdir):
         if entry.startswith(_OLD_PREFIX):
             bucket = entry[len(_OLD_PREFIX):]
             bdir = os.path.join(table_dir, bucket)
-            if not os.path.isdir(bdir):
-                os.replace(os.path.join(mdir, entry), bdir)
+            if not fs.isdir(bdir):
+                fs.rename(os.path.join(mdir, entry), bdir)
             else:
-                shutil.rmtree(os.path.join(mdir, entry))
+                fs.delete(os.path.join(mdir, entry))
         elif entry.startswith(_TMP_PREFIX):
-            shutil.rmtree(os.path.join(mdir, entry))
+            fs.delete(os.path.join(mdir, entry))
 
 
 def compact_table(
     spark: SparkSession,
     table_dir: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    fs=None,
 ) -> dict:
     """Compact every ``block_bucket=N`` partition of one derived table.
-    Returns {buckets_compacted, files_before, files_after}."""
+    Returns {buckets_compacted, files_before, files_after}.
+
+    All control-plane filesystem calls go through the ``fs`` seam
+    (runner/fs.py): ``LocalFS`` by default, ``HadoopFS(spark)`` for
+    hdfs://-style roots — see fs.py for the per-backend rename-atomicity
+    contract this protocol rests on."""
+    fs = fs or LocalFS()
     stats = {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-    if not os.path.isdir(table_dir):
+    if not fs.isdir(table_dir):
         return stats
-    _recover(table_dir)
-    for entry in sorted(os.listdir(table_dir)):
+    _recover(table_dir, fs)
+    for entry in fs.listdir(table_dir):
         if not entry.startswith("block_bucket="):
             continue
         bdir = os.path.join(table_dir, entry)
-        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
-        size = sum(os.path.getsize(os.path.join(bdir, f)) for f in files)
+        files = [f for f in fs.listdir(bdir) if f.endswith(".parquet")]
+        size = sum(fs.getsize(os.path.join(bdir, f)) for f in files)
         n_out = max(1, math.ceil(size / target_bytes))
         stats["files_before"] += len(files)
         if n_out >= len(files):
             stats["files_after"] += len(files)
             continue
         mdir = _maint_dir(table_dir)
-        os.makedirs(mdir, exist_ok=True)
+        fs.makedirs(mdir)
         tmp = os.path.join(mdir, _TMP_PREFIX + entry)
         old = os.path.join(mdir, _OLD_PREFIX + entry)
         (
@@ -97,26 +103,25 @@ def compact_table(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-        os.replace(bdir, old)
-        os.replace(tmp, bdir)
-        shutil.rmtree(old)
+        fs.rename(bdir, old)
+        fs.rename(tmp, bdir)
+        fs.delete(old)
         stats["buckets_compacted"] += 1
         stats["files_after"] += len(
-            [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+            [f for f in fs.listdir(bdir) if f.endswith(".parquet")]
         )
     return stats
 
 
-def compact_plug(spark: SparkSession, out_root: str, plug_name: str, **kw) -> dict:
+def compact_plug(spark: SparkSession, out_root: str, plug_name: str, fs=None, **kw) -> dict:
     """Compact every derived table of one plug."""
+    fs = fs or LocalFS()
     root = os.path.join(out_root, plug_name)
     total = {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
-    if not os.path.isdir(root):
-        return total
-    for table in sorted(os.listdir(root)):
+    for table in fs.listdir(root):
         if table.endswith(".maintenance"):
             continue
-        s = compact_table(spark, os.path.join(root, table), **kw)
+        s = compact_table(spark, os.path.join(root, table), fs=fs, **kw)
         for k in total:
             total[k] += s[k]
     return total

@@ -14,8 +14,9 @@ from __future__ import annotations
 import datetime
 import json
 import os
-import tempfile
 from dataclasses import asdict, dataclass
+
+from haf_plug_play_spark.runner.fs import LocalFS
 
 _TS_FMT = "%Y-%m-%dT%H:%M:%S.%f"
 
@@ -35,26 +36,29 @@ class PlugState:
 
 
 class PlugStateStore:
-    def __init__(self, root: str) -> None:
+    """State I/O goes through the runner.fs seam: ``LocalFS`` by default,
+    ``HadoopFS(spark)`` for hdfs://-or-object-store roots (see fs.py for
+    the old-or-new atomicity contract per backend)."""
+
+    def __init__(self, root: str, fs=None) -> None:
         self.root = root
-        os.makedirs(root, exist_ok=True)
+        self.fs = fs or LocalFS()
+        self.fs.makedirs(root)
 
     def _path(self, plug: str) -> str:
         return os.path.join(self.root, f"{plug}.state.json")
 
     def load(self, plug: str) -> PlugState:
-        try:
-            with open(self._path(plug)) as f:
-                return PlugState(**json.load(f))
-        except FileNotFoundError:
+        path = self._path(plug)
+        if not self.fs.exists(path):
             return PlugState(plug=plug)
+        return PlugState(**json.loads(self.fs.read_bytes(path)))
 
     def save(self, state: PlugState) -> None:
         state.check_in = datetime.datetime.now(datetime.timezone.utc).strftime(_TS_FMT)
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(asdict(state), f)
-        os.replace(tmp, self._path(state.plug))
+        self.fs.write_bytes_atomic(
+            self._path(state.plug), json.dumps(asdict(state)).encode()
+        )
 
     def check_in_age(self, plug: str, now: datetime.datetime | None = None) -> float | None:
         """Seconds since the plug last checked in (watchdog input, ≙

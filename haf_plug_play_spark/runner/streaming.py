@@ -45,6 +45,7 @@ class StreamingPlugRunner:
         trx_path: str | None,
         out_root: str,
         checkpoint_root: str | None = None,
+        fs=None,
     ) -> None:
         self.spark = spark
         self.plug = plug
@@ -52,7 +53,7 @@ class StreamingPlugRunner:
         self.trx_path = trx_path
         self.out_root = out_root
         self.checkpoint = checkpoint_root or os.path.join(out_root, "_checkpoints", plug.name)
-        self.store = PlugStateStore(os.path.join(out_root, "_state"))
+        self.store = PlugStateStore(os.path.join(out_root, "_state"), fs=fs)
 
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.out_root, self.plug.name, table)
