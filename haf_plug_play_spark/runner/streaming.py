@@ -114,6 +114,30 @@ class StreamingPlugRunner:
             self._table_dir(table)
         )
 
+    def promote_epochs(self, step: int = 100, fs=None, keep_latest: bool = True) -> dict:
+        """Fold accumulated ``_epoch=N`` dirs into the batch block-bucket
+        layout (maintenance.promote_epochs) for every table this plug has
+        written. Run between triggers or while the stream is stopped (pass
+        ``keep_latest=False`` only when stopped). A long-lived stream calls
+        this periodically so its table dirs stay at a bounded file count
+        instead of one dir per epoch forever."""
+        from haf_plug_play_spark.runner.fs import LocalFS
+        from haf_plug_play_spark.runner.maintenance import promote_epochs
+
+        fs = fs or LocalFS()
+        root = os.path.join(self.out_root, self.plug.name)
+        total = {"epochs_promoted": 0, "buckets_written": 0}
+        for table in fs.listdir(root):
+            if table.endswith(".maintenance"):
+                continue
+            s = promote_epochs(
+                self.spark, os.path.join(root, table), step, fs=fs,
+                keep_latest=keep_latest,
+            )
+            for k in total:
+                total[k] += s[k]
+        return total
+
 
 # ---------------------------------------------------------------- health
 
