@@ -13,7 +13,7 @@ with BLAS (blocked/pairwise accumulation), so its parity additionally
 assumes no pair's cosine sits within a few ulps of a 6-dp rounding
 boundary or the threshold — overwhelmingly likely on real data and
 validated empirically at sf0.01, but not a bit-level guarantee. Only
-QAD-approx-distinct stays oracle-less (genuinely approximate).
+QAD-approx-distinct certifies its HLL estimate in-query (exact count + bounds flag), so even the approximate path carries a hard oracle.
 """
 
 from __future__ import annotations

