@@ -374,9 +374,19 @@ def embedding_cosine_pairs(
     )
     # dim must match the vectors: mismatched hyperplanes null out every dot
     # product and collapse all rows into one bucket (silent O(n²) cross)
-    bucketed = v.withColumn("b", hyperplane_bucket(F.col("u"), n_planes, seed, dim))
+    #
+    # The bucket join + multi-probe explode + distinct all run over (id,
+    # bucket) pairs ONLY — 16 bytes/row. Carrying the unit vectors through
+    # the ×(n_planes+1) probe explode and hashing them in the distinct
+    # (the r2 formulation) shuffles ~dim·8·(n_planes+1) bytes per row and
+    # makes the dedup hash O(dim); at 10⁹×768-dim that's the difference
+    # between a 32 GB and a 55 TB candidate shuffle. Vectors are attached
+    # to the (far smaller) deduped candidate set by two equi-joins.
+    bucketed = v.withColumn("b", hyperplane_bucket(F.col("u"), n_planes, seed, dim)).select(
+        "_id", "b"
+    )
     probes = bucketed.select(
-        "_id", "u",
+        "_id",
         F.explode(
             F.array(F.col("b"), *[F.col("b").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)])
         ).alias("b"),
@@ -384,14 +394,102 @@ def embedding_cosine_pairs(
     x, y = bucketed.alias("x"), probes.alias("y")
     cand = (
         x.join(y, (F.col("x.b") == F.col("y.b")) & (F.col("x._id") < F.col("y._id")))
-        .select(
-            F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
-            F.col("x.u").alias("u_a"), F.col("y.u").alias("u_b"),
-        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
+    va = v.select(F.col("_id").alias("id_a"), F.col("u").alias("u_a"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("u").alias("u_b"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("u_a"), F.col("u_b")), 6))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("u_a"), F.col("u_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    all_ids: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected dup-pair graph: every node
+    gets ``cluster_id`` = the minimum id reachable from it. This is the step
+    that turns near-duplicate PAIRS (Jaccard/MinHash/SimHash/cosine) into an
+    actionable dedup decision — one canonical document per cluster.
+
+    ``edges``: (id_a, id_b) rows. ``all_ids``: optional (id) DataFrame of
+    the full corpus — when given, nodes absent from any pair come out as
+    their own singleton cluster (a full census); otherwise only paired
+    nodes appear.
+
+    Algorithm: iterative min-label propagation —
+    label(v) ← min(label(v), min over neighbors' labels) until fixpoint.
+    Each round is one join + one aggregation on the node key; convergence
+    takes O(component diameter) rounds, and near-dup components are
+    shallow by construction (bucket-clique-shaped), so a handful of rounds
+    suffice — ``max_iters`` bounds pathological chains, raising if the
+    fixpoint wasn't reached (silent wrong answers are worse than a loud
+    bound). At 100 TB the per-round cost is the unavoidable edge shuffle;
+    ``localCheckpoint`` truncates the lineage each round so the plan stays
+    O(1) deep instead of O(iters) (on a cluster, prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    executor-loss resilience; localCheckpoint trades that for speed).
+
+    Reference analog: the reference has no graph ops at all — this extends
+    the engine surface for the LLM-pipeline dedup flow (SURVEY §2 ext).
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    for _ in range(max_iters):
+        neigh_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, "id", "left")
+            .select("id", F.least("label", "nmin").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    out = labels.select("id", F.col("label").alias("cluster_id"))
+    if all_ids is not None:
+        ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))
+        out = ids.join(out, "id", "left").select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    return out
+
+
+def dedup_decision(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Full-corpus dedup census from a near-dup pair list: every document
+    labeled with its cluster and whether it is the canonical keeper
+    (minimum id in its cluster — deterministic, mirroring the exact-dedup
+    census keep rule). Downstream training-data prep filters on ``keep``."""
+    cc = connected_components(pairs, all_ids=df.select(id_col), max_iters=max_iters)
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
     )

@@ -28,6 +28,22 @@ from haf_plug_play_spark.ext import dedup, similarity, text as xt
 from haf_plug_play_spark.ext.hashing import MERSENNE_P, hash_params, md5_int_sql
 from haf_plug_play_spark.sources.tables import load_table
 
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Gated source spread for CPU-heavy per-row pipelines (minhash/simhash/
+    shingle hashing). The small-SF fixtures are single parquet files, which
+    Spark scans as 1-2 partitions — the per-row md5/array-fold work then
+    runs on 1/32 of the machine. Round-robin repartition ONLY when the scan
+    has fewer partitions than cores: at production scale (input splits >>
+    cores) this is a no-op, so the shuffle-free plan contract still holds
+    where it matters; round-robin is data-independent, so no key, no skew.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
 # ---------------------------------------------------------------- SQL helpers
 
 # distinct word n-gram shingles of lower(text), DuckDB spelling
@@ -174,7 +190,7 @@ def xt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def xt_rollfp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return xt.rolling_fingerprints(docs, "doc_id", "text", k=8, keep_mod=8).orderBy(
         "doc_id", "fp"
     )
@@ -190,24 +206,24 @@ def xd_exact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def xd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(
         docs, threshold=0.5, max_shingle_df=100
     ).orderBy("id_a", "id_b")
 
 
 def xd_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return dedup.minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
 
 
 def xd_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5).orderBy("id_a", "id_b")
 
 
 def xd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return dedup.simhash(docs).orderBy("doc_id")
 
 
@@ -287,11 +303,19 @@ def _planted_corpus(emb: DataFrame) -> DataFrame:
 def xd_embcos_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-verified near-dup pairs at the real near-dup threshold (0.9) over
     the planted corpus (see _planted_corpus): exactly one cosine-1.0 pair
-    per vector must survive bucket + multi-probe + exact verify."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_cosine_pairs(_planted_corpus(emb), threshold=0.9).orderBy(
-        "id_a", "id_b"
-    )
+    per vector must survive bucket + multi-probe + exact verify.
+
+    ``n_planes=12``: bucket count should track corpus size (2^12 = 4096
+    buckets for the 4k-row planted corpus ≈ 1 vector/bucket) — the standard
+    LSH sizing rule; too few planes puts O(n/2^planes) vectors per bucket
+    and the candidate set grows quadratically in that occupancy. Hamming-1
+    multi-probe restores the boundary recall extra planes cost; planted
+    duplicates (cosine exactly 1.0) share every bucket at any plane count,
+    so the all-pairs oracle is plane-independent."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return dedup.embedding_cosine_pairs(
+        _planted_corpus(emb), threshold=0.9, n_planes=12
+    ).orderBy("id_a", "id_b")
 
 
 # ------------------------------------------------- float-ranking oracle SQL
@@ -416,6 +440,34 @@ def _cosine_pairs_sql(cte: str, threshold: float, renorm: bool) -> str:
     )
 
 
+def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
+    components → one canonical keeper per cluster (minimum doc_id), every
+    document labeled. This is the step a training-data pipeline actually
+    consumes — pairs alone don't say which copy to drop, and transitive
+    near-dups (A~B, B~C, A≁C) must land in ONE cluster, which only the
+    component closure provides."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    return dedup.dedup_decision(docs, pairs).orderBy("doc_id")
+
+
+def _cluster_sql() -> str:
+    """Connected components in DuckDB: recursive min-label closure over the
+    same MinHash-LSH pair set (the pair subquery is the XD-minhash-pairs
+    oracle), seeded with every doc as its own component."""
+    pairs = _minhash_pairs_sql(8, 4, 3, 0.5, 1).replace(" ORDER BY p.id_a, p.id_b", "")
+    return (
+        f"WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ({pairs})), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr "
+        "UNION ALL SELECT id_b, id_a FROM pr), "
+        "cc(id, comp) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id) "
+        "SELECT id AS doc_id, min(comp) AS cluster_id, min(comp) = id AS keep "
+        "FROM cc GROUP BY id ORDER BY doc_id"
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-langid": xt_langid,
     "XT-quality": xt_quality,
@@ -434,6 +486,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XS-ivf": xs_ivf,
     "XD-embcos-pairs": xd_embcos_pairs,
     "XD-embcos-lsh": xd_embcos_lsh,
+    "XD-cluster": xd_cluster,
 }
 
 EXT_ORACLE_SQL: dict[str, str] = {
@@ -489,4 +542,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XS-ivf": _ivf_sql(_QUERY_VEC, 10),
     "XD-embcos-pairs": _cosine_pairs_sql(_UNIT_CTE, 0.4, renorm=False),
     "XD-embcos-lsh": _cosine_pairs_sql(_PLANTED_CTE, 0.9, renorm=True),
+    "XD-cluster": _cluster_sql(),
 }

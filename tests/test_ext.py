@@ -304,3 +304,45 @@ def test_multimodal_real_decode_raises(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         multimodal.decode_media(media).collect()
+
+
+# ---------------------------------------------------------- dedup clustering
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and singleton components all collapse to min-id."""
+    from haf_plug_play_spark.ext.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (transitive closure), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_census_and_decision(spark):
+    from haf_plug_play_spark.ext.dedup import dedup_decision
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], "id_a long, id_b long")
+    rows = {r.doc_id: (r.cluster_id, r.keep) for r in dedup_decision(docs, pairs).collect()}
+    # component {2,5,6} keeps 2; everything else is its own singleton keeper
+    assert rows == {
+        1: (1, True), 2: (2, True), 3: (3, True), 4: (4, True),
+        5: (2, False), 6: (2, False), 7: (7, True),
+    }
+
+
+def test_connected_components_convergence_guard(spark):
+    """A chain deeper than max_iters must raise, not silently mislabel."""
+    from haf_plug_play_spark.ext.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 36)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iters=1)
+    ok = {r.id: r.cluster_id for r in connected_components(chain, max_iters=10).collect()}
+    assert set(ok.values()) == {30}
