@@ -440,6 +440,44 @@ def _cosine_pairs_sql(cte: str, threshold: float, renorm: bool) -> str:
     )
 
 
+def xa_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample of documents at 10% by doc_id hash —
+    membership is a pure function of the key, so reruns and repartitions
+    select the identical subset (ext/sampling.py)."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_bernoulli(docs, "doc_id", 0.1, seed=7).select(
+        "doc_id", "lang", "source"
+    ).orderBy("doc_id")
+
+
+def xa_sample_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified mix: at most 20 docs per (lang, source) stratum, chosen
+    uniformly without replacement by hash order — the reproducible corpus-mix
+    primitive."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_quota(
+        docs, ["lang", "source"], quota=20, key_col="doc_id", seed=7
+    ).select("doc_id", "lang", "source", "sample_rank").orderBy("doc_id")
+
+
+def xa_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents concatenated per source in doc_id order
+    and sliced into 2048-token chunks; each doc labeled with the chunk it
+    starts in. Per-stratum windows only — no global cumsum."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", xt.n_tokens_ws(F.col("text"))
+    )
+    return sampling.pack_chunks(
+        docs, ["source"], "n_tok", budget=2048, order_col="doc_id"
+    ).select("doc_id", "source", "n_tok", "chunk_offset", "chunk_id").orderBy("doc_id")
+
+
 def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
     components → one canonical keeper per cluster (minimum doc_id), every
@@ -487,7 +525,14 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-embcos-pairs": xd_embcos_pairs,
     "XD-embcos-lsh": xd_embcos_lsh,
     "XD-cluster": xd_cluster,
+    "XA-sample-hash": xa_sample_hash,
+    "XA-sample-strat": xa_sample_strat,
+    "XA-pack-chunks": xa_pack_chunks,
 }
+
+from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
+
+_uniform_sql_doc = _u_sql("doc_id", 7)
 
 EXT_ORACLE_SQL: dict[str, str] = {
     "XT-langid": (
@@ -543,4 +588,23 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-embcos-pairs": _cosine_pairs_sql(_UNIT_CTE, 0.4, renorm=False),
     "XD-embcos-lsh": _cosine_pairs_sql(_PLANTED_CTE, 0.9, renorm=True),
     "XD-cluster": _cluster_sql(),
+    "XA-sample-hash": (
+        "SELECT doc_id, lang, source FROM documents "
+        f"WHERE {_uniform_sql_doc} < 0.1 ORDER BY doc_id"
+    ),
+    "XA-sample-strat": (
+        "SELECT doc_id, lang, source, sample_rank FROM ("
+        "SELECT doc_id, lang, source, CAST(row_number() OVER "
+        f"(PARTITION BY lang, source ORDER BY {_uniform_sql_doc}, doc_id) AS INT) "
+        "AS sample_rank FROM documents) WHERE sample_rank <= 20 ORDER BY doc_id"
+    ),
+    "XA-pack-chunks": (
+        "WITH t AS (SELECT doc_id, source, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok "
+        "FROM documents), r AS (SELECT doc_id, source, n_tok, "
+        "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS chunk_offset FROM t) "
+        "SELECT doc_id, source, n_tok, chunk_offset, "
+        "CAST(floor(chunk_offset / 2048) AS BIGINT) AS chunk_id FROM r ORDER BY doc_id"
+    ),
 }

@@ -1,0 +1,107 @@
+"""Deterministic sampling, stratified mixing, and sequence packing for
+training-data preparation.
+
+A corpus mix ("20% code, 30% web, quota 1M docs per language") must be
+REPRODUCIBLE: re-running the pipeline on the same corpus has to select the
+same documents, independent of partitioning, task order, or cluster size.
+So nothing here uses ``rand()`` or ``df.sample`` (both seed per-partition
+and change membership when the split layout changes). Selection is a pure
+function of the row key via the portable md5 scheme (ext/hashing.py), which
+also makes every operator DuckDB-oracle-checkable bit-for-bit.
+
+Scale posture:
+- ``hash_bernoulli`` is a stateless filter — codegen, no shuffle, pushdown-
+  friendly.
+- ``stratified_quota`` is one window per stratum (the shuffle is on the
+  stratum key only); quota selection by hash ORDER makes it a uniform
+  without-replacement sample per stratum, deterministic everywhere.
+- ``pack_chunks`` packs documents into fixed-token-budget chunks with a
+  per-stratum running sum — the standard "concatenate then slice"
+  formulation of LLM pretraining sequence packing (documents may straddle
+  a boundary; the chunk id is where the document STARTS). Partitioning by
+  stratum keeps the window bounded: no global ordering, no single-reducer
+  cumsum — a global pack would serialize 100 TB through one task.
+
+Reference: the reference engine has no sampling surface at all; these
+extend SURVEY §2's extension family alongside dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.ext.hashing import md5_int
+
+# uniform-in-[0,1) resolution: md5_int % SCALE / SCALE. 2^20 buckets keeps
+# rate granularity ~1e-6 while staying far from the 60-bit hash range.
+_SCALE = 1 << 20
+
+
+def _uniform(key: Column, seed: int) -> Column:
+    """Deterministic uniform in [0, 1): hash of (key, seed) — changing the
+    seed re-draws the whole sample; the same seed always re-selects it."""
+    return (md5_int(F.concat_ws("\x01", key.cast("string"), F.lit(str(seed)))) % _SCALE) / _SCALE
+
+
+def uniform_sql(key_expr: str, seed: int) -> str:
+    """DuckDB spelling of ``_uniform`` (chr(1) = the \\u0001 separator)."""
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || chr(1) || '{seed}'), 1, 15)) "
+        f"AS BIGINT) % {_SCALE}) / {_SCALE}"
+    )
+
+
+def hash_bernoulli(
+    df: DataFrame, key_col: str, rate: float, seed: int = 7
+) -> DataFrame:
+    """Keep each row iff uniform(key, seed) < rate — deterministic Bernoulli
+    sampling. Membership depends only on the key, so reruns, retries, and
+    repartitions select the identical subset, and two tables sampled with
+    the same key/seed stay row-aligned (joinable samples)."""
+    return df.filter(_uniform(F.col(key_col), seed) < F.lit(rate))
+
+
+def stratified_quota(
+    df: DataFrame,
+    strata_cols: list[str],
+    quota: int,
+    key_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """At most ``quota`` rows per stratum, chosen uniformly without
+    replacement by hash order (ties broken by the key itself, so the pick
+    is total and deterministic). Adds ``sample_rank`` (1-based within the
+    stratum). One shuffle on the strata key; a skewed giant stratum is
+    bounded by the quota on output, and rank computation stays
+    partition-parallel after the window shuffle."""
+    u = _uniform(F.col(key_col), seed)
+    w = W.partitionBy(*strata_cols).orderBy(u, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    strata_cols: list[str],
+    token_col: str,
+    budget: int,
+    order_col: str,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget chunk within its
+    stratum: documents are laid out in ``order_col`` order, token counts
+    accumulate, and ``chunk_id`` = which budget-sized slice the document
+    STARTS in (concatenate-then-slice packing). Adds ``chunk_id`` and
+    ``chunk_offset`` (tokens before this doc within its stratum).
+
+    Deterministic: pure function of (stratum, order_col). Scale: the only
+    shuffle is the per-stratum window; chunk ids never need a global pass.
+    """
+    w = W.partitionBy(*strata_cols).orderBy(order_col)
+    run = F.sum(token_col).over(w.rowsBetween(W.unboundedPreceding, 0))
+    offset = (run - F.col(token_col)).cast("long")
+    return df.withColumn("chunk_offset", offset).withColumn(
+        "chunk_id", F.floor(F.col("chunk_offset") / budget).cast("long")
+    )

@@ -346,3 +346,68 @@ def test_connected_components_convergence_guard(spark):
         connected_components(chain, max_iters=1)
     ok = {r.id: r.cluster_id for r in connected_components(chain, max_iters=10).collect()}
     assert set(ok.values()) == {30}
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_hash_bernoulli_partition_invariant(spark):
+    """Membership must be a pure function of the key: any repartitioning
+    selects the identical subset (the property rand()/df.sample lacks)."""
+    from haf_plug_play_spark.ext.sampling import hash_bernoulli
+    from haf_plug_play_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    a = {r.doc_id for r in hash_bernoulli(docs, "doc_id", 0.2).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_bernoulli(docs.repartition(13), "doc_id", 0.2)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    # a different seed re-draws the sample
+    c = {r.doc_id for r in hash_bernoulli(docs, "doc_id", 0.2, seed=8).select("doc_id").collect()}
+    assert c != a
+
+
+def test_stratified_quota_bounds_and_determinism(spark):
+    from haf_plug_play_spark.ext.sampling import stratified_quota
+    from haf_plug_play_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = stratified_quota(docs, ["lang"], quota=15, key_col="doc_id")
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 15 for n in per.values())
+    again = stratified_quota(docs.repartition(7), ["lang"], quota=15, key_col="doc_id")
+    assert {(r.doc_id, r.sample_rank) for r in out.select("doc_id", "sample_rank").collect()} == {
+        (r.doc_id, r.sample_rank) for r in again.select("doc_id", "sample_rank").collect()
+    }
+
+
+def test_pack_chunks_invariants(spark):
+    """Chunk offsets are the per-stratum prefix sums; chunk ids start at 0,
+    advance monotonically, and every budget boundary is crossed at most one
+    doc late (concatenate-then-slice semantics)."""
+    from haf_plug_play_spark.ext.sampling import pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), 600) for i in range(1, 11)],
+        "doc_id long, source string, n_tok long",
+    )
+    out = pack_chunks(docs, ["source"], "n_tok", budget=1000, order_col="doc_id")
+    rows = sorted(
+        ((r.source, r.doc_id, r.chunk_offset, r.chunk_id) for r in out.collect())
+    )
+    by_src = {}
+    for src_, did, off, cid in rows:
+        by_src.setdefault(src_, []).append((did, off, cid))
+    for src_, docs_ in by_src.items():
+        run = 0
+        prev_cid = 0
+        for did, off, cid in docs_:
+            assert off == run  # exact prefix sum
+            assert cid == off // 1000
+            assert cid >= prev_cid
+            prev_cid = cid
+            run += 600
