@@ -10,6 +10,8 @@ single sort per key — the standard large-scale formulation.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -90,3 +92,50 @@ def sessionize(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    on: list[str] | None = None,
+    bucket: int = 3600,
+) -> DataFrame:
+    """Interval-containment join: left rows paired with every right row
+    whose [right_lo, right_hi] contains left_point (numeric columns; cast
+    timestamps with unix_timestamp first). Returns left.* + right.*.
+
+    Scale formulation — bucketed equi-join, not a theta-join: the naive
+    ``left.join(right, (pt >= lo) & (pt <= hi))`` has no equi-condition, so
+    Spark plans a BroadcastNestedLoopJoin — O(|L|·|R|) comparisons and a
+    broadcast that dies at scale. Instead the number line is cut into
+    ``bucket``-wide cells: each interval explodes to its covered cells
+    (ceil(span/bucket)+1 rows — bounded when spans are bounded, the
+    interval-join regime), each point maps to exactly one cell, and the
+    pairing becomes an equi-join on (cell [+ on keys]) with the exact
+    containment predicate as a residual filter. Shuffle is O(|L| + |R| ·
+    avg_cells); no cross product at any size. Equality keys in ``on``
+    further partition the join — pass them when the semantics have a key
+    (e.g. same-user windows): they shrink cells' collision sets and let
+    AQE's skew-join split hot keys.
+    """
+    onl = on or []
+    cell_l = F.floor(F.col(left_point) / bucket).alias("_cell")
+    cells_r = F.explode(
+        F.sequence(
+            F.floor(F.col(right_lo) / bucket),
+            F.floor(F.col(right_hi) / bucket),
+        )
+    ).alias("_cell")
+    lt = left.select("*", cell_l)
+    rt = right.select("*", cells_r)
+    cond = [lt["_cell"] == rt["_cell"]] + [lt[k] == rt[k] for k in onl]
+    joined = lt.join(rt, functools.reduce(lambda a, b: a & b, cond)).filter(
+        (lt[left_point] >= rt[right_lo]) & (lt[left_point] <= rt[right_hi])
+    )
+    keep = [lt[c] for c in left.columns] + [
+        rt[c] for c in right.columns if c not in onl
+    ]
+    return joined.select(*keep)

@@ -216,6 +216,52 @@ def qad_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qr1_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (operators/temporal.py:range_join): every
+    signup opens a 30-minute window; count the same user's clicks landing
+    inside any of their windows. Bucketed equi-join + residual — the naive
+    theta formulation would plan a BroadcastNestedLoopJoin (plan-tested)."""
+    from haf_plug_play_spark.operators.temporal import range_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("pt")
+    )
+    wins = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("lo"),
+        (F.unix_timestamp("ts") + 1800).alias("hi"),
+    )
+    j = range_join(clicks, wins, "pt", "lo", "hi", on=["user_id"], bucket=1800)
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("event_id").alias("n_clicks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def qw3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity time-hierarchy rollup (hypertable-style): counts
+    and value sums at (day, hour), (day), and grand-total levels in one
+    pass — Spark's ROLLUP compiles to a single Expand + partial agg, not
+    three scans."""
+    events = load_table(spark, sf_dir, "events")
+    d = F.date_trunc("day", F.col("ts")).alias("d")
+    h = F.date_trunc("hour", F.col("ts")).alias("h")
+    return (
+        events.select(d, h, "value")
+        .rollup("d", "h")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy(F.col("d").asc_nulls_first(), F.col("h").asc_nulls_first())
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -226,6 +272,8 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QAS-asof": qas_asof,
     "QU1-setops": qu1_setops,
     "QAD-approx-distinct": qad_approx_distinct,
+    "QR1-range-join": qr1_range_join,
+    "QW3-time-rollup": qw3_time_rollup,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -289,6 +337,24 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
     "QAD-approx-distinct": (
         "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
         "true AS hll_within_bounds FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QR1-range-join": (
+        "WITH c AS (SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS pt "
+        "FROM events WHERE event_type = 'click'), "
+        "w AS (SELECT user_id, CAST(epoch(ts) AS BIGINT) AS lo, "
+        "CAST(epoch(ts) AS BIGINT) + 1800 AS hi FROM events "
+        "WHERE event_type = 'signup') "
+        "SELECT c.user_id, count(*) AS n_pairs, "
+        "count(DISTINCT c.event_id) AS n_clicks "
+        "FROM c JOIN w ON c.user_id = w.user_id AND c.pt BETWEEN w.lo AND w.hi "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    "QW3-time-rollup": (
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, "
+        "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, "
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY ROLLUP (d, h) "
+        "ORDER BY d NULLS FIRST, h NULLS FIRST"
     ),
     "QAS-asof": (
         "SELECT p.event_id, p.user_id, c.event_id AS click_event_id "

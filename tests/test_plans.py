@@ -124,3 +124,33 @@ def test_text_ops_shuffle_free(spark):
             if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
         ]
         assert len(exchanges) <= 1, (qid, exchanges)  # only the ORDER BY
+
+
+def test_range_join_no_nested_loop(spark):
+    """The bucketed range join must plan as an equi-join (hash/sort-merge)
+    with a residual containment filter — never the BroadcastNestedLoopJoin
+    the naive theta formulation produces."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.operators.temporal import range_join
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+    from haf_plug_play_spark.sources.tables import load_table
+
+    plan = _plan(ADVANCED_QUERIES["QR1-range-join"](spark, SF_ORACLE))
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+    # the theta twin DOES nested-loop (documents why the operator exists);
+    # keyless, so nothing equi-joinable at all
+    events = load_table(spark, SF_ORACLE, "events")
+    pts = events.limit(10).select(F.unix_timestamp("ts").alias("pt"))
+    ivs = events.limit(10).select(
+        F.unix_timestamp("ts").alias("lo"), (F.unix_timestamp("ts") + 60).alias("hi")
+    )
+    naive = pts.join(ivs, (pts.pt >= ivs.lo) & (pts.pt <= ivs.hi))
+    assert "NestedLoopJoin" in _plan(naive)
+
+    # keyless bucketed form still avoids it
+    keyless = range_join(pts, ivs, "pt", "lo", "hi", bucket=60)
+    kplan = _plan(keyless)
+    assert "NestedLoopJoin" not in kplan and "CartesianProduct" not in kplan

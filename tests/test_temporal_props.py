@@ -72,3 +72,31 @@ def test_sessionize_matches_python(spark, events, gap):
                 sid += 1
             prev = ts
             assert got[i] == sid, (k, ts, i)
+
+
+def test_range_join_matches_theta_semantics(spark):
+    """Bucketed range join must return exactly the theta-join's pairs, for
+    intervals spanning multiple buckets and points on boundaries."""
+    from haf_plug_play_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(i, k, p) for i, (k, p) in enumerate(
+            [("a", 0), ("a", 59), ("a", 60), ("a", 150), ("b", 150), ("a", 301)]
+        )],
+        "lid long, k string, pt long",
+    )
+    right = spark.createDataFrame(
+        [(100, "a", 0, 60), (200, "a", 50, 250), (300, "b", 100, 160), (400, "a", 300, 301)],
+        "rid long, k string, lo long, hi long",
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(left, right, "pt", "lo", "hi", on=["k"], bucket=60).collect()
+    }
+    expected = {
+        (lr.lid, rr.rid)
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr.k == rr.k and rr.lo <= lr.pt <= rr.hi
+    }
+    assert got == expected and len(expected) > 0
