@@ -2,10 +2,12 @@
 
 The Spark-side plumbing is real and tested — schemas, Arrow-batched
 Pandas-UDF signatures over mapInPandas, partition-sized batch flow. The
-actual codec calls are STUBBED deterministically (this container ships no
-image/audio libraries): ``decode_media`` recognizes only the engine's fake
-``FAKEIMG``/``FAKEAUD`` container headers and raises NotImplementedError for
-real formats, exactly where a PIL/ffmpeg call would slot in.
+codec boundary is split honestly: PGM (P5, the binary netpbm grayscale
+format) decodes FOR REAL with a pure-NumPy parser (no image library
+needed), as does the engine's deterministic ``FAKEIMG``/``FAKEAUD`` test
+container; compressed formats (PNG/JPEG/WAV…) raise NotImplementedError at
+exactly the line where a PIL/ffmpeg call would slot in (this container
+ships no codec libraries).
 
 At 100 TB: binary payloads ride in their own parquet column (never
 projected unless asked for — column pruning keeps metadata-only queries
@@ -45,6 +47,46 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 _FAKE_MAGIC = {b"FAKEIMG\x00": "image", b"FAKEAUD\x00": "audio"}
+
+
+def _parse_pgm(buf: bytes):
+    """Pure-NumPy decoder for binary PGM (P5) — real public image format,
+    no codec library required. Returns (width, height, pixels[h, w]).
+    Supports maxval <= 255 (8-bit); comments (#) in the header are valid
+    netpbm and handled."""
+    import numpy as np
+
+    if buf[:2] != b"P5":
+        raise ValueError("not a P5 PGM")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with optional #-comments; a single whitespace byte ends the header
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM not supported")
+    px = np.frombuffer(buf[pos : pos + w * h], dtype=np.uint8).reshape(h, w)
+    return w, h, px
+
+
+def make_pgm(pixels) -> bytes:
+    """Encode a 2-D uint8 array as binary PGM (P5)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
 
 
 def make_fake_image(media_id: int, width: int, height: int) -> bytes:
@@ -97,11 +139,15 @@ def decode_media(media: DataFrame) -> DataFrame:
                     out.append((mid, "fakeimg", w, h, len(buf) - 16))
                 elif magic in _FAKE_MAGIC:
                     out.append((mid, "fakeaud", None, None, len(buf) - 16))
+                elif buf[:2] == b"P5":
+                    w, h, px = _parse_pgm(buf)
+                    out.append((mid, "pgm", w, h, int(px.size)))
                 else:
-                    # A real implementation calls PIL/ffmpeg here.
+                    # Compressed formats: a real implementation calls
+                    # PIL/ffmpeg here.
                     raise NotImplementedError(
-                        f"real media decode not available in this container "
-                        f"(media_id={mid}, magic={magic!r})"
+                        f"media decode for this format not available in this "
+                        f"container (media_id={mid}, magic={magic!r})"
                     )
             yield pd.DataFrame(
                 out, columns=["media_id", "format", "width", "height", "n_pixels"]
@@ -130,18 +176,23 @@ def byte_histogram(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_hist, HIST_SCHEMA)
 
 
-def _decode_fake_image(mid, buf: bytes):
-    if buf[:8] != b"FAKEIMG\x00":
-        # A real implementation calls PIL here.
-        raise NotImplementedError(
-            f"real media decode not available in this container "
-            f"(media_id={mid}, magic={buf[:8]!r})"
-        )
+def _decode_image(mid, buf: bytes):
+    """Pixel grid from any format the engine can decode without codec
+    libraries: the FAKEIMG test container or real binary PGM. Compressed
+    formats raise where a PIL call would go."""
     import numpy as np
 
-    w, h = struct.unpack("<II", buf[8:16])
-    px = np.frombuffer(buf[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
-    return px
+    if buf[:8] == b"FAKEIMG\x00":
+        w, h = struct.unpack("<II", buf[8:16])
+        return np.frombuffer(buf[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+    if buf[:2] == b"P5":
+        _, _, px = _parse_pgm(buf)
+        return px
+    # A real implementation calls PIL here.
+    raise NotImplementedError(
+        f"image decode for this format not available in this container "
+        f"(media_id={mid}, magic={buf[:8]!r})"
+    )
 
 
 RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
@@ -150,8 +201,8 @@ RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize, Arrow-batched per partition (no shuffle).
     The resample math is real (index-mapped NumPy gather on the pixel
-    grid); only the codec boundary is the fake container — a real impl
-    swaps ``_decode_fake_image`` for PIL and re-encodes."""
+    grid) and runs on real PGM inputs as well as the fake container; a
+    full impl adds PIL for compressed formats."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -159,12 +210,16 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                px = _decode_fake_image(mid, bytes(content))
+                px = _decode_image(mid, bytes(content))
                 h, w = px.shape
                 ys = (np.arange(out_h) * h) // out_h
                 xs = (np.arange(out_w) * w) // out_w
                 out = px[ys][:, xs]
-                body = b"FAKEIMG\x00" + struct.pack("<II", out_w, out_h) + out.tobytes()
+                # output container follows the input format
+                if bytes(content)[:2] == b"P5":
+                    body = make_pgm(out)
+                else:
+                    body = b"FAKEIMG\x00" + struct.pack("<II", out_w, out_h) + out.tobytes()
                 rows.append((mid, out_w, out_h, body))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
 
@@ -186,7 +241,7 @@ def image_features(media: DataFrame, grid: int = 4) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                px = _decode_fake_image(mid, bytes(content)).astype(np.float64)
+                px = _decode_image(mid, bytes(content)).astype(np.float64)
                 h, w = px.shape
                 ys = (np.arange(grid) * h) // grid
                 xs = (np.arange(grid) * w) // grid

@@ -411,3 +411,53 @@ def test_pack_chunks_invariants(spark):
             assert cid >= prev_cid
             prev_cid = cid
             run += 600
+
+
+# ------------------------------------------------------------- real PGM path
+
+
+def test_pgm_decode_resize_features_real_format(spark):
+    """Binary PGM (P5) is a real public image format the engine decodes
+    with pure NumPy — decode, resize, and feature extraction must all work
+    on it end-to-end (compressed formats remain the declared stub)."""
+    import numpy as np
+
+    from haf_plug_play_spark.ext import multimodal as mm
+
+    imgs = [
+        (1, (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)),
+        (2, (np.ones((8, 12), dtype=np.uint8) * 100)),
+    ]
+    media = spark.createDataFrame(
+        [(mid, "image", bytearray(mm.make_pgm(px))) for mid, px in imgs],
+        "media_id long, kind string, content binary",
+    )
+    dec = {r.media_id: r for r in mm.decode_media(media).collect()}
+    assert dec[1].format == "pgm" and (dec[1].width, dec[1].height) == (16, 16)
+    assert dec[2].format == "pgm" and (dec[2].width, dec[2].height) == (12, 8)
+
+    rs = {r.media_id: r for r in mm.resize_images(media, 4, 4).collect()}
+    for mid, px in imgs:
+        h, w = px.shape
+        ys, xs = (np.arange(4) * h) // 4, (np.arange(4) * w) // 4
+        expect = px[ys][:, xs]
+        w2, h2, got = mm._parse_pgm(bytes(rs[mid].content))  # stays PGM
+        assert (w2, h2) == (4, 4) and (got == expect).all()
+
+    feats = {r.media_id: r for r in mm.image_features(media).collect()}
+    assert abs(feats[2].px_mean - 100.0) < 1e-9 and feats[2].px_std == 0.0
+    assert len(feats[1].embedding) == 16
+    assert abs(np.linalg.norm(feats[1].embedding) - 1.0) < 1e-9
+
+
+def test_unknown_format_still_raises(spark):
+    from haf_plug_play_spark.ext import multimodal as mm
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"\x89PNG\r\n\x1a\n notapng"))],
+        "media_id long, kind string, content binary",
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|not available"):
+        mm.decode_media(media).collect()
