@@ -262,6 +262,59 @@ def qw3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qst_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING windowed aggregation with a hard batch oracle: the events
+    table is replayed through Structured Streaming (file source →
+    withWatermark → tumbling windows → memory sink, availableNow) and the
+    COMPLETE-mode result must equal the batch group-by — so QW1's oracle
+    SQL verifies a genuinely streaming execution, not a batch twin.
+
+    Watermarks only drop data when a batch CLOSES a window before late rows
+    arrive; availableNow replay admits everything, making the streaming and
+    batch results identical by construction (the engine's streaming
+    regression tests rely on the same equivalence).
+
+    The temp-dir symlink is a local-fixture adapter only: Spark's file
+    streaming source requires a directory to monitor (the production
+    deployment streams the landing directory itself).
+    """
+    import os
+    import tempfile
+
+    from haf_plug_play_spark.streaming.windowed import windowed_event_aggs
+
+    schema = load_table(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="qst_events_")
+    os.symlink(
+        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+        os.path.join(d, "events.parquet"),
+    )
+    src = spark.readStream.schema(schema).parquet(d)
+    agg = windowed_event_aggs(src)
+    name = f"qst_stream_window_{abs(hash(d)) % 10_000_000}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "w_start",
+            "event_type",
+            "n",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -274,6 +327,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QAD-approx-distinct": qad_approx_distinct,
     "QR1-range-join": qr1_range_join,
     "QW3-time-rollup": qw3_time_rollup,
+    "QST-stream-window": qst_stream_window,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -337,6 +391,11 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
     "QAD-approx-distinct": (
         "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
         "true AS hll_within_bounds FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QST-stream-window": (
+        "SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, "
+        "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "QR1-range-join": (
         "WITH c AS (SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS pt "
