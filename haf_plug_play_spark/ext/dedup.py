@@ -438,9 +438,15 @@ def connected_components(
     Reference analog: the reference has no graph ops at all — this extends
     the engine surface for the LLM-pipeline dedup flow (SURVEY §2 ext).
     """
-    sym = edges.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # Checkpoint the symmetrized edge list ONCE: the pair generator behind
+    # ``edges`` is typically an expensive lineage (LSH banding + verify),
+    # and every propagation round joins against it — without the
+    # checkpoint, Spark re-executes that whole pipeline per round.
+    sym = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint()
+    )
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
     for _ in range(max_iters):
@@ -449,19 +455,19 @@ def connected_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # one checkpointed delta serves both the next labels and the
+        # convergence probe — no second join, no extra pass
+        delta = (
             labels.join(neigh_min, "id", "left")
-            .select("id", F.least("label", "nmin").alias("label"))
+            .select(
+                "id",
+                "label",
+                F.least("label", "nmin").alias("new_label"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = delta.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = delta.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
     else:
