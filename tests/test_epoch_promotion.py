@@ -183,3 +183,23 @@ def test_streaming_runner_promote_end_to_end(spark, tmp_path):
     assert tuple(before) == tuple(
         runner.read_table(table).agg(F.count("*"), F.sum("block_num")).first()
     )
+
+
+def test_promotion_through_hadoop_fs(spark, tmp_path):
+    """Epoch promotion routed through the Hadoop FileSystem API end-to-end
+    (seam parity with tests/test_fs_seam.py)."""
+    from haf_plug_play_spark.runner.fs import HadoopFS
+
+    hfs = HadoopFS(spark)
+    tdir = str(tmp_path / "tbl")
+    _write_epochs(spark, tdir, n_epochs=5)
+    before = _read_all(spark, tdir).agg(
+        F.count("*"), F.sum("block_num"), F.sum("payload")
+    ).first()
+    stats = promote_epochs(spark, tdir, STEP, fs=hfs, keep_latest=False)
+    assert stats["epochs_promoted"] == 5
+    assert [e for e in hfs.listdir(tdir) if e.startswith("_epoch=")] == []
+    after = _read_all(spark, tdir).agg(
+        F.count("*"), F.sum("block_num"), F.sum("payload")
+    ).first()
+    assert tuple(before) == tuple(after)
