@@ -245,6 +245,30 @@ def xp_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xp_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data prep chain as one Catalyst plan — what
+    the extension surface composes into: exact-dedup keep-first → language
+    + quality gates → deterministic 50% sample → per-language token-budget
+    sequence packing. Three window functions and a codegen filter chain;
+    no Python, no collect, every stage partition-deterministic."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = xt.with_quality(docs).select(
+        "doc_id", "text", xt.lang_pred(F.col("text")).alias("lang"), "q_score"
+    )
+    kept = dedup.exact_dedup(scored, ["text"], "doc_id")
+    gated = kept.filter((F.col("lang") == "en") & (F.col("q_score") >= 2.0))
+    sampled = sampling.hash_bernoulli(gated, "doc_id", 0.5, seed=11)
+    packed = sampling.pack_chunks(
+        sampled.withColumn("n_tok", xt.n_tokens_ws(F.col("text"))),
+        ["lang"], "n_tok", budget=1024, order_col="doc_id",
+    )
+    return packed.select(
+        "doc_id", "lang", "q_score", "n_tok", "chunk_offset", "chunk_id"
+    ).orderBy("doc_id")
+
+
 def xm_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -519,6 +543,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-simhash": xd_simhash,
     "XM-bytestats": xm_bytestats,
     "XP-pipeline": xp_pipeline,
+    "XP-pipeline2": xp_pipeline2,
     "XS-cosine-topk": xs_cosine_topk,
     "XS-ann-lsh": xs_ann_lsh,
     "XS-ivf": xs_ivf,
@@ -556,6 +581,23 @@ EXT_ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, lang, q_score FROM kept "
         "WHERE rn = 1 AND lang = 'en' AND q_score >= 2.0 ORDER BY doc_id"
     ),
+    "XP-pipeline2": (
+        f"WITH scored AS (SELECT doc_id, text, {_langid_case_sql()} AS lang, "
+        f"{_QSCORE_SQL} AS q_score FROM documents), "
+        "kept AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn "
+        "FROM scored), "
+        "gated AS (SELECT doc_id, text, lang, q_score FROM kept "
+        "WHERE rn = 1 AND lang = 'en' AND q_score >= 2.0), "
+        "sampled AS (SELECT *, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tok "
+        f"FROM gated WHERE {{u}} < 0.5), "
+        "packed AS (SELECT doc_id, lang, q_score, n_tok, "
+        "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS chunk_offset FROM sampled) "
+        "SELECT doc_id, lang, q_score, n_tok, chunk_offset, "
+        "CAST(floor(chunk_offset / 1024) AS BIGINT) AS chunk_id "
+        "FROM packed ORDER BY doc_id"
+    ).format(u=_u_sql("doc_id", 11)),
     "XT-tokens": (
         "SELECT doc_id, length(text) - length(replace(text, ' ', '')) + 1 AS n_ws, "
         f"len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_re "
