@@ -502,6 +502,19 @@ def xa_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_tok", "chunk_offset", "chunk_id").orderBy("doc_id")
 
 
+def xa_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mix: deterministic Bernoulli with a different rate
+    per stratum, compiled to a codegen CASE + filter — no join, no shuffle
+    (ext/sampling.py:weighted_mix)."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+    return sampling.weighted_mix(
+        docs, "source", rates, key_col="doc_id", seed=7, default_rate=0.1
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
 def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
     components → one canonical keeper per cluster (minimum doc_id), every
@@ -553,6 +566,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XA-sample-hash": xa_sample_hash,
     "XA-sample-strat": xa_sample_strat,
     "XA-pack-chunks": xa_pack_chunks,
+    "XA-weighted-mix": xa_weighted_mix,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -639,6 +653,12 @@ EXT_ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, lang, source, CAST(row_number() OVER "
         f"(PARTITION BY lang, source ORDER BY {_uniform_sql_doc}, doc_id) AS INT) "
         "AS sample_rank FROM documents) WHERE sample_rank <= 20 ORDER BY doc_id"
+    ),
+    "XA-weighted-mix": (
+        "SELECT doc_id, source FROM documents WHERE "
+        f"{_uniform_sql_doc} < (CASE source WHEN 'src0' THEN 0.8 "
+        "WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END) "
+        "ORDER BY doc_id"
     ),
     "XA-pack-chunks": (
         "WITH t AS (SELECT doc_id, source, "

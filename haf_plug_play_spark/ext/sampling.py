@@ -105,3 +105,21 @@ def pack_chunks(
     return df.withColumn("chunk_offset", offset).withColumn(
         "chunk_id", F.floor(F.col("chunk_offset") / budget).cast("long")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    seed: int = 7,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates — the corpus-mix primitive ("keep 80% of
+    en-wiki, 20% of web, drop the rest"). Same determinism contract as
+    ``hash_bernoulli``; the rate lookup compiles to a codegen CASE chain
+    (no join, no shuffle), so the whole mix is a stateless filter."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
+    return df.filter(_uniform(F.col(key_col), seed) < rate)

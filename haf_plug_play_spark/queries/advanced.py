@@ -315,6 +315,40 @@ def qst_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qo6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (windowed top-n): the 3 highest-value events per
+    event_type. One shuffle on the group key; rank computed per partition
+    after the window shuffle — never a global sort. Ties broken by
+    event_id for a total, deterministic order."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "rk", "event_id", F.round("value", 6).alias("value"))
+        .orderBy("event_type", "rk")
+    )
+
+
+def qg2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all four (returnflag × linestatus) margins in
+    one Expand + partial-agg pass (QG1's ROLLUP covers three)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -328,6 +362,8 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QR1-range-join": qr1_range_join,
     "QW3-time-rollup": qw3_time_rollup,
     "QST-stream-window": qst_stream_window,
+    "QO6-topk-group": qo6_topk_per_group,
+    "QG2-cube": qg2_cube,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -391,6 +427,18 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
     "QAD-approx-distinct": (
         "SELECT event_type, count(DISTINCT user_id) AS exact_users, "
         "true AS hll_within_bounds FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QO6-topk-group": (
+        "SELECT event_type, rk, event_id, round(value, 6) AS value FROM ("
+        "SELECT event_type, event_id, value, CAST(row_number() OVER "
+        "(PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rk "
+        "FROM events) WHERE rk <= 3 ORDER BY event_type, rk"
+    ),
+    "QG2-cube": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+        "ORDER BY 1 NULLS FIRST, 2 NULLS FIRST"
     ),
     "QST-stream-window": (
         "SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, "
