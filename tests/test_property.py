@@ -202,3 +202,72 @@ def test_jaccard_df_cap_prefilter_sound(spark, texts, cap):
     assert set(capped) <= set(full)
     for k, v in capped.items():
         assert v == full[k], k
+
+
+# ------------------------------------------------- clustering & packing
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation ≡ a sequential union-find oracle
+    on arbitrary random graphs (cycles, chains, self-merging components)."""
+    from haf_plug_play_spark.ext.dedup import connected_components
+
+    parent = list(range(26))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = {n: find(n) for n in nodes}
+    # union-find roots are not guaranteed minimal under path compression —
+    # normalize: min node id per root group
+    by_root = {}
+    for n, r in expected.items():
+        by_root.setdefault(find(r), []).append(n)
+    want = {n: min(group) for group in by_root.values() for n in group}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.id: r.cluster_id for r in connected_components(df, max_iters=30).collect()}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(1, 500), min_size=1, max_size=30),
+    budget=st.integers(10, 1000),
+)
+def test_pack_chunks_prefix_sum_property(spark, toks, budget):
+    from haf_plug_play_spark.ext.sampling import pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, "s", t) for i, t in enumerate(toks)], "doc_id long, src string, n_tok long"
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_offset, r.chunk_id)
+        for r in pack_chunks(df, ["src"], "n_tok", budget, "doc_id").collect()
+    )
+    run = 0
+    prev_chunk = 0
+    for (i, off, cid), t in zip(rows, toks):
+        assert off == run
+        assert cid == off // budget
+        assert cid >= prev_chunk  # monotone
+        prev_chunk = cid
+        run += t
