@@ -154,3 +154,37 @@ def test_range_join_no_nested_loop(spark):
     keyless = range_join(pts, ivs, "pt", "lo", "hi", bucket=60)
     kplan = _plan(keyless)
     assert "NestedLoopJoin" not in kplan and "CartesianProduct" not in kplan
+
+
+def test_weighted_mix_is_filter_only(spark):
+    """The corpus mix must compile to scan → filter (+ the declared ORDER
+    BY) — no join, no keyed shuffle for the rate lookup."""
+    plan = _plan(EXT_QUERIES["XA-weighted-mix"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert len(_key_exchanges(plan)) <= 1  # only the ORDER BY
+
+
+def test_grouping_sets_single_expand(spark):
+    """ROLLUP/CUBE compute all margins in ONE Expand + partial-agg pass,
+    not one scan per grouping set."""
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    import re
+
+    for qid in ("QG2-cube", "QW3-time-rollup"):
+        plan = _plan(ADVANCED_QUERIES[qid](spark, SF_ORACLE))
+        assert plan.count("Expand") >= 1, qid
+        # distinct scan NODES (each node header appears in both the tree
+        # and the details section of formatted explain)
+        scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+        assert len(scans) == 1, (qid, scans)
+
+
+def test_topk_per_group_single_window_shuffle(spark):
+    """Per-group top-k: one keyed exchange for the window partition plus
+    the declared ORDER BY — never a global sort before the rank filter."""
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["QO6-topk-group"](spark, SF_ORACLE))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert len(_key_exchanges(plan)) <= 2
