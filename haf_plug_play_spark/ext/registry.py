@@ -196,6 +196,42 @@ def xt_rollfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document. Fully declarative: term counts are
+    a (doc, word) group-by, document frequency a per-word group-by joined
+    back on the word key (the only wide shuffle, keyed by vocabulary —
+    naturally well-distributed), and the corpus size N enters as a
+    broadcast single-row cross join, so the whole computation stays one
+    lazy Catalyst plan — no driver-side scalar collection. Ranking is a
+    per-doc window with a total tie-break (score desc, word asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = words.select("doc_id", "w").distinct().groupBy("w").agg(
+        F.count("*").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    rk = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "rk", F.col("w").alias("term"), "tf", "df", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
 def xd_exact_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -549,6 +585,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-tokens": xt_tokens,
     "XT-fingerprint": xt_fingerprint,
     "XT-rollfp": xt_rollfp,
+    "XT-tfidf": xt_tfidf,
     "XD-exact-census": xd_exact_census,
     "XD-ngram-jaccard": xd_ngram_jaccard,
     "XD-minhash-sig": xd_minhash_sig,
@@ -629,6 +666,21 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-exact-census": (
         "SELECT md5(text) AS text_key, min(doc_id) AS keep_id, count(*) AS copies "
         "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "XT-tfidf": (
+        "WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2), "
+        "dfreq AS (SELECT w, count(*) AS df FROM "
+        "(SELECT DISTINCT doc_id, w FROM words) GROUP BY 1), "
+        "n AS (SELECT count(*) AS n_docs FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.w, tf.tf, dfreq.df, "
+        "round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf "
+        "FROM tf JOIN dfreq USING (w) CROSS JOIN n), "
+        "ranked AS (SELECT *, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY tfidf DESC, w) AS INT) AS rk FROM scored) "
+        "SELECT doc_id, rk, w AS term, tf, df, tfidf FROM ranked "
+        "WHERE rk <= 3 ORDER BY doc_id, rk"
     ),
     "XD-ngram-jaccard": _jaccard_pairs_sql(3, 0.5, max_df=100),
     "XD-minhash-sig": _minhash_sig_sql(8, 3, 1) + " ORDER BY doc_id",
