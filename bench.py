@@ -16,6 +16,27 @@ import sys
 import time
 
 
+def run_queries(spark, queries, sf_dir: str) -> tuple[dict, dict]:
+    """Time each query independently. Fault isolation: one raising query
+    must never zero the whole round's perf signal (the r2 failure mode) —
+    the reference serves each API request as an independent query too
+    (server/plug_endpoints/podping.py:13-37). Errors are recorded per-query
+    as class + first message line, and the JSON line always prints."""
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(queries):
+        fn = queries[name]
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.toPandas()  # Arrow-batched materialization (2-3x py4j collect)
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+    return timings, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -39,23 +60,7 @@ def main() -> None:
 
     from haf_plug_play_spark.queries.canonical import CANONICAL_QUERIES
 
-    # Fault isolation: each query is timed independently, and one raising
-    # query must never zero the whole round's perf signal (VERDICT r2 #2) —
-    # the reference serves each API request as an independent query too
-    # (server/plug_endpoints/podping.py:13-37). Errors are recorded per-query
-    # and the JSON line always prints.
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in sorted(queries):
-        fn = queries[name]
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.toPandas()  # Arrow-batched materialization (2-3x py4j collect)
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
-            print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+    timings, errors = run_queries(spark, queries, sf_dir)
 
     # Sync-path throughput: backfill the podping plug over a generated op
     # log and report blocks/sec — comparable against the reference's

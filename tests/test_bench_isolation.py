@@ -1,0 +1,27 @@
+"""Bench fault isolation (the r2 failure mode): one raising query must not
+destroy the other timings, and the error record carries the exception class
+and message, not a truncated traceback tail."""
+
+from __future__ import annotations
+
+import sys
+
+
+def test_one_broken_query_cannot_zero_the_bench(spark):
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    def ok(spark_, sf_dir):
+        return spark_.range(5).selectExpr("id AS n")
+
+    def bomb(spark_, sf_dir):
+        raise ValueError("deliberately broken query\nsecond line never recorded")
+
+    timings, errors = bench.run_queries(
+        spark, {"z-ok": ok, "a-bomb": bomb, "m-ok2": ok}, "/unused"
+    )
+    assert set(timings) == {"z-ok", "m-ok2"}
+    assert all(t >= 0 for t in timings.values())
+    assert set(errors) == {"a-bomb"}
+    assert errors["a-bomb"].startswith("ValueError: deliberately broken query")
+    assert "second line" not in errors["a-bomb"]
