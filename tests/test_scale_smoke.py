@@ -124,3 +124,42 @@ def test_cluster_census_keeps_one_per_planted_group(spark, corpus):
         assert rows[g + N_UNIQUE + N_GROUPS] == (g, False)
     # total keepers = unique texts that aren't shadowed copies
     assert decision.filter("keep").count() == N_UNIQUE
+
+
+def test_similarity_recall_at_scale(spark):
+    """ANN (hyperplane LSH) and IVF top-k against brute-force ground truth
+    on a 20k x 32-dim corpus with a planted near-neighbor cluster around
+    the query — recall must hold beyond the small fixtures."""
+    import numpy as np
+
+    from haf_plug_play_spark.ext import similarity
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(20_000, 32)).astype(np.float64)
+    q = rng.normal(size=32)
+    q /= np.linalg.norm(q)
+    # plant 20 near neighbors of the query (cosine ~0.95+)
+    for i in range(20):
+        base[i] = q * 10 + rng.normal(scale=0.5, size=32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(
+        32
+    ).localCheckpoint()
+
+    qv = [float(x) for x in q]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, k=10).collect()]
+    assert set(exact) <= set(range(20))  # planted cluster dominates
+
+    ann = {r.vec_id for r in similarity.ann_lsh_topk(emb, qv, k=10).collect()}
+    assert len(set(exact) & ann) >= 8
+
+    # trained quantizer (the scale path): Lloyd iterations, only k x dim
+    # floats ever reach the driver
+    cents = similarity.ivf_centroids(emb, k=16, iters=3, seed=7, dim=32)
+    ivf = {
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, qv, k=10, centroids=cents, n_probe=4
+        ).collect()
+    }
+    assert len(set(exact) & ivf) >= 8
