@@ -196,6 +196,15 @@ def xt_rollfp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xt_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True winnowing fingerprints (window-min over shingle hashes) — the
+    guaranteed-containment variant beside XT-rollfp's mod-p sampling."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return xt.winnow_fingerprints(docs, k=8, window=4).distinct().orderBy(
+        "doc_id", "fp"
+    )
+
+
 def xt_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document. Fully declarative: term counts are
     a (doc, word) group-by, document frequency a per-word group-by joined
@@ -586,6 +595,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-fingerprint": xt_fingerprint,
     "XT-rollfp": xt_rollfp,
     "XT-tfidf": xt_tfidf,
+    "XT-winnow": xt_winnow,
     "XD-exact-census": xd_exact_census,
     "XD-ngram-jaccard": xd_ngram_jaccard,
     "XD-minhash-sig": xd_minhash_sig,
@@ -666,6 +676,17 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-exact-census": (
         "SELECT md5(text) AS text_key, min(doc_id) AS keep_id, count(*) AS copies "
         "FROM documents GROUP BY 1 ORDER BY 1"
+    ),
+    "XT-winnow": (
+        # raw k-gram sequence (no list_distinct: winnowing is
+        # position-sensitive and DuckDB's list_distinct reorders)
+        "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), "
+        "hs AS (SELECT doc_id, "
+        f"""[{md5_int_sql("array_to_string(ws[i:i+7], ' ')")}"""
+        " FOR i IN range(1, greatest(len(ws)-7, 1)+1)] AS h FROM w) "
+        "SELECT DISTINCT doc_id, "
+        "unnest([list_min(h[i:i+3]) FOR i IN range(1, greatest(len(h)-3, 1)+1)]) AS fp "
+        "FROM hs ORDER BY doc_id, fp"
     ),
     "XT-tfidf": (
         "WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "

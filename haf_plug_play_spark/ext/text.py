@@ -94,6 +94,40 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(norm)
 
 
+def winnow_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """True winnowing fingerprints (Schleimer et al., SIGMOD'03 — public
+    algorithm): hash every k-word shingle, then keep the MINIMUM hash of
+    each sliding window of ``window`` consecutive shingles. Unlike mod-p
+    sampling (rolling_fingerprints), winnowing GUARANTEES every match of
+    length ≥ k+window-1 words shares at least one fingerprint — the
+    containment-detection contract plagiarism/overlap pipelines rely on.
+
+    Entirely per-row expression work: shingle hashes live in an array, the
+    window minima are a transform over start positions, and only the
+    DISTINCT minima are exploded — zero Python, zero shuffle before the
+    output explode. Output: one row per distinct fingerprint (id_col, fp).
+    """
+    from haf_plug_play_spark.ext.hashing import md5_int
+
+    # the raw k-gram SEQUENCE (duplicates kept, positions intact) — true
+    # winnowing is position-sensitive, unlike the set-based mod-p sampler
+    words = F.split(F.lower(F.col(text_col)), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(k - 1), F.lit(1)))
+    hs = F.transform(
+        idx, lambda i: md5_int(F.concat_ws(" ", F.slice(words, i, k)))
+    )
+    n = F.size(hs)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    mins = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(hs, i, window)))
+    )
+    return df.select(F.col(id_col), F.explode(mins).alias("fp"))
+
+
 def rolling_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, keep_mod: int = 8,
