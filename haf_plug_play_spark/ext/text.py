@@ -117,15 +117,25 @@ def winnow_fingerprints(
     words = F.split(F.lower(F.col(text_col)), " ")
     cnt = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(k - 1), F.lit(1)))
-    hs = F.transform(
+    hs_expr = F.transform(
         idx, lambda i: md5_int(F.concat_ws(" ", F.slice(words, i, k)))
     )
+    # Materialize the shingle-hash array in its OWN projection before the
+    # window-min pass. Inlined, `hs` is an expression tree that codegen
+    # re-evaluates at every reference — i.e. the full md5 array was being
+    # rebuilt once per window position, which made winnowing ~15× slower
+    # than the equal-hash-volume rolling sampler. As a named column it is
+    # computed once per row; CollapseProject will not merge the two
+    # projections because the transform is non-cheap and multiply
+    # referenced downstream.
+    staged = df.select(F.col(id_col), hs_expr.alias("__winnow_hs"))
+    hs = F.col("__winnow_hs")
     n = F.size(hs)
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
     mins = F.array_distinct(
         F.transform(starts, lambda i: F.array_min(F.slice(hs, i, window)))
     )
-    return df.select(F.col(id_col), F.explode(mins).alias("fp"))
+    return staged.select(F.col(id_col), F.explode(mins).alias("fp"))
 
 
 def rolling_fingerprints(
