@@ -86,6 +86,12 @@ def compact_table(
     stats = {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
     if not fs.isdir(table_dir):
         return stats
+    # Heal BOTH protocols before touching the table: a crashed promotion
+    # left either stray _pm_tmp_* staging (rolled back) or a committed
+    # manifest (finished forward). Skipping this and compacting over a
+    # half-promoted table would race _recover's view of which buckets
+    # exist — each maintenance op first heals its crashed sibling.
+    _recover_promotion(table_dir, fs)
     _recover(table_dir, fs)
     for entry in fs.listdir(table_dir):
         if not entry.startswith("block_bucket="):
@@ -214,6 +220,13 @@ def promote_epochs(
     stats = {"epochs_promoted": 0, "buckets_written": 0}
     if not fs.isdir(table_dir):
         return stats
+    # Heal a crashed COMPACTION first (then our own protocol): if compact
+    # crashed between its rename pair, the bucket sits in .maintenance as
+    # _old_X with the table-dir bucket missing. Promotion would otherwise
+    # see the bucket as absent, write a fresh block_bucket=X holding only
+    # epoch rows, and the next compaction's _recover would then delete
+    # _old_X (bucket "exists" again) — silently losing the original rows.
+    _recover(table_dir, fs)
     _recover_promotion(table_dir, fs)
     epochs = sorted(
         (e for e in fs.listdir(table_dir) if e.startswith("_epoch=")),

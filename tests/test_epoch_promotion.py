@@ -203,3 +203,77 @@ def test_promotion_through_hadoop_fs(spark, tmp_path):
         F.count("*"), F.sum("block_num"), F.sum("payload")
     ).first()
     assert tuple(before) == tuple(after)
+
+
+def test_compact_crash_then_promote_does_not_lose_bucket(spark, tmp_path):
+    """Cross-protocol recovery, direction 1: compaction crashed between its
+    rename pair (bucket parked in .maintenance as _old_X, replacement never
+    landed), and the NEXT maintenance op to run is promotion. Promotion must
+    first restore the parked bucket — otherwise it writes a fresh
+    block_bucket=X holding only epoch rows and the next compaction's
+    _recover deletes _old_X, silently losing the original rows."""
+    from haf_plug_play_spark.runner.maintenance import (
+        _OLD_PREFIX,
+        compact_table,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    _write_epochs(spark, tdir, n_epochs=2, rows_per=50)  # blocks 0..99
+    promote_epochs(spark, tdir, STEP, fs=LocalFS(), keep_latest=False)
+    # bucket 0 now holds blocks 0..99; simulate the compact crash window:
+    # bucket moved aside, replacement never renamed in
+    mdir = tdir + ".maintenance"
+    os.makedirs(mdir, exist_ok=True)
+    os.rename(
+        os.path.join(tdir, "block_bucket=0"),
+        os.path.join(mdir, _OLD_PREFIX + "block_bucket=0"),
+    )
+    # stream continued: one more epoch overlapping bucket 0's range
+    (
+        spark.range(100)
+        .select(F.col("id").alias("block_num"), (F.col("id") * 3).alias("payload"))
+        .write.parquet(os.path.join(tdir, "_epoch=2"))
+    )
+    promote_epochs(spark, tdir, STEP, fs=LocalFS(), keep_latest=False)
+    # parked bucket restored AND merged with the new epoch rows
+    assert os.listdir(mdir) == []
+    df = spark.read.parquet(os.path.join(tdir, "block_bucket=0"))
+    assert df.count() == 200  # 100 original + 100 epoch rows
+    # and a follow-up compaction still sees everything
+    compact_table(spark, tdir)
+    assert spark.read.parquet(os.path.join(tdir, "block_bucket=0")).count() == 200
+
+
+def test_promote_crash_then_compact_finishes_promotion(spark, tmp_path):
+    """Cross-protocol recovery, direction 2: promotion crashed right after
+    its manifest commit point; the NEXT maintenance op is compaction, which
+    must finish phase 2 first (swap staged buckets in, drop epochs) before
+    compacting — not treat the half-promoted table as the whole truth."""
+    from haf_plug_play_spark.runner.maintenance import compact_table
+
+    tdir = str(tmp_path / "tbl")
+    _write_epochs(spark, tdir, n_epochs=2, rows_per=50)  # blocks 0..99
+    expected = _read_all(spark, tdir).agg(F.count("*"), F.sum("block_num")).first()
+
+    # stage phase 1 + manifest by hand, "crash" before phase 2
+    mdir = tdir + ".maintenance"
+    os.makedirs(mdir)
+    src = _read_all(spark, tdir).withColumn(
+        "_b", (F.col("block_num") / STEP).cast("long")
+    )
+    src.drop("_b").write.parquet(
+        os.path.join(mdir, _PM_TMP_PREFIX + "block_bucket=0")
+    )
+    manifest = {
+        "epochs": ["_epoch=0", "_epoch=1"],
+        "buckets": ["block_bucket=0"],
+    }
+    with open(os.path.join(mdir, _PM_MANIFEST), "w") as f:
+        json.dump(manifest, f)
+
+    compact_table(spark, tdir)
+    # promotion finished: epochs gone, manifest gone, rows intact once
+    assert [e for e in os.listdir(tdir) if e.startswith("_epoch=")] == []
+    assert not os.path.exists(os.path.join(mdir, _PM_MANIFEST))
+    after = _read_all(spark, tdir).agg(F.count("*"), F.sum("block_num")).first()
+    assert tuple(expected) == tuple(after)
