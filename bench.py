@@ -37,6 +37,18 @@ def run_queries(spark, queries, sf_dir: str) -> tuple[dict, dict]:
     return timings, errors
 
 
+def canonical_headline(
+    timings: dict, errors: dict, canonical_names
+) -> tuple[float | None, bool]:
+    """(headline_value, incomplete). If ANY canonical query errored, the
+    partial sum would be an incomparably smaller number under the same
+    metric name (readable as a fake speedup) — report None + a flag."""
+    incomplete = any(q in errors for q in canonical_names)
+    if incomplete:
+        return None, True
+    return round(sum(timings[q] for q in canonical_names if q in timings), 4), False
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -94,8 +106,8 @@ def main() -> None:
 
     # Headline metric = the canonical §2 matrix (BASELINE.md's bench query
     # set); advanced/extension timings are reported alongside.
-    canonical_total = round(
-        sum(timings[q] for q in CANONICAL_QUERIES if q in timings), 4
+    canonical_total, canonical_incomplete = canonical_headline(
+        timings, errors, CANONICAL_QUERIES
     )
     result = {
         "metric": "canonical_query_suite_wall_clock",
@@ -106,6 +118,8 @@ def main() -> None:
         "all_queries_sec": round(sum(timings.values()), 4),
         "sync_blocks_per_sec": sync_blocks_per_sec,
     }
+    if canonical_incomplete:
+        result["canonical_incomplete"] = True
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

@@ -87,9 +87,22 @@ def ngram_jaccard_pairs(
     join bucket (quadratic blowup). With the cap, shingles appearing in more
     than ``max_shingle_df`` docs are dropped from the candidate INDEX only;
     surviving candidates are verified against their full shingle sets, so
-    reported scores are exact. The only semantic change: a pair whose every
-    shared shingle is corpus-hot generates no candidate — by construction
-    such pairs sit far below any useful threshold.
+    reported scores are exact.
+
+    Recall contract (precise, not hand-wavy): a pair is MISSED iff every
+    shingle the two documents share is corpus-hot. For organically similar
+    documents that is vanishingly unlikely — but it is EXACTLY the shape of
+    boilerplate duplicated in more than ``max_shingle_df`` documents (a
+    license header, a template page): all of its shingles are hot, so two
+    byte-near copies (true Jaccard ≈ 1.0) generate no candidate here. The
+    escape hatch is the composed pipeline: exact dedup catches the
+    byte-identical copies and MinHash-LSH (which has no df cap — band
+    buckets bound the blowup instead) catches the near-copies, so
+    ``dedup_decision`` over the union of pair sources keeps its recall
+    (property-tested with a 200×-duplicated boilerplate doc in
+    tests/test_scale_smoke.py::test_boilerplate_beyond_cap_caught_by_pipeline).
+    Use this operator alone only when boilerplate-shaped duplication is
+    out of scope or already removed.
     """
     sh = _shingle_rows(df, id_col, text_col, n)
     if max_shingle_df is not None:
@@ -422,17 +435,25 @@ def connected_components(
     their own singleton cluster (a full census); otherwise only paired
     nodes appear.
 
-    Algorithm: iterative min-label propagation —
-    label(v) ← min(label(v), min over neighbors' labels) until fixpoint.
-    Each round is one join + one aggregation on the node key; convergence
-    takes O(component diameter) rounds, and near-dup components are
-    shallow by construction (bucket-clique-shaped), so a handful of rounds
-    suffice — ``max_iters`` bounds pathological chains, raising if the
-    fixpoint wasn't reached (silent wrong answers are worse than a loud
-    bound). At 100 TB the per-round cost is the unavoidable edge shuffle;
-    ``localCheckpoint`` truncates the lineage each round so the plan stays
-    O(1) deep instead of O(iters) (on a cluster, prefer
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    Algorithm: min-label propagation with pointer halving — each round
+    does label(v) ← min(label(v), min over neighbors' labels), then the
+    Shiloach–Vishkin-style shortcut label(v) ← min(label(v),
+    label(label(v))) (a join against the label table itself, keyed by the
+    current label). Propagation alone converges in O(component diameter)
+    rounds; the halving step compresses label-chains geometrically, so the
+    combination converges in O(log diameter) rounds — a 10k-node path
+    settles in ~14 rounds instead of 10k (tested). Near-dup components are
+    shallow by construction (bucket-clique-shaped), so typical inputs
+    still finish in 2-3 rounds; ``max_iters`` bounds the truly
+    pathological, raising if the fixpoint wasn't reached (silent wrong
+    answers are worse than a loud bound). The bound counts PROPAGATION
+    rounds: the final fixpoint-confirming probe (changed == 0) does not
+    spend budget, so a component needing exactly ``max_iters`` improving
+    rounds converges rather than raising. At 100 TB the per-round cost is
+    the unavoidable edge shuffle plus the (node-sized, much smaller)
+    halving self-join; ``localCheckpoint`` truncates the lineage each
+    round so the plan stays O(1) deep instead of O(iters) (on a cluster,
+    prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
     executor-loss resilience; localCheckpoint trades that for speed).
 
     Reference analog: the reference has no graph ops at all — this extends
@@ -449,20 +470,32 @@ def connected_components(
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
     labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
-    for _ in range(max_iters):
+    # max_iters + 1 probes: the last round a fixpoint is REACHED still
+    # reports changed > 0; confirming it needs one more (free) probe.
+    for it in range(max_iters + 1):
         neigh_min = (
             sym.join(labels, sym.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nmin"))
         )
+        prop = labels.join(neigh_min, "id", "left").select(
+            "id", "label", F.least("label", "nmin").alias("mid_label")
+        )
+        # pointer halving: label(v) ← min(label(v), label(label(v))).
+        # The parent lookup joins prop against itself on the CURRENT
+        # label, so long min-label chains halve every round and total
+        # rounds drop from O(diameter) to O(log diameter).
+        par = prop.select(
+            F.col("id").alias("p_id"), F.col("mid_label").alias("p_label")
+        )
         # one checkpointed delta serves both the next labels and the
         # convergence probe — no second join, no extra pass
         delta = (
-            labels.join(neigh_min, "id", "left")
+            prop.join(par, prop.mid_label == par.p_id, "left")
             .select(
                 "id",
                 "label",
-                F.least("label", "nmin").alias("new_label"),
+                F.least("mid_label", "p_label").alias("new_label"),
             )
             .localCheckpoint()
         )
@@ -470,10 +503,10 @@ def connected_components(
         labels = delta.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds"
-        )
+        if it == max_iters:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} rounds"
+            )
     out = labels.select("id", F.col("label").alias("cluster_id"))
     if all_ids is not None:
         ids = all_ids.select(F.col(all_ids.columns[0]).alias("id"))

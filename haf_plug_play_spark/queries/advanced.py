@@ -279,30 +279,43 @@ def qst_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment streams the landing directory itself).
     """
     import os
+    import shutil
     import tempfile
 
     from haf_plug_play_spark.streaming.windowed import windowed_event_aggs
 
     schema = load_table(spark, sf_dir, "events").schema
     d = tempfile.mkdtemp(prefix="qst_events_")
-    os.symlink(
-        os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-        os.path.join(d, "events.parquet"),
-    )
-    src = spark.readStream.schema(schema).parquet(d)
-    agg = windowed_event_aggs(src)
-    name = f"qst_stream_window_{abs(hash(d)) % 10_000_000}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        q.awaitTermination(300)
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(d)
+        agg = windowed_event_aggs(src)
+        name = f"qst_stream_window_{abs(hash(d)) % 10_000_000}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            # awaitTermination returns False on timeout — a partial
+            # complete-mode table masquerading as the final result would
+            # surface as a baffling oracle hash mismatch; fail loudly.
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "qst_stream_window: streaming replay did not finish "
+                    "within 300 s"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        # the file source only needs the dir during the replay; the memory
+        # sink holds the result, so the fixture dir can go immediately
+        shutil.rmtree(d, ignore_errors=True)
     return (
         spark.table(name)
         .select(

@@ -25,3 +25,18 @@ def test_one_broken_query_cannot_zero_the_bench(spark):
     assert set(errors) == {"a-bomb"}
     assert errors["a-bomb"].startswith("ValueError: deliberately broken query")
     assert "second line" not in errors["a-bomb"]
+
+
+def test_headline_nulled_when_canonical_query_errors():
+    """A partial canonical sum under the full metric name reads as a fake
+    speedup — the headline must go None + canonical_incomplete instead."""
+    import bench
+
+    canonical = ["q1", "q2"]
+    v, inc = bench.canonical_headline({"q1": 1.0, "x": 9.0}, {"q2": "Boom"}, canonical)
+    assert v is None and inc is True
+    # extension-query errors do NOT null the canonical headline
+    v, inc = bench.canonical_headline(
+        {"q1": 1.0, "q2": 2.5}, {"x-ext": "Boom"}, canonical
+    )
+    assert v == 3.5 and inc is False

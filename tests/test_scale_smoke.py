@@ -163,3 +163,74 @@ def test_similarity_recall_at_scale(spark):
         ).collect()
     }
     assert len(set(exact) & ivf) >= 8
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    """A 10k-node PATH graph — the adversarial diameter for min-label
+    propagation (plain propagation needs 10k rounds). Pointer halving must
+    converge it within the default budget (log2(10k) ≈ 13.3 → ~14-15
+    rounds), labeling every node with the chain head."""
+    from haf_plug_play_spark.ext.dedup import connected_components
+
+    n = 10_000
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cc = connected_components(chain, max_iters=20)
+    assert cc.filter(F.col("cluster_id") != 0).count() == 0
+    assert cc.count() == n
+
+
+def test_boilerplate_beyond_cap_caught_by_pipeline(spark):
+    """The df-cap's ONE real recall hole, planted deliberately: a
+    boilerplate doc duplicated in > max_shingle_df documents has ALL its
+    shingles corpus-hot, so the capped Jaccard path generates no candidate
+    for it (true Jaccard 1.0 or ~1.0 notwithstanding). The composed
+    pipeline must still catch every copy: exact dedup takes the
+    byte-identical copies, MinHash-LSH (no df cap — band buckets bound the
+    blowup instead) takes the near-copies, and dedup_decision over the
+    union keeps exactly one canonical doc."""
+    from haf_plug_play_spark.ext.dedup import (
+        dedup_decision,
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    cap = 100
+    n_copies = 200  # > cap: every shingle of the boilerplate is hot
+    boiler = " ".join(f"w{j}" for j in range(20))
+    near = boiler + " extra"  # near-copy: trigram jaccard 18/19
+    rows = [(i, boiler) for i in range(n_copies)]
+    rows += [(n_copies, near), (n_copies + 1, near + " tail more words here")]
+    # filler uniques so hot-shingle df stats aren't degenerate
+    rows += [(1000 + i, f"unique doc {i} " + " ".join(f"u{i}_{j}" for j in range(18)))
+             for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # 1. the hole is real: the capped path reports NO pair among the copies
+    capped = ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=cap)
+    assert capped.filter(F.col("id_a") < n_copies).count() == 0
+
+    # 2. the composed pipeline still catches every copy. Exact pairs come
+    # from the groupBy census shape (copy → group-min star), not a
+    # quadratic text self-join.
+    exact_pairs = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("id_a"), F.collect_list("doc_id").alias("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    lsh_pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    all_pairs = exact_pairs.unionByName(
+        lsh_pairs.select("id_a", "id_b")
+    )
+    decision = dedup_decision(docs, all_pairs)
+    dup_rows = decision.filter(F.col("doc_id") <= n_copies + 1).collect()
+    # every boilerplate copy + both near-copies collapse to cluster 0
+    assert all(r.cluster_id == 0 for r in dup_rows)
+    assert sum(r.keep for r in dup_rows) == 1
+    # exact_dedup alone already removes the byte-identical copies
+    assert exact_dedup(docs, ["text"], "doc_id").filter(
+        (F.col("doc_id") > 0) & (F.col("doc_id") < n_copies)
+    ).count() == 0
