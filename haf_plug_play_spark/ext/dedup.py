@@ -30,13 +30,26 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of lowercased text, as an array."""
+    """Distinct word n-gram shingles of lowercased text, as an array.
+
+    The word array is LET-BOUND via a single-element transform: Spark SQL
+    has no let expression, and referencing the raw ``split`` inside the
+    shingle lambda would re-split the text once per shingle position
+    (higher-order-function lambda bodies are re-evaluated per element —
+    the same trap that made winnowing 15× slow). The outer transform
+    evaluates ``split`` exactly once per row and binds it to a lambda
+    variable, whose references are free."""
     words = F.split(F.lower(text), " ")
-    cnt = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    )
+
+    def build(ws: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1))
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+        )
+
+    return F.get(F.transform(F.array(words), build), 0)
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:

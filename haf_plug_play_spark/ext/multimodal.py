@@ -5,9 +5,11 @@ Pandas-UDF signatures over mapInPandas, partition-sized batch flow. The
 codec boundary is split honestly: PGM (P5, the binary netpbm grayscale
 format) decodes FOR REAL with a pure-NumPy parser (no image library
 needed), as does the engine's deterministic ``FAKEIMG``/``FAKEAUD`` test
-container; compressed formats (PNG/JPEG/WAV…) raise NotImplementedError at
-exactly the line where a PIL/ffmpeg call would slot in (this container
-ships no codec libraries).
+container; compressed IMAGE formats (PNG/JPEG/…) decode through Pillow
+when it is importable (import-gated — this container ships no codec
+libraries, so here the gate stays closed and the boundary raises
+NotImplementedError loudly at exactly the line where the PIL call slots
+in); audio/video (WAV/MP4…) remain a declared loud stub either way.
 
 At 100 TB: binary payloads ride in their own parquet column (never
 projected unless asked for — column pruning keeps metadata-only queries
@@ -47,6 +49,28 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 _FAKE_MAGIC = {b"FAKEIMG\x00": "image", b"FAKEAUD\x00": "audio"}
+
+try:  # import-gated codec boundary: Pillow is optional, never required
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - exercised in codec-less containers
+    _PILImage = None
+
+
+def _pil_open(buf: bytes):
+    """Pillow Image for ``buf`` when the gate is open, else None. Executors
+    and driver gate independently (the import runs wherever the worker
+    deserializes this module), so a mixed cluster fails loudly rather than
+    silently diverging."""
+    if _PILImage is None:
+        return None
+    import io
+
+    try:
+        img = _PILImage.open(io.BytesIO(buf))
+        img.load()
+        return img
+    except Exception:
+        return None  # not an image Pillow recognizes - fall through to raise
 
 
 def _parse_pgm(buf: bytes):
@@ -143,12 +167,20 @@ def decode_media(media: DataFrame) -> DataFrame:
                     w, h, px = _parse_pgm(buf)
                     out.append((mid, "pgm", w, h, int(px.size)))
                 else:
-                    # Compressed formats: a real implementation calls
-                    # PIL/ffmpeg here.
-                    raise NotImplementedError(
-                        f"media decode for this format not available in this "
-                        f"container (media_id={mid}, magic={magic!r})"
-                    )
+                    img = _pil_open(buf)
+                    if img is not None:
+                        out.append((
+                            mid, (img.format or "unknown").lower(),
+                            img.width, img.height, img.width * img.height,
+                        ))
+                    else:
+                        # audio/video or a codec-less container: ffmpeg /
+                        # Pillow would slot in here.
+                        raise NotImplementedError(
+                            f"media decode for this format not available "
+                            f"(media_id={mid}, magic={magic!r}; Pillow "
+                            f"{'found no image' if _PILImage else 'not installed'})"
+                        )
             yield pd.DataFrame(
                 out, columns=["media_id", "format", "width", "height", "n_pixels"]
             )
@@ -188,10 +220,15 @@ def _decode_image(mid, buf: bytes):
     if buf[:2] == b"P5":
         _, _, px = _parse_pgm(buf)
         return px
-    # A real implementation calls PIL here.
+    img = _pil_open(buf)
+    if img is not None:
+        # grayscale grid keeps every downstream op (resize/features)
+        # format-agnostic; color-preserving paths add a channel axis
+        return np.asarray(img.convert("L"), dtype=np.uint8)
     raise NotImplementedError(
-        f"image decode for this format not available in this container "
-        f"(media_id={mid}, magic={buf[:8]!r})"
+        f"image decode for this format not available "
+        f"(media_id={mid}, magic={buf[:8]!r}; Pillow "
+        f"{'found no image' if _PILImage else 'not installed'})"
     )
 
 

@@ -298,12 +298,38 @@ def test_multimodal_features_feed_similarity(spark):
     assert all(r.cosine == 1.0 for r in top)
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_raises_without_pillow(spark):
+    """With the Pillow gate closed (this container), a truncated PNG must
+    fail LOUDLY, naming the missing codec — never decode to garbage."""
+    if multimodal._PILImage is not None:
+        pytest.skip("Pillow installed - gate open, covered by the PNG test")
     media = spark.createDataFrame(
         [(1, "image", b"\x89PNG\r\n\x1a\n....", None)], multimodal.MEDIA_SCHEMA
     )
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
         multimodal.decode_media(media).collect()
+
+
+def test_multimodal_png_decodes_when_pillow_present(spark):
+    """Import-gated real-codec path: golden PNG decode + the full
+    decode→resize→features chain, exercised only where Pillow exists."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    buf = io.BytesIO()
+    PIL_Image.fromarray(px, mode="L").save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(7, "image", buf.getvalue(), None)], multimodal.MEDIA_SCHEMA
+    )
+    got = multimodal.decode_media(media).collect()[0]
+    assert (got.format, got.width, got.height, got.n_pixels) == ("png", 8, 8, 64)
+    resized = multimodal.resize_images(media, 4, 4).collect()[0]
+    assert (resized.width, resized.height) == (4, 4)
+    feats = multimodal.image_features(media).collect()[0]
+    assert feats.px_mean == pytest.approx(float(px.mean()))
 
 
 # ---------------------------------------------------------- dedup clustering
