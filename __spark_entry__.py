@@ -22,6 +22,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return CANONICAL_QUERIES["QA1-topk"](spark, SF0001_DIR)
 
 
+# The driver's correctness gate checks the FIRST 50 declared queries, so
+# declaration order is an evidence-rotation policy: queries that already
+# banked a driver-green CORRECTNESS row in EVERY round they were sampled
+# (r1-r3 for the canonical names below, r3 for the text/dedup extension
+# family) rotate to the back, making room inside the 50-slot window for
+# ops that have never had a driver row (the r4 additions) plus the ones
+# whose last row is from r2. Every query — front or back — passes the
+# identical DuckDB-oracle comparison in pytest every round
+# (tests/test_canonical.py, test_advanced.py, test_ext.py).
+_ROTATED_BACK = [
+    # canonical, driver-green r1+r2+r3
+    "QS3-catalog", "QF1-inlist", "QF5-temporal-flag", "QF7-branch",
+    "QP3-elem-at", "QX5-hex", "QX9-interval", "QE3-toklen",
+    # extension, driver-green r1+r2+r3 (or r3 for tfidf/winnow)
+    "XT-langid", "XT-quality", "XT-tokens", "XT-fingerprint", "XT-rollfp",
+    "XT-tfidf", "XT-winnow", "XD-exact-census", "XD-ngram-jaccard",
+    "XD-minhash-sig", "XD-minhash-pairs", "XD-simhash",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -38,7 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(EXT_QUERIES)
     except ImportError:
         pass
-    return q
+    back = [k for k in _ROTATED_BACK if k in q]
+    return {k: q[k] for k in list(q) if k not in back} | {k: q[k] for k in back}
 
 
 def oracle_sql() -> dict[str, str]:

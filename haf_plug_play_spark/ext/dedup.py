@@ -545,3 +545,150 @@ def dedup_decision(
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicated-segment removal (the CCNet/RefinedWeb
+    paragraph-dedup step, public method, adapted to fixed word windows for
+    single-line corpora): split every document into consecutive
+    ``seg_words``-word segments, keep only the globally FIRST occurrence of
+    each distinct segment (ordered by (doc_id, seg_idx)), and reassemble
+    each document from its surviving segments in order.
+
+    Scale shape: the first-occurrence winner per segment is
+    ``min(struct(doc_id, seg_idx))`` under a hash group-by — a partially
+    aggregable min, so a boilerplate segment duplicated across millions of
+    documents combines map-side instead of funnelling one hot key through a
+    window's single reducer. Reassembly groups by doc_id (well distributed
+    by construction). Documents whose every segment was removed survive as
+    empty rows via the left join — the census must cover the whole corpus.
+
+    Output: (id_col, n_segs, n_kept, clean_text) for EVERY input document.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(words) / F.lit(seg_words)).cast("long")
+    seg_structs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("long").alias("seg_idx"),
+            F.concat_ws(
+                " ", F.slice(words, i * seg_words + F.lit(1), seg_words)
+            ).alias("seg"),
+        ),
+    )
+    segs = df.select(
+        F.col(id_col), F.explode(seg_structs).alias("s")
+    ).select(id_col, F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    firsts = segs.groupBy("seg").agg(
+        F.min(F.struct(id_col, "seg_idx")).alias("first")
+    )
+    kept = segs.join(firsts, "seg").where(
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("seg_idx") == F.col("first.seg_idx"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.seg,
+            ),
+        ).alias("clean_text"),
+    )
+    base = df.select(F.col(id_col), n_segs.alias("n_segs"))
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): cluster embeddings with a coarse quantizer, compare pairs ONLY
+    within a cluster, and drop every vector whose cluster contains a
+    more-canonical (lower-id) vector with cosine ≥ ``threshold``.
+
+    Cells are assigned on the UNIT-NORMALIZED vector (spherical k-means
+    assignment) so cosine-duplicates — identical directions at any
+    magnitude — land in the same cell by construction; an L2 assignment on
+    raw vectors would scatter scaled copies across cells and silently void
+    the within-cell comparison.
+
+    Scale shape: exactly the SemDeDup argument — the quadratic pair
+    comparison is bounded per-cell (candidates ≈ n/k per cell, and k grows
+    with the corpus), the join is an equi-join on the cell key, and the
+    keep decision is a left-anti lookup. No all-pairs path exists. The
+    seeded quantizer keeps the operator a pure function of
+    (data, seed) — swap in ivf_centroids(...) for a trained codebook.
+
+    Output: (id_col, cell, keep) for EVERY input vector.
+    """
+    from haf_plug_play_spark.ext.similarity import _seed_unit_centroids, dot
+
+    cents = _seed_unit_centroids(dim, n_centroids, seed)
+    # No materialized unit vectors: cell scores use c·c − 2·(v·c)/‖v‖ (the
+    # spherical assignment, algebraically argmin-identical to assigning the
+    # unit vector) and the pair check uses dot(vx,vy)/(‖vx‖·‖vy‖) — so the
+    # per-row cost is k+1 dot products, with NO per-element division pass.
+    # A `transform(v, x -> x/‖v‖)` formulation is a trap here:
+    # CollapseProject inlines a once-referenced norm alias INTO the lambda,
+    # where "once" textually is dim× at runtime — O(dim²) per row (measured
+    # 20 s → 3 s at sf0.1). ‖v‖ stays a named column; it is referenced k+1
+    # times downstream, which is exactly what keeps it un-collapsed.
+    staged = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
+        id_col, "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n")
+    )
+    scores = F.array(
+        *[
+            F.lit(sum(c * c for c in cent))
+            - F.lit(2.0)
+            * dot(F.col("_v"), F.array(*[F.lit(float(c)) for c in cent]))
+            / F.col("_n")
+            for cent in cents
+        ]
+    )
+    a = staged.select(
+        F.col(id_col),
+        "_v",
+        "_n",
+        F.array_position(scores, F.array_min(scores)).cast("int").alias("cell"),
+    )
+    x, y = a.alias("x"), a.alias("y")
+    dropped = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .where(
+            F.round(
+                dot(F.col("x._v"), F.col("y._v")) / (F.col("x._n") * F.col("y._n")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col(f"y.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return a.join(dropped, id_col, "left").select(
+        id_col, "cell", F.col("_dropped").isNull().alias("keep")
+    )

@@ -589,6 +589,163 @@ def _cluster_sql() -> str:
     )
 
 
+def xt_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gates with the published thresholds (word-count
+    and mean-word-length bounds, alpha-word fraction, stopword presence)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xt.gopher_gates(docs).orderBy("doc_id")
+
+
+def xt_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals: most-frequent-word share and duplicated-3-gram
+    share — explode + group-by keyed by (doc, token), never per-row O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xt.repetition_signals(docs, n=3).orderBy("doc_id")
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    """Deterministic PII-bearing fixture column: the synthetic corpus
+    contains no emails/IPs/phones, so the scrub parity check plants one of
+    each — derived purely from doc_id, identically in the oracle SQL — and
+    the operator must find and redact exactly those."""
+    t = F.concat(
+        F.col("text"),
+        F.lit(" u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 555-867-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", t.alias("pii_text"))
+
+
+def xt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return xt.pii_scrub(_pii_augmented(docs), text_col="pii_text").orderBy("doc_id")
+
+
+def xd_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-segment removal (CCNet-style paragraph
+    dedup over fixed 10-word windows) with full-corpus census output."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.segment_dedup(docs, seg_words=10).orderBy("doc_id")
+
+
+def xd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the planted corpus: every vector
+    labeled (cell, keep); the 2×-scaled copies normalize to identical unit
+    vectors, land in their original's cell, and are dropped."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return dedup.semantic_dedup(_planted_corpus(emb), threshold=0.95).orderBy("vec_id")
+
+
+_PII_AUG_SQL = (
+    "text || ' u' || doc_id || '@example.org 10.0.' || (doc_id % 250) || "
+    "'.7 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _gopher_sql() -> str:
+    stop = ", ".join(repr(w) for w in xt.LANG_STOPWORDS["en"])
+    return (
+        "WITH g AS (SELECT doc_id, len(string_split(text, ' ')) AS g_n_words, "
+        "length(text) AS n_chars, "
+        f"len(list_intersect(string_split(lower(text), ' '), [{stop}])) AS g_stop_hits, "
+        "len(list_filter(string_split(text, ' '), w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha "
+        "FROM documents), "
+        "m AS (SELECT doc_id, g_n_words, "
+        "round((n_chars - (g_n_words - 1)) / g_n_words, 6) AS g_mean_word_len, "
+        "round(n_alpha / g_n_words, 6) AS g_alpha_frac, g_stop_hits FROM g) "
+        "SELECT doc_id, g_n_words, g_mean_word_len, g_alpha_frac, g_stop_hits, "
+        "(g_n_words >= 50 AND g_n_words <= 100000 AND g_mean_word_len >= 3.0 "
+        "AND g_mean_word_len <= 10.0 AND g_alpha_frac > 0.8 AND g_stop_hits >= 2) "
+        "AS g_pass FROM m ORDER BY doc_id"
+    )
+
+
+def _repetition_sql(n: int = 3) -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents), "
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), "
+        "tw AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_word_frac "
+        "FROM wc GROUP BY 1), "
+        "ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents), "
+        f"g AS (SELECT doc_id, unnest([array_to_string(ws[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(ws)-{n - 1}, 1)+1)]) AS g FROM ws), "
+        "gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2), "
+        "dg AS (SELECT doc_id, round(coalesce(sum(c) FILTER (WHERE c > 1), 0) "
+        "/ sum(c), 6) AS dup_ngram_frac FROM gc GROUP BY 1) "
+        "SELECT tw.doc_id AS doc_id, top_word_frac, dup_ngram_frac "
+        "FROM tw JOIN dg ON tw.doc_id = dg.doc_id ORDER BY doc_id"
+    )
+
+
+def _pii_sql() -> str:
+    email, ip, phone = xt.PII_EMAIL_RE, xt.PII_IPV4_RE, xt.PII_PHONE_RE
+    return (
+        f"WITH p AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents) "
+        f"SELECT doc_id, len(regexp_extract_all(t, '{email}')) AS n_emails, "
+        f"len(regexp_extract_all(t, '{ip}')) AS n_ips, "
+        f"len(regexp_extract_all(t, '{phone}')) AS n_phones, "
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'), "
+        f"'{ip}', '<IP>', 'g'), '{phone}', '<PHONE>', 'g') AS clean_text "
+        "FROM p ORDER BY doc_id"
+    )
+
+
+def _seg_dedup_sql(w: int = 10) -> str:
+    return (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        f"e AS (SELECT doc_id, ws, unnest(range(0, CAST(ceil(len(ws)/{w}.0) AS BIGINT))) "
+        "AS seg_idx FROM d), "
+        f"segs AS (SELECT doc_id, seg_idx, array_to_string(ws[seg_idx*{w}+1:seg_idx*{w}+{w}], ' ') "
+        "AS seg FROM e), "
+        "rk AS (SELECT doc_id, seg_idx, seg, row_number() OVER "
+        "(PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs), "
+        "reb AS (SELECT doc_id, count(*) AS n_kept, "
+        "string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text "
+        "FROM rk WHERE rn = 1 GROUP BY 1), "
+        f"tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' '))/{w}.0) AS BIGINT) "
+        "AS n_segs FROM d2) "
+        "SELECT t.doc_id AS doc_id, t.n_segs AS n_segs, "
+        "coalesce(r.n_kept, 0) AS n_kept, coalesce(r.clean_text, '') AS clean_text "
+        "FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id ORDER BY doc_id"
+    ).replace("FROM d2", "FROM documents")
+
+
+def _cell_sql(n_centroids: int, seed: int, dim: int) -> str:
+    """Spherical-assignment cell with the engine's seeded centroid
+    literals: first-of-min over the same c·c − 2·(v·c)/‖v‖ scores, in the
+    engine's exact op order (raw dot first, ONE divide by the norm).
+    Centroids are UNIT-normalized (spherical k-means assignment) — see
+    similarity._seed_unit_centroids for why raw Gaussian centroids
+    degenerate to a single cell."""
+    cents = similarity._seed_unit_centroids(dim, n_centroids, seed)
+    scores = ", ".join(
+        f"({sum(c * c for c in cent)!r} - 2.0 * list_dot_product(v, {_vec_sql(cent)}) / n)"
+        for cent in cents
+    )
+    return f"CAST(list_position([{scores}], list_min([{scores}])) AS INTEGER)"
+
+
+def _semantic_sql(threshold: float = 0.95, n_centroids: int = 8, seed: int = 7, dim: int = 64) -> str:
+    return (
+        "WITH corpus AS (SELECT vec_id, v FROM "
+        f"(SELECT vec_id, {_VD} AS v FROM embeddings "
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, "
+        f"list_transform({_VD}, x -> x * 2) AS v FROM embeddings)), "
+        "s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM corpus), "
+        f"a AS (SELECT vec_id, v, n, {_cell_sql(n_centroids, seed, dim)} AS cell FROM s), "
+        "d AS (SELECT DISTINCT y.vec_id AS vec_id FROM a x JOIN a y "
+        "ON x.cell = y.cell AND x.vec_id < y.vec_id "
+        f"AND round(list_dot_product(x.v, y.v) / (x.n * y.n), 6) >= {threshold}) "
+        "SELECT a.vec_id AS vec_id, cell, "
+        "a.vec_id NOT IN (SELECT vec_id FROM d) AS keep FROM a ORDER BY vec_id"
+    )
+
+
 # Declaration order is the driver's correctness-sampling order: the driver
 # checks the first 50 declared queries (24 canonical + 14 advanced + first 12
 # here), so ops that have never had a driver CORRECTNESS row are front-loaded;
@@ -603,6 +760,12 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XA-sample-strat": xa_sample_strat,
     "XA-pack-chunks": xa_pack_chunks,
     "XA-weighted-mix": xa_weighted_mix,
+    # new in r4 (never driver-checked)
+    "XT-gopher": xt_gopher,
+    "XT-repetition": xt_repetition,
+    "XT-pii-scrub": xt_pii_scrub,
+    "XD-seg-dedup": xd_seg_dedup,
+    "XD-semantic": xd_semantic,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -631,6 +794,11 @@ from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
 _uniform_sql_doc = _u_sql("doc_id", 7)
 
 EXT_ORACLE_SQL: dict[str, str] = {
+    "XT-gopher": _gopher_sql(),
+    "XT-repetition": _repetition_sql(3),
+    "XT-pii-scrub": _pii_sql(),
+    "XD-seg-dedup": _seg_dedup_sql(10),
+    "XD-semantic": _semantic_sql(0.95),
     "XT-langid": (
         f"SELECT doc_id, {_langid_case_sql()} AS lang_pred FROM documents ORDER BY doc_id"
     ),

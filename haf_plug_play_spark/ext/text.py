@@ -157,3 +157,129 @@ def rolling_fingerprints(
     fps = F.transform(word_shingles(F.col(text_col), k), md5_int)
     kept = F.filter(fps, lambda fp: fp % keep_mod == 0)
     return df.select(F.col(id_col), F.explode(kept).alias("fp"))
+
+# ------------------------------------------------------------ quality gates
+
+
+def gopher_gates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, table A1 —
+    public heuristics): word-count bounds, mean word length bounds,
+    fraction of words containing an alphabetic character, and stopword
+    presence, folded into one boolean ``g_pass``.
+
+    Pure per-row codegen expressions over the single-space-delimited
+    corpus — zero shuffles, a single mapper pass at any scale (same
+    posture as with_quality). Defaults are the published thresholds;
+    they are parameters because real pipelines tune them per-source.
+    """
+    text = F.col(text_col)
+    words = F.split(text, " ")
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(text)
+    # single-space corpus: total word chars = chars minus the separators
+    mean_wl = F.round((n_chars - (n_words - F.lit(1))) / n_words, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / n_words, 6
+    )
+    stop_hits = stopword_hits(text, "en")
+    g_pass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (alpha_frac > min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("g_n_words"),
+        mean_wl.alias("g_mean_word_len"),
+        alpha_frac.alias("g_alpha_frac"),
+        stop_hits.alias("g_stop_hits"),
+        g_pass.alias("g_pass"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Repetition signals (the Gopher/MassiveText repetition filters,
+    public): ``top_word_frac`` — the most frequent word's share of all
+    word positions — and ``dup_ngram_frac`` — the share of word-n-gram
+    positions whose n-gram occurs more than once in the document.
+
+    Deliberately NOT a per-row O(len²) array fold: both signals explode
+    to (doc, token) and aggregate, so the work is two shuffles keyed by
+    (doc_id, token) — partial-aggregated map-side, well-distributed at
+    any document length, and safe for the multi-thousand-word documents
+    a real corpus contains.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    wc = (
+        df.select(F.col(id_col), F.explode(words).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+    )
+    top = wc.groupBy(id_col).agg(
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac")
+    )
+    # the raw n-gram SEQUENCE (duplicates kept): same construction as the
+    # winnowing shingle pass, one gram per start position
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    gc = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    dup = gc.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c"),
+            6,
+        ).alias("dup_ngram_frac")
+    )
+    return top.join(dup, id_col)
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# ASCII-only patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repeats, \b word boundaries.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII redaction for training corpora: replace emails, IPv4 addresses,
+    and phone-shaped numbers with typed placeholders, and count each class
+    (counted on the ORIGINAL text, so the counts audit what was removed).
+
+    Scrub order matters and is fixed — emails first (their local parts can
+    contain digit runs), then IPs, then phones — applied as chained
+    regexp_replace: pure per-row codegen, zero shuffles at any scale.
+    """
+    text = F.col(text_col)
+    clean = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        clean.alias("clean_text"),
+    )

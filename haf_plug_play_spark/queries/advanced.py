@@ -362,6 +362,81 @@ def qg2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qw4_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 10-minute windows every
+    5 minutes, so each event lands in exactly two windows. Spark's
+    window(size, slide) explodes the assignment inside the scan
+    projection — the equivalent of a phase-0/phase-5 tumbling union but
+    in ONE pass over the input, then one keyed shuffle for the agg."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
+        )
+        .select(
+            F.col("w").start.alias("w_start"),
+            "event_type",
+            "n",
+            F.col("tv").cast("double").alias("total_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+def qss_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING exact dedup with a hard batch oracle: the events table is
+    replayed through Structured Streaming (file source → watermark →
+    dropDuplicatesWithinWatermark on user_id → memory sink, availableNow)
+    and the emitted key set must equal batch SELECT DISTINCT — a genuinely
+    streaming execution of the ingest-dedup path under the oracle gate,
+    beside QST's windowed aggregation.
+
+    State is bounded by the watermark horizon (streaming/dedup.py), which
+    is the property that lets the operator run forever on an unbounded
+    feed; the availableNow replay admits every row, so streaming and batch
+    key sets agree by construction. Which duplicate row is emitted first is
+    arrival-order-dependent, so only the KEY SET is the contract — the
+    deterministic keep-first row choice is the batch census' job
+    (ext/dedup.py:exact_dedup)."""
+    import os
+    import shutil
+    import tempfile
+
+    from haf_plug_play_spark.streaming.dedup import stream_exact_dedup
+
+    schema = load_table(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="qss_events_")
+    try:
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(d)
+        ded = stream_exact_dedup(src, ["user_id"], ts_col="ts", watermark="10 minutes")
+        name = f"qss_stream_dedup_{abs(hash(d)) % 10_000_000}"
+        q = (
+            ded.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "qss_stream_dedup: streaming replay did not finish within 300 s"
+                )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).select("user_id").distinct().orderBy("user_id")
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -377,6 +452,8 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QST-stream-window": qst_stream_window,
     "QO6-topk-group": qo6_topk_per_group,
     "QG2-cube": qg2_cube,
+    "QW4-sliding": qw4_sliding,
+    "QSS-stream-dedup": qss_stream_dedup,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -446,6 +523,19 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT event_type, event_id, value, CAST(row_number() OVER "
         "(PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rk "
         "FROM events) WHERE rk <= 3 ORDER BY event_type, rk"
+    ),
+    "QW4-sliding": (
+        # union of the two tumbling phases = Spark's size-10/slide-5 window
+        "WITH x AS (SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start, "
+        "event_type, value FROM events "
+        "UNION ALL SELECT time_bucket(INTERVAL '10 minutes', ts, "
+        "INTERVAL '5 minutes') AS w_start, event_type, value FROM events) "
+        "SELECT w_start, event_type, count(*) AS n, "
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
+        "FROM x GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "QSS-stream-dedup": (
+        "SELECT DISTINCT user_id FROM events ORDER BY user_id"
     ),
     "QG2-cube": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n, "

@@ -487,3 +487,114 @@ def test_unknown_format_still_raises(spark):
 
     with _pt.raises(Exception, match="NotImplementedError|not available"):
         mm.decode_media(media).collect()
+
+
+# ------------------------------------------------- r4 operator unit tests
+# (the DuckDB-oracle parity for each runs in test_ext_oracle above; these
+# pin the operator CONTRACTS on crafted inputs the synthetic corpus can't
+# exercise)
+
+
+def test_pii_scrub_leaves_no_residue(spark):
+    """Every planted email/IP/phone is counted and none survives the
+    scrub — checked on the same augmented corpus the oracle query uses."""
+    from haf_plug_play_spark.ext import text as xt
+    from haf_plug_play_spark.ext.registry import _pii_augmented
+    from haf_plug_play_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = xt.pii_scrub(_pii_augmented(docs), text_col="pii_text")
+    residue = out.where(
+        F.col("clean_text").rlike(xt.PII_EMAIL_RE)
+        | F.col("clean_text").rlike(xt.PII_IPV4_RE)
+        | F.col("clean_text").rlike(xt.PII_PHONE_RE)
+    ).count()
+    assert residue == 0
+    mins = out.agg(
+        F.min("n_emails"), F.min("n_ips"), F.min("n_phones")
+    ).collect()[0]
+    assert tuple(mins) == (1, 1, 1)
+
+
+def test_pii_scrub_crafted(spark):
+    from haf_plug_play_spark.ext import text as xt
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.domain.org and 192.168.0.1 then 555-123-4567"),
+            (2, "no pii here just words"),
+            (3, "two mails x@y.io z@w.ai and ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in xt.pii_scrub(df).collect()}
+    assert rows[1].clean_text == "mail <EMAIL> and <IP> then <PHONE>"
+    assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_phones) == (1, 1, 1)
+    assert rows[2].clean_text == "no pii here just words"
+    assert rows[3].n_emails == 2 and rows[3].n_ips == 1
+
+
+def test_segment_dedup_duplicate_doc_emptied(spark):
+    """A byte-identical copy of an earlier doc loses ALL its segments but
+    stays in the census as an empty row; a doc sharing only its first
+    10-word segment loses exactly that segment."""
+    from haf_plug_play_spark.ext import dedup as dd
+
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 u0 u1 u2 u3 u4"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # full duplicate of doc 1
+            (3, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 z0 z1 z2"),  # shares seg 0
+            (4, "fresh text only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dd.segment_dedup(df, seg_words=10).collect()}
+    assert rows[1].n_segs == 2 and rows[1].n_kept == 2
+    assert rows[1].clean_text == base
+    assert rows[2].n_kept == 0 and rows[2].clean_text == ""
+    assert rows[3].n_kept == 1 and rows[3].clean_text == "z0 z1 z2"
+    assert rows[4].n_kept == 1 and rows[4].clean_text == "fresh text only here"
+
+
+def test_semantic_dedup_drops_scaled_copies(spark):
+    """Cosine-duplicates at different magnitudes land in the same spherical
+    cell and the higher id is dropped; an orthogonal vector survives."""
+    from haf_plug_play_spark.ext import dedup as dd
+
+    dim = 8
+    a = [1.0] + [0.0] * (dim - 1)
+    b = [x * 3.0 for x in a]          # same direction, scaled
+    c = [0.0, 1.0] + [0.0] * (dim - 2)  # orthogonal
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r for r in dd.semantic_dedup(df, dim=dim).collect()}
+    assert rows[1].keep is True
+    assert rows[2].keep is False and rows[2].cell == rows[1].cell
+    assert rows[3].keep is True
+
+
+def test_gopher_gates_crafted(spark):
+    from haf_plug_play_spark.ext import text as xt
+
+    passing = "the " + " ".join(f"word{i}" for i in range(60)) + " of it"
+    short = "the tiny one"
+    df = spark.createDataFrame(
+        [(1, passing), (2, short)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in xt.gopher_gates(df).collect()}
+    assert rows[1].g_pass is True and rows[1].g_n_words == 63
+    assert rows[2].g_pass is False  # fails the 50-word floor
+
+
+def test_repetition_signals_crafted(spark):
+    from haf_plug_play_spark.ext import text as xt
+
+    # "a b c a b c a b d": top word 'a'/'b' 3 of 9; 3-gram positions:
+    # [a b c, b c a, c a b, a b c, b c a, c a b, a b d] → 6 of 7 duplicated
+    df = spark.createDataFrame([(1, "a b c a b c a b d")], "doc_id long, text string")
+    r = xt.repetition_signals(df, n=3).collect()[0]
+    assert abs(r.top_word_frac - round(3 / 9, 6)) < 1e-9
+    assert abs(r.dup_ngram_frac - round(6 / 7, 6)) < 1e-9
