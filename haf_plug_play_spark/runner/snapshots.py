@@ -1,0 +1,222 @@
+"""Manifest-committed snapshot tables — the object-store-native commit the
+rename-pair maintenance protocol cannot give (runner/fs.py module docstring;
+SCALE.md "S3A rename atomicity").
+
+This is the documented migration path made real: exactly the commit shape of
+Iceberg/Delta snapshot commits (public designs), reduced to what the runner
+needs. The reference's derived tables are plain Postgres tables rebuilt by
+SQL (e.g. plugs/podping/functions.sql — the whole table is the unit of
+publication); here the unit of publication is a SNAPSHOT:
+
+    table_dir/
+      data/snap-<id>-<uuid>/        immutable parquet, unique name, NEVER
+                                    renamed or overwritten
+      manifests/manifest-<id>-<uuid>.json
+                                    lists the snapshot's data dir + audit
+                                    metadata, unique name, immutable
+      _current                      the ONLY mutable object: the file name
+                                    of the committed manifest
+
+Commit protocol (crash-safe on POSIX, HDFS, AND plain object stores):
+
+1. write parquet into a fresh uniquely-named data dir (no destructive op);
+2. write the manifest under a fresh unique name (no destructive op);
+3. swap ``_current`` with one ``write_bytes_atomic`` — a single-object
+   atomic PUT on S3, tmp+rename elsewhere.
+
+A crash before step 3 leaves garbage (an unreferenced data dir / manifest)
+but readers — who resolve ``_current`` → manifest → listed data dir and
+never enumerate ``data/`` — cannot observe it. There is no window, of any
+width, in which the table is missing or partial: the failure mode of the
+rename-pair protocols on S3A simply does not exist here. Old snapshots stay
+readable (time travel) until ``vacuum`` reclaims them.
+
+Single-writer assumption (same as the runner's maintenance CLI): the
+pointer swap is last-writer-wins, not compare-and-swap. Concurrent writers
+need a conditional PUT / lock service on object stores — out of scope and
+stated loudly rather than faked.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from haf_plug_play_spark.runner.fs import LocalFS
+
+_CURRENT = "_current"
+_MANIFESTS = "manifests"
+_DATA = "data"
+
+
+def _manifest_ids(table_dir: str, fs) -> dict[int, str]:
+    """snapshot_id → manifest file name, from a bounded listing of
+    ``manifests/`` (one small JSON per commit — not the data dirs)."""
+    out: dict[int, str] = {}
+    for name in fs.listdir(os.path.join(table_dir, _MANIFESTS)):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            out[int(name.split("-")[1])] = name
+    return out
+
+
+def _load_manifest(table_dir: str, fs, name: str) -> dict:
+    return json.loads(fs.read_bytes(os.path.join(table_dir, _MANIFESTS, name)))
+
+
+def current_manifest(table_dir: str, fs) -> dict | None:
+    """The committed manifest, or None for a table with no commit yet."""
+    ptr = os.path.join(table_dir, _CURRENT)
+    if not fs.exists(ptr):
+        return None
+    name = fs.read_bytes(ptr).decode("utf-8").strip()
+    return _load_manifest(table_dir, fs, name)
+
+
+def committed_chain(table_dir: str, fs) -> list[dict]:
+    """Manifests on the COMMITTED lineage, newest first: walk parent ids
+    from ``_current``. A manifest that exists but is not on this chain is
+    an uncommitted leftover (a commit that crashed before its pointer
+    swap) — it is not history and neither time travel nor retention treat
+    it as such."""
+    known = _manifest_ids(table_dir, fs)
+    cur = current_manifest(table_dir, fs)
+    chain: list[dict] = []
+    while cur is not None:
+        chain.append(cur)
+        parent = cur.get("parent")
+        cur = (
+            _load_manifest(table_dir, fs, known[parent])
+            if parent is not None and parent in known
+            else None
+        )
+    return chain
+
+
+def commit_snapshot(
+    spark: SparkSession, df: DataFrame, table_dir: str, fs=None
+) -> dict:
+    """Publish ``df`` as the table's next snapshot; returns the manifest.
+
+    The parquet write is the data plane (Spark's own writers, any scheme);
+    nothing in this function renames or overwrites an existing object
+    except the final single-pointer swap.
+    """
+    fs = fs or LocalFS()
+    fs.makedirs(os.path.join(table_dir, _MANIFESTS))
+    known = _manifest_ids(table_dir, fs)
+    # next id rides on the manifest listing, not the pointer, so a crashed
+    # commit's orphan manifest can never be ambiguous with a live id
+    snap_id = max(known, default=0) + 1
+    tag = uuid.uuid4().hex[:8]
+    data_rel = f"{_DATA}/snap-{snap_id:08d}-{tag}"
+    data_dir = os.path.join(table_dir, data_rel)
+    df.write.mode("error").parquet(data_dir)
+
+    cur = current_manifest(table_dir, fs)
+    manifest = {
+        "snapshot_id": snap_id,
+        "data_dir": data_rel,
+        "parent": cur["snapshot_id"] if cur else None,
+        "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
+        "committed_utc": datetime.now(timezone.utc).isoformat(),
+    }
+    mname = f"manifest-{snap_id:08d}-{tag}.json"
+    fs.write_bytes_atomic(
+        os.path.join(table_dir, _MANIFESTS, mname),
+        json.dumps(manifest, indent=1).encode("utf-8"),
+    )
+    # THE commit point — everything before this is invisible to readers
+    fs.write_bytes_atomic(
+        os.path.join(table_dir, _CURRENT), mname.encode("utf-8")
+    )
+    return manifest
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, fs=None, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the committed snapshot (or a retained older one by id —
+    time travel). Resolves pointer → manifest → data dir; never lists
+    ``data/``, so crashed-commit garbage is unobservable."""
+    fs = fs or LocalFS()
+    if snapshot_id is None:
+        manifest = current_manifest(table_dir, fs)
+        if manifest is None:
+            raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    else:
+        # time travel resolves through the committed chain ONLY — a crashed
+        # commit's manifest must not be readable as if it were history
+        chain = {m["snapshot_id"]: m for m in committed_chain(table_dir, fs)}
+        if snapshot_id not in chain:
+            raise FileNotFoundError(
+                f"snapshot {snapshot_id} not retained in {table_dir} "
+                f"(committed chain: {sorted(chain)})"
+            )
+        manifest = chain[snapshot_id]
+    return spark.read.parquet(os.path.join(table_dir, manifest["data_dir"]))
+
+
+def rewrite_snapshot(
+    spark: SparkSession, table_dir: str, fs=None, target_files: int = 8
+) -> dict:
+    """Compaction, snapshot-style: read the current snapshot, rewrite it
+    into ``target_files`` files as a NEW snapshot, commit by pointer swap.
+    The old snapshot stays readable until vacuumed — compaction can crash
+    at any step without an invisibility window, which is precisely what
+    the rename-pair compactor cannot promise on S3A."""
+    fs = fs or LocalFS()
+    df = read_snapshot(spark, table_dir, fs).coalesce(target_files)
+    return commit_snapshot(spark, df, table_dir, fs)
+
+
+def vacuum(
+    table_dir: str, fs=None, keep_last: int = 2, delete_orphans: bool = False
+) -> dict:
+    """Reclaim storage: keep the newest ``keep_last`` snapshots of the
+    COMMITTED chain (always at least the current one); drop older chain
+    manifests and their data dirs.
+
+    Uncommitted leftovers — a manifest off the chain, or a data dir with no
+    manifest at all (a commit that crashed, or one mid-flight right now) —
+    are only removed with ``delete_orphans=True``, which the single writer
+    passes when it knows no commit is in flight."""
+    fs = fs or LocalFS()
+    known = _manifest_ids(table_dir, fs)
+    if not known:
+        return {"kept": [], "deleted_manifests": [], "deleted_dirs": []}
+    chain = committed_chain(table_dir, fs)  # newest first
+    keep = chain[: max(1, keep_last)]
+    keep_ids = sorted(m["snapshot_id"] for m in keep)
+    keep_dirs = {m["data_dir"] for m in keep}
+    chain_ids = {m["snapshot_id"] for m in chain}
+    deleted_manifests, deleted_dirs = [], []
+    for sid, name in sorted(known.items()):
+        if sid in keep_ids:
+            continue
+        if sid not in chain_ids and not delete_orphans:
+            continue  # uncommitted leftover: opt-in only
+        ddir = _load_manifest(table_dir, fs, name)["data_dir"]
+        if ddir not in keep_dirs:
+            fs.delete(os.path.join(table_dir, ddir))
+            deleted_dirs.append(ddir)
+        fs.delete(os.path.join(table_dir, _MANIFESTS, name))
+        deleted_manifests.append(name)
+    if delete_orphans:
+        kept_manifest_dirs = {
+            _load_manifest(table_dir, fs, n)["data_dir"]
+            for s, n in _manifest_ids(table_dir, fs).items()
+        }
+        for name in fs.listdir(os.path.join(table_dir, _DATA)):
+            rel = f"{_DATA}/{name}"
+            if rel not in kept_manifest_dirs:
+                fs.delete(os.path.join(table_dir, rel))
+                deleted_dirs.append(rel)
+    return {
+        "kept": keep_ids,
+        "deleted_manifests": deleted_manifests,
+        "deleted_dirs": deleted_dirs,
+    }
