@@ -362,6 +362,63 @@ def qg2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qw5_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-minute gap) — the
+    built-in operator form of QW2's manual lag/cumsum sessionization. One
+    keyed shuffle; Spark merges the per-event [t, t+gap) windows inside the
+    aggregation, with no window-function pass at all.
+
+    Session END is last_event + gap (the operator's window.end contract),
+    and two events exactly ``gap`` apart start a NEW session (windows are
+    half-open, so they do not overlap) — the oracle mirrors both choices.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w").start.alias("s_start"),
+            F.col("w").end.alias("s_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "s_start")
+    )
+
+
+def qad2_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (percentile_approx / Greenwald-Khanna) with
+    an IN-QUERY certification against the exact interpolated percentile —
+    the QAD pattern applied to quantiles: the driver's oracle hashes the
+    exact values plus a boolean that the sketch landed within the
+    rank-error bound, so the approximate path carries a hard oracle.
+
+    With accuracy=1000 the GK sketch guarantees rank error ≤ n/1000; the
+    certificate checks the approx value lies between the exact quantiles at
+    q ± 2/1000 (double the bound — the guarantee is on ranks of the
+    RETURNED element, and the exact quantile interpolates between ranks).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    eps = 2.0 / 1000
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+            F.expr("percentile_approx(value, 0.5, 1000)").alias("_p50a"),
+            F.expr(f"percentile(value, {0.5 - eps})").alias("_lo"),
+            F.expr(f"percentile(value, {0.5 + eps})").alias("_hi"),
+        )
+        .select(
+            "event_type",
+            "p50_exact",
+            ((F.col("_p50a") >= F.col("_lo")) & (F.col("_p50a") <= F.col("_hi"))).alias(
+                "p50_within_bound"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def qw4_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) window aggregation: 10-minute windows every
     5 minutes, so each event lands in exactly two windows. Spark's
@@ -453,6 +510,8 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QO6-topk-group": qo6_topk_per_group,
     "QG2-cube": qg2_cube,
     "QW4-sliding": qw4_sliding,
+    "QW5-session-window": qw5_session_window,
+    "QAD2-approx-quantile": qad2_approx_quantile,
     "QSS-stream-dedup": qss_stream_dedup,
 }
 
@@ -536,6 +595,25 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
     ),
     "QSS-stream-dedup": (
         "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+    ),
+    "QW5-session-window": (
+        # gap-island sessionization mirroring session_window's contract:
+        # a gap of EXACTLY 30 min starts a new session (half-open windows),
+        # session end = last event + gap
+        "WITH flagged AS (SELECT user_id, ts, "
+        "CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800 "
+        "OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "sess AS (SELECT user_id, ts, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid "
+        "FROM flagged) "
+        "SELECT user_id, min(ts) AS s_start, "
+        "max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n_events "
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"
+    ),
+    "QAD2-approx-quantile": (
+        "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact, "
+        "true AS p50_within_bound FROM events GROUP BY 1 ORDER BY 1"
     ),
     "QG2-cube": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n, "

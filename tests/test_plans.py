@@ -188,3 +188,55 @@ def test_topk_per_group_single_window_shuffle(spark):
     plan = _plan(ADVANCED_QUERIES["QO6-topk-group"](spark, SF_ORACLE))
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert len(_key_exchanges(plan)) <= 2
+
+
+def test_gopher_pii_shuffle_free(spark):
+    """Quality gates and PII scrub are pure per-row codegen — the only
+    Exchange allowed is the final ORDER BY."""
+    for qid in ("XT-gopher", "XT-pii-scrub"):
+        plan = _plan(EXT_QUERIES[qid](spark, SF_ORACLE))
+        exchanges = [
+            line
+            for line in plan.splitlines()
+            if line.strip().startswith("(") and "Exchange" in line and "Reused" not in line
+        ]
+        assert len(exchanges) <= 1, (qid, exchanges)
+
+
+def test_repetition_partial_agg(spark):
+    """Both repetition aggregations must partial-aggregate map-side (the
+    (doc, token) key is the skew-safety argument in the docstring)."""
+    plan = _plan(EXT_QUERIES["XT-repetition"](spark, SF_ORACLE))
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_segment_dedup_min_struct_partial_agg(spark):
+    """The first-occurrence winner per segment is a partially-aggregable
+    min(struct) under hash aggregation — NOT a window over the segment key
+    (a hot boilerplate segment would funnel one reducer). The plan must
+    show HashAggregate on the segment key and no Window."""
+    plan = _plan(EXT_QUERIES["XD-seg-dedup"](spark, SF_ORACLE))
+    assert "Window" not in plan, plan[:2000]
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "partial_min" in plan or "partial" in plan.lower()
+
+
+def test_semantic_dedup_cell_equi_join(spark):
+    """The within-cell pair comparison must plan as an EQUI-join on the
+    cell key (hash/sort-merge) with the id/threshold residual — never a
+    nested-loop over all pairs."""
+    plan = _plan(EXT_QUERIES["XD-semantic"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_sliding_window_single_pass(spark):
+    """QW4's size/slide window explodes window assignment inside the scan
+    projection — ONE scan of events, not a per-phase union of scans."""
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["QW4-sliding"](spark, SF_ORACLE))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan[:2000]
+    assert "Expand" in plan  # per-row window assignment, not a scan union
+    assert "Union" not in plan
