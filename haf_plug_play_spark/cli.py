@@ -57,6 +57,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="also promote the latest epoch (only when the stream is stopped)",
     )
 
+    sn = sub.add_parser(
+        "snapshot",
+        help="manifest-committed snapshot table ops — the object-store-safe "
+        "publication path (runner/snapshots.py)",
+    )
+    sn.add_argument("action", choices=["publish", "rewrite", "vacuum", "log"])
+    sn.add_argument("--table", required=True, help="snapshot table dir")
+    sn.add_argument(
+        "--source", default=None, help="parquet path to publish (publish only)"
+    )
+    sn.add_argument("--keep-last", type=int, default=2)
+    sn.add_argument("--target-files", type=int, default=8)
+    sn.add_argument("--delete-orphans", action="store_true")
+
     return parser
 
 
@@ -108,6 +122,46 @@ def main(argv: list[str] | None = None) -> int:
             for k in total:
                 total[k] += s[k]
         print(json.dumps({"plug": args.plug, **total}))
+    elif args.cmd == "snapshot":
+        from haf_plug_play_spark.runner import snapshots as sn
+
+        if args.action == "publish":
+            if not args.source:
+                raise SystemExit("snapshot publish requires --source")
+            m = sn.commit_snapshot(
+                spark, spark.read.parquet(args.source), args.table
+            )
+            print(json.dumps({"action": "publish", **m}))
+        elif args.action == "rewrite":
+            m = sn.rewrite_snapshot(
+                spark, args.table, target_files=args.target_files
+            )
+            print(json.dumps({"action": "rewrite", **m}))
+        elif args.action == "vacuum":
+            rep = sn.vacuum(
+                args.table,
+                keep_last=args.keep_last,
+                delete_orphans=args.delete_orphans,
+            )
+            print(json.dumps({"action": "vacuum", **rep}))
+        else:  # log
+            chain = sn.committed_chain(args.table, sn.LocalFS())
+            print(
+                json.dumps(
+                    {
+                        "action": "log",
+                        "snapshots": [
+                            {
+                                "snapshot_id": m["snapshot_id"],
+                                "parent": m["parent"],
+                                "data_dir": m["data_dir"],
+                                "committed_utc": m["committed_utc"],
+                            }
+                            for m in chain
+                        ],
+                    }
+                )
+            )
     return 0
 
 

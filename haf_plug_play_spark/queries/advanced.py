@@ -494,6 +494,70 @@ def qss_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id").distinct().orderBy("user_id")
 
 
+def qsj_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join under the oracle gate: signups and clicks
+    are replayed as two independent file streams, joined on user + a
+    30-minute event-time range (streaming/joins.py), and the emitted pair
+    set must equal the batch join — the third streaming execution mode
+    verified against a hard batch oracle (beside QST's windowed agg and
+    QSS's dedup).
+
+    The time-range condition is load-bearing: it is what lets Structured
+    Streaming evict join state (a signup older than watermark + window can
+    never match a future click). The availableNow replay admits everything
+    in one batch, so streaming and batch pair sets agree by construction.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from haf_plug_play_spark.streaming.joins import click_attribution_join
+
+    schema = load_table(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="qsj_events_")
+    try:
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        src1 = spark.readStream.schema(schema).parquet(d)
+        src2 = spark.readStream.schema(schema).parquet(d)
+        joined = click_attribution_join(
+            src1.filter(F.col("event_type") == "signup"),
+            src2.filter(F.col("event_type") == "click"),
+        )
+        name = f"qsj_stream_join_{abs(hash(d)) % 10_000_000}"
+        # Stream-stream join state lives per shuffle partition ON BOTH
+        # SIDES; at replay scale the per-partition state-store setup, not
+        # the data, dominates (measured 8.7 s at sf0.001 with 32
+        # partitions). The partition count is pinned at STREAM START, so a
+        # scoped override is enough; production streams size this to their
+        # key cardinality. Restored in finally — batch plans are unaffected
+        # either way.
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError(
+                        "qsj_stream_join: streaming replay did not finish within 300 s"
+                    )
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name).orderBy("user_id", "signup_id", "click_id")
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -513,6 +577,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW5-session-window": qw5_session_window,
     "QAD2-approx-quantile": qad2_approx_quantile,
     "QSS-stream-dedup": qss_stream_dedup,
+    "QSJ-stream-join": qsj_stream_join,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -595,6 +660,14 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
     ),
     "QSS-stream-dedup": (
         "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+    ),
+    "QSJ-stream-join": (
+        "SELECT s.user_id AS user_id, s.event_id AS signup_id, "
+        "c.event_id AS click_id FROM events s JOIN events c "
+        "ON c.user_id = s.user_id AND s.event_type = 'signup' "
+        "AND c.event_type = 'click' AND c.ts >= s.ts "
+        "AND c.ts <= s.ts + INTERVAL 30 MINUTE "
+        "ORDER BY 1, 2, 3"
     ),
     "QW5-session-window": (
         # gap-island sessionization mirroring session_window's contract:

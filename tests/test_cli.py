@@ -65,3 +65,27 @@ def test_cli_promote_streamed_table(spark, tmp_path, capsys):
     tdir = os.path.join(out, "podping", "podping_updates")
     assert [e for e in os.listdir(tdir) if e.startswith("_epoch=")] == []
     assert runner.read_table("podping_updates").count() == before
+
+
+def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
+    """publish → log → rewrite → vacuum through the CLI (the object-store-
+    safe publication path, runner/snapshots.py)."""
+    src = str(tmp_path / "src")
+    spark.range(200).selectExpr("id", "id % 7 AS v").repartition(16).write.parquet(src)
+    table = str(tmp_path / "snap_tbl")
+
+    pub = _run(capsys, ["snapshot", "publish", "--table", table, "--source", src])
+    assert pub["snapshot_id"] == 1 and pub["parent"] is None
+
+    rew = _run(capsys, ["snapshot", "rewrite", "--table", table, "--target-files", "2"])
+    assert rew["snapshot_id"] == 2 and rew["parent"] == 1
+
+    log = _run(capsys, ["snapshot", "log", "--table", table])
+    assert [s["snapshot_id"] for s in log["snapshots"]] == [2, 1]
+
+    vac = _run(capsys, ["snapshot", "vacuum", "--table", table, "--keep-last", "1"])
+    assert vac["kept"] == [2] and len(vac["deleted_manifests"]) == 1
+
+    from haf_plug_play_spark.runner import snapshots as sn
+
+    assert sn.read_snapshot(spark, table).count() == 200

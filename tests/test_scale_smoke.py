@@ -234,3 +234,68 @@ def test_boilerplate_beyond_cap_caught_by_pipeline(spark):
     assert exact_dedup(docs, ["text"], "doc_id").filter(
         (F.col("doc_id") > 0) & (F.col("doc_id") < n_copies)
     ).count() == 0
+
+
+def test_segment_dedup_survives_hot_segment_skew(spark, corpus):
+    """Every doc carrying the corpus-hot stop phrase shares its segments —
+    the hot-key shape for the per-segment group-by. The min(struct) winner
+    partial-aggregates map-side (plan-tested in test_plans), so the op must
+    complete AND produce the analytic answer: the stop phrase occupies the
+    same word positions in every carrier, so carriers lose those duplicated
+    segments while every doc's unique head segments survive."""
+    from haf_plug_play_spark.ext import dedup
+
+    out = dedup.segment_dedup(corpus, seg_words=10).localCheckpoint()
+    assert out.count() == N_UNIQUE + 2 * N_GROUPS  # full-corpus census
+    # every unique BASE doc keeps its 2 head segments (20 unique words);
+    # only hot-phrase TAIL segments (offsets 20+) can be deduplicated.
+    # (The planted copies legitimately shrink: exact copies empty out,
+    # near-dups keep only their extra-word tail segment.)
+    shorted = out.filter(
+        (F.col("doc_id") < N_UNIQUE) & (F.col("n_kept") < 2)
+    ).count()
+    assert shorted == 0
+    # the planted exact copies (doc_id in [N_UNIQUE, N_UNIQUE+N_GROUPS))
+    # duplicate base docs 0..99 byte-for-byte -> all their segments lose
+    # first-occurrence and the copy is fully emptied
+    emptied = out.filter(
+        (F.col("doc_id") >= N_UNIQUE)
+        & (F.col("doc_id") < N_UNIQUE + N_GROUPS)
+        & (F.col("n_kept") == 0)
+    ).count()
+    assert emptied == N_GROUPS
+
+
+def test_semantic_dedup_recall_on_clustered_corpus(spark):
+    """SemDeDup on data shaped like real embeddings (clustered, not
+    isotropic): 2k vectors in 10 gaussian direction-clusters + 100 planted
+    scaled copies. Every planted copy shares its original's direction, so
+    spherical cells MUST co-locate the pair and the copy must drop —
+    recall 1.0 for exact duplicates, by construction, at any cell count."""
+    import numpy as np
+
+    from haf_plug_play_spark.ext import dedup
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 32))
+    base = np.vstack(
+        [c + rng.normal(scale=0.3, size=(200, 32)) for c in centers]
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # planted: 100 scaled copies (same direction, 3x magnitude)
+    rows += [
+        (10_000 + i, [float(x * 3.0) for x in base[i]]) for i in range(100)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32).localCheckpoint()
+
+    out = dedup.semantic_dedup(
+        emb, threshold=0.999999, n_centroids=16, dim=32
+    ).localCheckpoint()
+    assert out.count() == 2100
+    planted = out.filter(F.col("vec_id") >= 10_000)
+    assert planted.filter(F.col("keep")).count() == 0  # every copy dropped
+    # cells reflect the clustered geometry: no single cell swallowed all
+    occ = out.groupBy("cell").count().agg(F.max("count")).first()[0]
+    assert occ < 2100
