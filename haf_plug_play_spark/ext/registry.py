@@ -640,6 +640,88 @@ def xd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_dedup(_planted_corpus(emb), threshold=0.95).orderBy("vec_id")
 
 
+def _html_wrapped(docs: DataFrame) -> DataFrame:
+    """Deterministic HTML-bearing fixture column (the corpus is plain
+    text): wrap every document in tags + entities derived from doc_id,
+    identically in the oracle SQL, so the strip operator must remove
+    exactly those."""
+    t = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p class="b">'),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;kept&gt;</p><br/></div>"),
+    )
+    return docs.select("doc_id", t.alias("html_text"))
+
+
+def xt_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return xt.strip_html(_html_wrapped(docs), text_col="html_text").orderBy("doc_id")
+
+
+def xa_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting per source slice — the report a mixing/packing
+    pipeline is steered by: document and token totals, exact median
+    tokens, mean quality score. One keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = xt.n_tokens_ws(F.col("text"))
+    q = (
+        F.log(F.lit(1) + toks)
+        * (F.lit(1) - F.regexp_count(F.col("text"), F.lit(r"[^a-zA-Z0-9\s]")) / F.length("text"))
+    )
+    # mean over doubles would hit partial-agg reassociation (module
+    # docstring of queries/advanced.py): round per row to 6 dp, sum
+    # EXACTLY in decimal, divide once — identical IEEE sequence in DuckDB
+    qd = F.round(q, 6).cast("decimal(18,6)")
+    return (
+        docs.select("source", toks.alias("_t"), qd.alias("_q"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("total_tokens"),
+            F.round(F.expr("percentile(_t, 0.5)"), 6).alias("p50_tokens"),
+            F.round(F.sum("_q").cast("double") / F.count("*"), 6).alias("mean_q_score"),
+        )
+        .orderBy("source")
+    )
+
+
+_HTML_AUG_SQL = (
+    "'<div id=\"d' || doc_id || '\"><p class=\"b\">' || text || "
+    "' &amp; tail &lt;kept&gt;</p><br/></div>'"
+)
+
+
+def _strip_html_sql() -> str:
+    clean = f"regexp_replace(t, '{xt.HTML_TAG_RE}', ' ', 'g')"
+    for ent, ch in xt.HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{ch_sql}')"
+    clean = rf"trim(regexp_replace({clean}, '\s+', ' ', 'g'))"
+    return (
+        f"WITH p AS (SELECT doc_id, {_HTML_AUG_SQL} AS t FROM documents) "
+        f"SELECT doc_id, len(regexp_extract_all(t, '{xt.HTML_TAG_RE}')) AS n_tags, "
+        f"{clean} AS clean_text FROM p ORDER BY doc_id"
+    )
+
+
+def _corpus_stats_sql() -> str:
+    toks = "(length(text) - length(replace(text, ' ', '')) + 1)"
+    q = (
+        f"ln(1 + {toks}) * "
+        r"(1 - len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) / length(text))"
+    )
+    return (
+        f"SELECT source, count(*) AS n_docs, "
+        f"CAST(sum({toks}) AS BIGINT) AS total_tokens, "
+        f"round(quantile_cont({toks}, 0.5), 6) AS p50_tokens, "
+        f"round(CAST(sum(CAST(round({q}, 6) AS DECIMAL(18,6))) AS DOUBLE) "
+        "/ count(*), 6) AS mean_q_score "
+        "FROM documents GROUP BY 1 ORDER BY 1"
+    )
+
+
 _PII_AUG_SQL = (
     "text || ' u' || doc_id || '@example.org 10.0.' || (doc_id % 250) || "
     "'.7 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
@@ -766,6 +848,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-pii-scrub": xt_pii_scrub,
     "XD-seg-dedup": xd_seg_dedup,
     "XD-semantic": xd_semantic,
+    "XT-strip-html": xt_strip_html,
+    "XA-corpus-stats": xa_corpus_stats,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -799,6 +883,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-pii-scrub": _pii_sql(),
     "XD-seg-dedup": _seg_dedup_sql(10),
     "XD-semantic": _semantic_sql(0.95),
+    "XT-strip-html": _strip_html_sql(),
+    "XA-corpus-stats": _corpus_stats_sql(),
     "XT-langid": (
         f"SELECT doc_id, {_langid_case_sql()} AS lang_pred FROM documents ORDER BY doc_id"
     ),

@@ -283,3 +283,35 @@ def pii_scrub(
         F.regexp_count(text, F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+# --------------------------------------------------------------- HTML strip
+
+HTML_TAG_RE = r"<[^>]+>"
+# order matters: tags are stripped FIRST, then entities unescaped —
+# unescaping first would mint fake tags out of &lt;…&gt;
+HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"))
+
+
+def strip_html(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """HTML-to-text for crawled corpora: drop tags, unescape the common
+    entities, collapse whitespace. ``n_tags`` audits what was removed
+    (counted on the original text). Pure per-row codegen — zero shuffles,
+    one mapper pass at any scale, same posture as pii_scrub.
+
+    Entity order is load-bearing: ``&amp;`` is unescaped LAST so
+    ``&amp;lt;`` decodes to the literal text ``&lt;`` (one level), not
+    ``<`` (double-decode) — the standard single-pass contract.
+    """
+    text = F.col(text_col)
+    clean = F.regexp_replace(text, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(HTML_TAG_RE)).cast("long").alias("n_tags"),
+        clean.alias("clean_text"),
+    )

@@ -598,3 +598,24 @@ def test_repetition_signals_crafted(spark):
     r = xt.repetition_signals(df, n=3).collect()[0]
     assert abs(r.top_word_frac - round(3 / 9, 6)) < 1e-9
     assert abs(r.dup_ngram_frac - round(6 / 7, 6)) < 1e-9
+
+
+def test_strip_html_crafted(spark):
+    """Tag strip + single-pass entity decode: &amp;lt; must become the
+    LITERAL text &lt; (one level), never < (double decode)."""
+    from haf_plug_play_spark.ext import text as xt
+
+    df = spark.createDataFrame(
+        [
+            (1, '<a href="x">link</a> text &amp; more'),
+            (2, "no markup"),
+            (3, "x &amp;lt; y and &lt;tag&gt; stays text"),
+            (4, "<p>a</p><p>b</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in xt.strip_html(df).collect()}
+    assert rows[1].clean_text == "link text & more" and rows[1].n_tags == 2
+    assert rows[2].clean_text == "no markup" and rows[2].n_tags == 0
+    assert rows[3].clean_text == "x &lt; y and <tag> stays text"
+    assert rows[4].clean_text == "a b" and rows[4].n_tags == 4
