@@ -639,38 +639,13 @@ def semantic_dedup(
 
     Output: (id_col, cell, keep) for EVERY input vector.
     """
-    from haf_plug_play_spark.ext.similarity import _seed_unit_centroids, dot
+    from haf_plug_play_spark.ext.similarity import cell_staged, dot
 
-    cents = _seed_unit_centroids(dim, n_centroids, seed)
-    # No materialized unit vectors: cell scores use c·c − 2·(v·c)/‖v‖ (the
-    # spherical assignment, algebraically argmin-identical to assigning the
-    # unit vector) and the pair check uses dot(vx,vy)/(‖vx‖·‖vy‖) — so the
-    # per-row cost is k+1 dot products, with NO per-element division pass.
-    # A `transform(v, x -> x/‖v‖)` formulation is a trap here:
-    # CollapseProject inlines a once-referenced norm alias INTO the lambda,
-    # where "once" textually is dim× at runtime — O(dim²) per row (measured
-    # 20 s → 3 s at sf0.1). ‖v‖ stays a named column; it is referenced k+1
-    # times downstream, which is exactly what keeps it un-collapsed.
-    staged = emb.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select(
-        id_col, "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n")
-    )
-    scores = F.array(
-        *[
-            F.lit(sum(c * c for c in cent))
-            - F.lit(2.0)
-            * dot(F.col("_v"), F.array(*[F.lit(float(c)) for c in cent]))
-            / F.col("_n")
-            for cent in cents
-        ]
-    )
-    a = staged.select(
-        F.col(id_col),
-        "_v",
-        "_n",
-        F.array_position(scores, F.array_min(scores)).cast("int").alias("cell"),
-    )
+    # Spherical cell assignment with no materialized unit vectors (the
+    # CollapseProject-into-lambda O(dim²) trap and its fix are documented
+    # on similarity.cell_staged, which this shares with the k-NN join);
+    # the pair check below divides the raw dot by the norms once per pair.
+    a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim)
     x, y = a.alias("x"), a.alias("y")
     dropped = (
         x.join(

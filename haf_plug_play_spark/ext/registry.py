@@ -722,6 +722,59 @@ def _corpus_stats_sql() -> str:
     )
 
 
+def xp_pipeline3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third composed pipeline — the RefinedWeb-ish segment-level chain the
+    r4 operators enable: corpus-segment dedup → Gopher gates on the CLEANED
+    text → token-budget packing per source. One Catalyst plan; the joins
+    are doc_id equi-joins (AQE-broadcast at fixture scale), the dedup and
+    packing shuffles are the operators' own."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    cleaned = dedup.segment_dedup(docs, seg_words=10)
+    kept = cleaned.where(F.col("n_kept") > 0).select(
+        "doc_id", "n_kept", F.col("clean_text").alias("text")
+    )
+    gates = xt.gopher_gates(kept.select("doc_id", "text"))
+    merged = (
+        kept.join(gates, "doc_id")
+        .where(F.col("g_pass"))
+        .join(load_table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
+        .withColumnRenamed("g_n_words", "n_tok")
+    )
+    return (
+        sampling.pack_chunks(merged, ["source"], "n_tok", budget=1024, order_col="doc_id")
+        .select("doc_id", "source", "n_kept", "n_tok", "chunk_offset", "chunk_id")
+        .orderBy("doc_id")
+    )
+
+
+def _pipeline3_sql() -> str:
+    stop = ", ".join(repr(w) for w in xt.LANG_STOPWORDS["en"])
+    ws = "string_split(text, ' ')"
+    return (
+        f"WITH seg AS (SELECT * FROM ({_seg_dedup_sql(10)})), "
+        "kept AS (SELECT doc_id, n_kept, clean_text AS text FROM seg WHERE n_kept > 0), "
+        f"g AS (SELECT doc_id, n_kept, len({ws}) AS n_tok, "
+        "length(text) AS n_chars, "
+        f"len(list_intersect(string_split(lower(text), ' '), [{stop}])) AS stop_hits, "
+        f"len(list_filter({ws}, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha "
+        "FROM kept), "
+        "gated AS (SELECT doc_id, n_kept, n_tok FROM g WHERE "
+        "n_tok >= 50 AND n_tok <= 100000 "
+        "AND round((n_chars - (n_tok - 1)) / n_tok, 6) >= 3.0 "
+        "AND round((n_chars - (n_tok - 1)) / n_tok, 6) <= 10.0 "
+        "AND round(n_alpha / n_tok, 6) > 0.8 AND stop_hits >= 2), "
+        "j AS (SELECT gated.*, d.source FROM gated JOIN documents d USING (doc_id)), "
+        "packed AS (SELECT doc_id, source, n_kept, n_tok, "
+        "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS chunk_offset FROM j) "
+        "SELECT doc_id, source, n_kept, n_tok, chunk_offset, "
+        "CAST(floor(chunk_offset / 1024) AS BIGINT) AS chunk_id "
+        "FROM packed ORDER BY doc_id"
+    )
+
+
 _PII_AUG_SQL = (
     "text || ' u' || doc_id || '@example.org 10.0.' || (doc_id % 250) || "
     "'.7 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
@@ -797,6 +850,29 @@ def _seg_dedup_sql(w: int = 10) -> str:
     ).replace("FROM d2", "FROM documents")
 
 
+def xs_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk k-NN join: top-5 cell-local cosine neighbors for EVERY vector
+    (similarity.knn_join_cells) — the all-rows retrieval primitive beside
+    the single-query top-k family."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return similarity.knn_join_cells(emb, k=5).orderBy("vec_id", "rk")
+
+
+def _knn_sql(k: int = 5, n_centroids: int = 8, seed: int = 7, dim: int = 64) -> str:
+    return (
+        f"WITH s AS (SELECT vec_id, {_VD} AS v FROM embeddings), "
+        "n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM s), "
+        f"a AS (SELECT vec_id, v, n, {_cell_sql(n_centroids, seed, dim)} AS cell FROM n), "
+        "p AS (SELECT x.vec_id AS vec_id, y.vec_id AS nbr_id, "
+        "round(list_dot_product(x.v, y.v) / (x.n * y.n), 6) AS cosine "
+        "FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cosine DESC, nbr_id) AS rk FROM p) "
+        f"SELECT vec_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k} "
+        "ORDER BY vec_id, rk"
+    )
+
+
 def _cell_sql(n_centroids: int, seed: int, dim: int) -> str:
     """Spherical-assignment cell with the engine's seeded centroid
     literals: first-of-min over the same c·c − 2·(v·c)/‖v‖ scores, in the
@@ -850,6 +926,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-semantic": xd_semantic,
     "XT-strip-html": xt_strip_html,
     "XA-corpus-stats": xa_corpus_stats,
+    "XP-pipeline3": xp_pipeline3,
+    "XS-knn": xs_knn,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -885,6 +963,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-semantic": _semantic_sql(0.95),
     "XT-strip-html": _strip_html_sql(),
     "XA-corpus-stats": _corpus_stats_sql(),
+    "XP-pipeline3": _pipeline3_sql(),
+    "XS-knn": _knn_sql(5),
     "XT-langid": (
         f"SELECT doc_id, {_langid_case_sql()} AS lang_pred FROM documents ORDER BY doc_id"
     ),

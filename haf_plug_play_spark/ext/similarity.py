@@ -187,3 +187,89 @@ def ivf_topk(
         "_c", nearest_centroid(F.col(vec_col).cast("array<double>"), cents)
     ).filter(F.col("_c").isin(probes))
     return cosine_topk(v, query_vec, k, id_col, vec_col)
+
+
+def cell_staged(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, _v raw double vector, _n norm, cell) with SPHERICAL cell
+    assignment over the seeded unit centroids — the shared blocking stage
+    for cell-local operators (semantic dedup, k-NN join).
+
+    Scores are c·c − 2·(v·c)/‖v‖: argmin-identical to assigning the unit
+    vector, with no per-element normalization pass. ‖v‖ is a named column
+    referenced k+1 times downstream — the double reference is what stops
+    CollapseProject from inlining it into a lambda (the O(dim²)/row trap
+    documented in ext/dedup.py:semantic_dedup)."""
+    cents = _seed_unit_centroids(dim, n_centroids, seed)
+    staged = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(id_col, "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
+    scores = F.array(
+        *[
+            F.lit(sum(c * c for c in cent))
+            - F.lit(2.0)
+            * dot(F.col("_v"), F.array(*[F.lit(float(c)) for c in cent]))
+            / F.col("_n")
+            for cent in cents
+        ]
+    )
+    return staged.select(
+        F.col(id_col),
+        "_v",
+        "_n",
+        F.array_position(scores, F.array_min(scores)).cast("int").alias("cell"),
+    )
+
+
+def knn_join_cells(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Bulk k-NN join: for EVERY vector, its top-k cosine neighbors within
+    its spherical cell — the all-rows twin of ivf_topk's single-query probe
+    and the retrieval primitive for corpus-level semantic linking.
+
+    IVF-local semantics, stated not hidden: candidates come from the
+    vector's own cell only (n_probe=1 in IVF terms), so a true neighbor in
+    an adjacent cell is missed — the standard recall/cost dial; raise
+    n_centroids with corpus size to keep cells bounded and add probes when
+    recall demands it. The pair space is an equi-join on the cell key
+    (≈ n²/k_cells pairs, never all-pairs), and the top-k is a per-vector
+    window AFTER the cell shuffle — no global sort.
+
+    Output: (id_col, nbr_id, cosine, rk) with rk 1..k, ties broken by
+    (cosine desc, nbr_id asc), deterministic."""
+    a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim)
+    x, y = a.alias("x"), a.alias("y")
+    cos = F.round(
+        dot(F.col("x._v"), F.col("y._v")) / (F.col("x._n") * F.col("y._n")), 6
+    )
+    pairs = x.join(
+        y,
+        (F.col("x.cell") == F.col("y.cell"))
+        & (F.col(f"x.{id_col}") != F.col(f"y.{id_col}")),
+    ).select(
+        F.col(f"x.{id_col}").alias(id_col),
+        F.col(f"y.{id_col}").alias("nbr_id"),
+        cos.alias("cosine"),
+    )
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy(id_col).orderBy(F.desc("cosine"), "nbr_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= k)
+        # BIGINT rank: Spark row_number is INT, SQL engines rank in BIGINT
+        .select(id_col, "nbr_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )

@@ -224,32 +224,45 @@ def repetition_signals(
     any document length, and safe for the multi-thousand-word documents
     a real corpus contains.
     """
+    # ONE tagged token stream: unigrams (kind 'w') and the raw n-gram
+    # SEQUENCE (kind 'g', duplicates kept, one gram per start position —
+    # the winnowing construction) concatenated per row and exploded once.
+    # Both signals then fall out of a single (doc, kind, token) count and a
+    # single per-doc conditional aggregation: 2 shuffles total instead of
+    # the 4-shuffles-plus-join of aggregating each token kind separately.
     words = F.split(F.lower(F.col(text_col)), " ")
-    wc = (
-        df.select(F.col(id_col), F.explode(words).alias("w"))
-        .groupBy(id_col, "w")
+
+    def tagged(ws: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+        return F.concat(
+            F.transform(ws, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("tok"))),
+            F.transform(
+                grams, lambda g: F.struct(F.lit("g").alias("kind"), g.alias("tok"))
+            ),
+        )
+
+    # let-bind the word array (word_shingles pattern) so the gram slices
+    # don't re-split the text per position
+    stream = F.get(F.transform(F.array(words), tagged), 0)
+    tc = (
+        df.select(F.col(id_col), F.explode(stream).alias("t"))
+        .groupBy(id_col, "t.kind", "t.tok")
         .agg(F.count("*").alias("c"))
     )
-    top = wc.groupBy(id_col).agg(
-        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac")
-    )
-    # the raw n-gram SEQUENCE (duplicates kept): same construction as the
-    # winnowing shingle pass, one gram per start position
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    gc = (
-        df.select(F.col(id_col), F.explode(grams).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count("*").alias("c"))
-    )
-    dup = gc.groupBy(id_col).agg(
+    is_w = F.col("kind") == "w"
+    return tc.groupBy(id_col).agg(
         F.round(
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-            / F.sum("c"),
+            F.max(F.when(is_w, F.col("c")).otherwise(F.lit(0)))
+            / F.sum(F.when(is_w, F.col("c")).otherwise(F.lit(0))),
             6,
-        ).alias("dup_ngram_frac")
+        ).alias("top_word_frac"),
+        F.round(
+            F.sum(F.when(~is_w & (F.col("c") > 1), F.col("c")).otherwise(F.lit(0)))
+            / F.sum(F.when(~is_w, F.col("c")).otherwise(F.lit(0))),
+            6,
+        ).alias("dup_ngram_frac"),
     )
-    return top.join(dup, id_col)
 
 
 # ---------------------------------------------------------------- PII scrub

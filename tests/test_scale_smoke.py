@@ -299,3 +299,27 @@ def test_semantic_dedup_recall_on_clustered_corpus(spark):
     # cells reflect the clustered geometry: no single cell swallowed all
     occ = out.groupBy("cell").count().agg(F.max("count")).first()[0]
     assert occ < 2100
+
+
+def test_knn_join_finds_planted_copies(spark):
+    """On the clustered corpus every scaled copy's rank-1 neighbor must be
+    its original at cosine 1.0 (same direction → same cell → top of the
+    within-cell ranking), and vice versa."""
+    import numpy as np
+
+    from haf_plug_play_spark.ext import similarity
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 32))
+    base = np.vstack([c + rng.normal(scale=0.3, size=(100, 32)) for c in centers])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(10_000 + i, [float(x * 2.0) for x in base[i]]) for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(32).localCheckpoint()
+
+    knn = similarity.knn_join_cells(emb, k=3, n_centroids=16, dim=32)
+    top1 = {r.vec_id: r for r in knn.filter(F.col("rk") == 1).collect()}
+    for i in range(50):
+        assert top1[10_000 + i].nbr_id == i and top1[10_000 + i].cosine == 1.0
+        assert top1[i].nbr_id == 10_000 + i and top1[i].cosine == 1.0
