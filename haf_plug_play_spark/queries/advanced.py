@@ -419,6 +419,26 @@ def qad2_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx6_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface (SURVEY §2.7 array/map/JSON): parse the
+    event props JSON into map<string,int>, then key enumeration
+    (map_keys), direct element access, and a containment flag — the map
+    operations a schemaless-properties table needs. All codegen; the JSON
+    parse happens once per row in the projection."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        ev.select("event_id", m.alias("m"))
+        .select(
+            "event_id",
+            F.array_join(F.array_sort(F.map_keys(F.col("m"))), ",").alias("prop_keys"),
+            F.col("m")["k"].alias("k_value"),
+            F.map_contains_key(F.col("m"), F.lit("missing")).alias("has_missing"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def qw4_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) window aggregation: 10-minute windows every
     5 minutes, so each event lands in exactly two windows. Spark's
@@ -578,6 +598,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QAD2-approx-quantile": qad2_approx_quantile,
     "QSS-stream-dedup": qss_stream_dedup,
     "QSJ-stream-join": qsj_stream_join,
+    "QX6-map": qx6_map,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -683,6 +704,11 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, min(ts) AS s_start, "
         "max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n_events "
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"
+    ),
+    "QX6-map": (
+        "SELECT event_id, array_to_string(json_keys(props), ',') AS prop_keys, "
+        "CAST(props->>'k' AS INTEGER) AS k_value, "
+        "false AS has_missing FROM events ORDER BY event_id"
     ),
     "QAD2-approx-quantile": (
         "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50_exact, "

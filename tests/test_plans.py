@@ -240,3 +240,13 @@ def test_sliding_window_single_pass(spark):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan[:2000]
     assert "Expand" in plan  # per-row window assignment, not a scan union
     assert "Union" not in plan
+
+
+def test_knn_join_cell_equi_join(spark):
+    """The k-NN join's pair space must be an equi-join on the cell key and
+    the ranking a per-vector window — no nested-loop, no global sort
+    before the window."""
+    plan = _plan(EXT_QUERIES["XS-knn"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Window" in plan
