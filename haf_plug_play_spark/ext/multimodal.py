@@ -137,6 +137,9 @@ def attach_fake_media(documents: DataFrame, width: int = 16, height: int = 16) -
                 }
             )
 
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(documents.sparkSession)
     return documents.select("doc_id").mapInPandas(
         _attach, "media_id long, kind string, content binary"
     )
@@ -185,6 +188,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 out, columns=["media_id", "format", "width", "height", "n_pixels"]
             )
 
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "content").mapInPandas(_decode, DECODED_SCHEMA)
 
 
@@ -205,6 +211,9 @@ def byte_histogram(media: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["media_id", "histogram"])
 
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "content").mapInPandas(_hist, HIST_SCHEMA)
 
 
@@ -260,6 +269,9 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 rows.append((mid, out_w, out_h, body))
             yield pd.DataFrame(rows, columns=["media_id", "width", "height", "content"])
 
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "content").mapInPandas(_resize, RESIZED_SCHEMA)
 
 
@@ -290,6 +302,9 @@ def image_features(media: DataFrame, grid: int = 4) -> DataFrame:
                 rows.append((mid, float(px.mean()), float(px.std()), emb.tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "px_mean", "px_std", "embedding"])
 
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "content").mapInPandas(_features, FEATURES_SCHEMA)
 
 
@@ -312,4 +327,7 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                         rows.append((mid, i, chunk))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "content").mapInPandas(_frames, FRAME_SCHEMA)

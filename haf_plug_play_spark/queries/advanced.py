@@ -419,6 +419,67 @@ def qad2_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qsa_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING under the oracle gate: the
+    applyInPandasWithState per-user running aggregation
+    (streaming/stateful.py — the Structured Streaming form of the
+    reference's ordered stateful apply, T5) replayed over the events file
+    stream; its final per-user state must equal the batch group-by. The
+    fourth streaming execution mode verified against a hard batch oracle
+    (QST windowed agg, QSS dedup, QSJ stream-stream join, QSA custom
+    state).
+
+    Only the integer outputs (event count, last event id) enter the gate:
+    the float total accumulates via pandas pairwise summation inside the
+    state handler, which is NOT the oracle's sequential order — asserting
+    it would test summation order, not the operator. The float path is
+    covered by the module's own equivalence test instead.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from haf_plug_play_spark.streaming.stateful import running_user_state
+
+    schema = load_table(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="qsa_events_")
+    try:
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(d)
+        st = running_user_state(src)
+        name = f"qsa_stream_stateful_{abs(hash(d)) % 10_000_000}"
+        q = (
+            st.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "qsa_stream_stateful: streaming replay did not finish within 300 s"
+                )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    # update mode emits one row per user per batch; counts are monotone, so
+    # max() selects the final state whatever the batch split was
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def qx6_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-typed column surface (SURVEY §2.7 array/map/JSON): parse the
     event props JSON into map<string,int>, then key enumeration
@@ -599,6 +660,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QSS-stream-dedup": qss_stream_dedup,
     "QSJ-stream-join": qsj_stream_join,
     "QX6-map": qx6_map,
+    "QSA-stream-stateful": qsa_stream_stateful,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -704,6 +766,10 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT user_id, min(ts) AS s_start, "
         "max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n_events "
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"
+    ),
+    "QSA-stream-stateful": (
+        "SELECT user_id, count(*) AS n_events, max(event_id) AS last_event_id "
+        "FROM events GROUP BY 1 ORDER BY 1"
     ),
     "QX6-map": (
         "SELECT event_id, array_to_string(json_keys(props), ',') AS prop_keys, "

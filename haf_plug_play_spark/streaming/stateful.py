@@ -22,27 +22,35 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n long, total double, last_id long"
 
 
-def _update(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total, last_id = state.get if state.exists else (0, 0.0, -1)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max = int(pdf["event_id"].max())
-        last_id = max(last_id, batch_max)
-    state.update((n, total, last_id))
-    yield pd.DataFrame(
-        [(user_id, n, round(total, 6), last_id)],
-        columns=["user_id", "n_events", "total_value", "last_event_id"],
-    )
-
-
 def running_user_state(events: DataFrame) -> DataFrame:
-    """Per-user running aggregates as a stateful stream (update mode)."""
+    """Per-user running aggregates as a stateful stream (update mode).
+
+    The state handler is a CLOSURE, deliberately: cloudpickle serializes a
+    nested function by value, so executors never need this package on
+    their own sys.path. A module-level handler pickles by (module, name)
+    reference and dies with ModuleNotFoundError the moment the driver
+    process runs from outside the repo — exactly how the correctness
+    driver invokes the engine (caught by the vanilla-session verify
+    sweep; the same rule the mapInPandas operators already follow)."""
+
+    def _update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total, last_id = state.get if state.exists else (0, 0.0, -1)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = int(pdf["event_id"].max())
+            last_id = max(last_id, batch_max)
+        state.update((n, total, last_id))
+        yield pd.DataFrame(
+            [(user_id, n, round(total, 6), last_id)],
+            columns=["user_id", "n_events", "total_value", "last_event_id"],
+        )
+
     return (
         events.select("user_id", "event_id", "value")
         .groupBy("user_id")
