@@ -389,26 +389,27 @@ def embedding_cosine_pairs(
     boundary pairs aren't lost), then exact cosine verification — no false
     positives; recall is property-tested on clustered data.
     """
-    from haf_plug_play_spark.ext.similarity import cosine, hyperplane_bucket, norm
+    from haf_plug_play_spark.ext.similarity import dot, hyperplane_bucket
 
-    # normalize against a once-computed norm column (an inline per-element
-    # norm expression would re-evaluate the O(dim) fold per element)
-    v = (
-        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .withColumn("_n", norm(F.col("_v")))
-        .select("_id", F.transform("_v", lambda x: x / F.col("_n")).alias("u"))
-    )
+    # NO materialized unit vectors (the CollapseProject-into-lambda O(dim²)
+    # trap, measured and documented on similarity.cell_staged): buckets use
+    # sign(v·plane), which equals sign(u·plane) because ‖v‖ > 0, and the
+    # exact verify divides the raw dot by the once-computed norms. The
+    # oracle mirrors this op order (registry._cosine_pairs_sql renorm=True).
+    v = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select("_id", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
     # dim must match the vectors: mismatched hyperplanes null out every dot
     # product and collapse all rows into one bucket (silent O(n²) cross)
     #
     # The bucket join + multi-probe explode + distinct all run over (id,
-    # bucket) pairs ONLY — 16 bytes/row. Carrying the unit vectors through
+    # bucket) pairs ONLY — 16 bytes/row. Carrying the vectors through
     # the ×(n_planes+1) probe explode and hashing them in the distinct
     # (the r2 formulation) shuffles ~dim·8·(n_planes+1) bytes per row and
     # makes the dedup hash O(dim); at 10⁹×768-dim that's the difference
     # between a 32 GB and a 55 TB candidate shuffle. Vectors are attached
     # to the (far smaller) deduped candidate set by two equi-joins.
-    bucketed = v.withColumn("b", hyperplane_bucket(F.col("u"), n_planes, seed, dim)).select(
+    bucketed = v.withColumn("b", hyperplane_bucket(F.col("_v"), n_planes, seed, dim)).select(
         "_id", "b"
     )
     probes = bucketed.select(
@@ -423,11 +424,16 @@ def embedding_cosine_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("_id").alias("id_a"), F.col("u").alias("u_a"))
-    vb = v.select(F.col("_id").alias("id_b"), F.col("u").alias("u_b"))
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("v_a"), F.col("_n").alias("n_a"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("v_b"), F.col("_n").alias("n_b"))
     return (
         cand.join(va, "id_a").join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("u_a"), F.col("u_b")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -486,24 +486,38 @@ _PLANTED_CTE = (
 )
 
 
+# Planted corpus carrying raw vectors + their norms — the LSH verify's op
+# order (dot(v_a,v_b)/(n_a·n_b), no materialized unit vectors: the engine
+# dropped those to dodge the CollapseProject-into-lambda O(dim²) trap).
+_PLANTED_VN_CTE = (
+    f"corpus AS (SELECT vec_id, {_VD} AS v FROM embeddings "
+    f"UNION ALL SELECT vec_id + 1000000 AS vec_id, "
+    f"list_transform({_VD}, x -> x * 2) AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM corpus)"
+)
+
+
 def _cosine_pairs_sql(cte: str, threshold: float, renorm: bool) -> str:
-    """All-pairs exact cosine over normalized vectors (quadratic — oracle
-    only; the engine's block multiply / LSH produce the identical set).
+    """All-pairs exact cosine (quadratic — oracle only; the engine's block
+    multiply / LSH produce the identical set).
 
     ``renorm`` mirrors the engine's op order exactly: the block-multiply
-    path rounds the unit-vector dot directly (renorm=False), the LSH verify
-    divides by the ≈1.0 unit norms first (renorm=True, similarity.cosine).
-    """
+    path rounds the unit-vector dot directly (renorm=False over the
+    normalized ``u`` CTE), the LSH verify divides the raw dot by the
+    once-computed norms (renorm=True over the ``s`` v+n CTE)."""
     if renorm:
-        cos = (
-            "round(list_dot_product(a.u, b.u) / "
-            "(sqrt(list_dot_product(a.u, a.u)) * sqrt(list_dot_product(b.u, b.u))), 6)"
+        return (
+            f"WITH {cte}, p AS ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_dot_product(a.v, b.v) / (a.n * b.n), 6) AS cosine "
+            "FROM s a JOIN s b ON a.vec_id < b.vec_id) "
+            f"SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold} "
+            "ORDER BY id_a, id_b"
         )
-    else:
-        cos = "round(list_dot_product(a.u, b.u), 6)"
     return (
         f"WITH {cte}, p AS ("
-        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(list_dot_product(a.u, b.u), 6) AS cosine "
         "FROM u a JOIN u b ON a.vec_id < b.vec_id) "
         f"SELECT id_a, id_b, cosine FROM p WHERE cosine >= {threshold} "
         "ORDER BY id_a, id_b"
@@ -1059,7 +1073,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XS-ann-lsh": _ann_lsh_sql(_QUERY_VEC, 10),
     "XS-ivf": _ivf_sql(_QUERY_VEC, 10),
     "XD-embcos-pairs": _cosine_pairs_sql(_UNIT_CTE, 0.4, renorm=False),
-    "XD-embcos-lsh": _cosine_pairs_sql(_PLANTED_CTE, 0.9, renorm=True),
+    "XD-embcos-lsh": _cosine_pairs_sql(_PLANTED_VN_CTE, 0.9, renorm=True),
     "XD-cluster": _cluster_sql(),
     "XA-sample-hash": (
         "SELECT doc_id, lang, source FROM documents "
