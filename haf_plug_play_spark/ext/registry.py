@@ -477,15 +477,6 @@ _UNIT_CTE = (
     f"FROM (SELECT vec_id, {_VD} AS v FROM embeddings))"
 )
 
-_PLANTED_CTE = (
-    f"corpus AS (SELECT vec_id, {_VD} AS v FROM embeddings "
-    f"UNION ALL SELECT vec_id + 1000000 AS vec_id, "
-    f"list_transform({_VD}, x -> x * 2) AS v FROM embeddings), "
-    "u AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u "
-    "FROM corpus)"
-)
-
-
 # Planted corpus carrying raw vectors + their norms — the LSH verify's op
 # order (dot(v_a,v_b)/(n_a·n_b), no materialized unit vectors: the engine
 # dropped those to dodge the CollapseProject-into-lambda O(dim²) trap).
