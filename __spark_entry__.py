@@ -35,7 +35,7 @@ _ROTATED_BACK = [
     # canonical, driver-green r1+r2+r3
     "QS3-catalog", "QF1-inlist", "QF5-temporal-flag", "QF7-branch",
     "QP3-elem-at", "QX5-hex", "QX9-interval", "QE3-toklen",
-    "QX1-json", "QX2-unnest", "QO2-latestk", "QE1-dedup", "QT7-first-wins", "QO3-replay-order", "QJ2-inner-single", "QS1-scan-range", "QS2-head-probe",
+    "QX1-json", "QX2-unnest", "QO2-latestk", "QE1-dedup", "QT7-first-wins", "QO3-replay-order", "QJ2-inner-single", "QS1-scan-range", "QS2-head-probe", "QW1-window",
     # extension, driver-green r1+r2+r3 (or r3 for tfidf/winnow)
     "XT-langid", "XT-quality", "XT-tokens", "XT-fingerprint", "XT-rollfp",
     "XT-tfidf", "XT-winnow", "XD-exact-census", "XD-ngram-jaccard",

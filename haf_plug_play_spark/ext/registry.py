@@ -566,6 +566,20 @@ def xa_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source").orderBy("doc_id")
 
 
+def xa_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: unique dense 1..n positions in
+    seeded-hash order, computed without a single-reducer global window
+    (ext/sampling.py:hash_shuffle)."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.hash_shuffle(docs, "doc_id", seed=7)
+        .select("doc_id", "pos")
+        .orderBy("doc_id")
+    )
+
+
 def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
     components → one canonical keeper per cluster (minimum doc_id), every
@@ -933,6 +947,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XA-corpus-stats": xa_corpus_stats,
     "XP-pipeline3": xp_pipeline3,
     "XS-knn": xs_knn,
+    "XA-shuffle": xa_shuffle,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -970,6 +985,11 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XA-corpus-stats": _corpus_stats_sql(),
     "XP-pipeline3": _pipeline3_sql(),
     "XS-knn": _knn_sql(5),
+    "XA-shuffle": (
+        "SELECT doc_id, CAST(row_number() OVER "
+        "(ORDER BY md5('7_' || doc_id), doc_id) AS BIGINT) AS pos "
+        "FROM documents ORDER BY doc_id"
+    ),
     "XT-langid": (
         f"SELECT doc_id, {_langid_case_sql()} AS lang_pred FROM documents ORDER BY doc_id"
     ),

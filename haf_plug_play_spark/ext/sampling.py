@@ -123,3 +123,46 @@ def weighted_mix(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
     return df.filter(_uniform(F.col(key_col), seed) < rate)
+
+
+def hash_shuffle(
+    df: DataFrame, key_col: str, seed: int = 7, prefix_chars: int = 2
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a unique
+    ``pos`` (1..n) in md5-hash order of its key — the reproducible "shuffle
+    the corpus before packing" primitive. A rerun, a repartition, or a
+    different cluster size produces the identical permutation.
+
+    Scale shape — a global row_number WITHOUT the single-reducer window:
+    rows are bucketed by the hash's ``prefix_chars``-char prefix (256
+    buckets by default), ranked per bucket (keyed window), and shifted by
+    the cumulative counts of lexicographically smaller buckets. The only
+    unkeyed window runs over the ≤ 16^prefix_chars bucket-count rows —
+    bounded by construction — and the offsets join is a broadcast.
+    Because the bucket prefix IS the hash's leading characters,
+    (bucket lex order, within-bucket hash order) equals global hash order
+    exactly, which is what the single-window DuckDB oracle checks.
+
+    Output: the input columns plus ``pos`` (BIGINT, 1-based, dense).
+    """
+    h = F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(key_col).cast("string")))
+    staged = df.withColumn("_h", h).withColumn(
+        "_b", F.substring("_h", 1, prefix_chars)
+    )
+    within = F.row_number().over(W.partitionBy("_b").orderBy("_h", key_col))
+    counts = staged.groupBy("_b").agg(F.count("*").alias("_c"))
+    offsets = counts.select(
+        "_b",
+        F.coalesce(
+            F.sum("_c").over(
+                W.orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    return (
+        staged.withColumn("_rn", within)
+        .join(F.broadcast(offsets), "_b")
+        .withColumn("pos", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_h", "_b", "_rn", "_off")
+    )

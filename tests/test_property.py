@@ -271,3 +271,88 @@ def test_pack_chunks_prefix_sum_property(spark, toks, budget):
         assert cid >= prev_chunk  # monotone
         prev_chunk = cid
         run += t
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(_TEXT_ALPHABET, min_size=1, max_size=60), min_size=1, max_size=20))
+def test_pii_scrub_idempotent(spark, texts):
+    """Scrubbing is a fixpoint: scrub(scrub(x)) == scrub(x) — the
+    placeholders must never re-match any PII pattern (a '<PHONE>'-shaped
+    artifact re-matching the phone regex would mean corrupted audits on
+    re-runs of a pipeline stage)."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext import text as xt
+
+    rows = [(i, t + " u@x.io 1.2.3.4 555-123-4567") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = xt.pii_scrub(df).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = xt.pii_scrub(once)
+    out = {r.doc_id: r for r in twice.collect()}
+    first = {r.doc_id: r for r in xt.pii_scrub(df).collect()}
+    for i in out:
+        assert out[i].clean_text == first[i].clean_text
+        assert (out[i].n_emails, out[i].n_ips, out[i].n_phones) == (0, 0, 0)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(st.sampled_from(list("ab ")), min_size=1, max_size=40),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_segment_dedup_census_invariants(spark, texts):
+    """On any corpus: (a) the census covers every doc; (b) each DISTINCT
+    segment text survives exactly once across the whole corpus; (c) kept
+    segment counts sum to the number of distinct segments."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext import dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    w = 3
+    out = dedup.segment_dedup(df, seg_words=w).collect()
+    assert len(out) == len(texts)
+    # recompute segments in python
+    def segs(t):
+        ws = t.split(" ")
+        return [
+            " ".join(ws[i : i + w]) for i in range(0, len(ws), w)
+        ]
+
+    distinct = set()
+    for t in texts:
+        distinct.update(segs(t))
+    assert sum(r.n_kept for r in out) == len(distinct)
+    # reassembled kept text = this doc's segments that won first occurrence
+    seen = set()
+    for i, t in enumerate(texts):
+        mine = [s for s in segs(t) if s not in seen and (seen.add(s) or True)]
+        got = next(r for r in out if r.doc_id == i)
+        assert got.clean_text == " ".join(mine), (t, got.clean_text)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n=st.integers(min_value=1, max_value=200), parts=st.integers(min_value=1, max_value=7))
+def test_hash_shuffle_is_partition_invariant_permutation(spark, n, parts):
+    """hash_shuffle must emit a dense 1..n permutation identical under any
+    partition layout (the reproducible-training-order contract)."""
+    from haf_plug_play_spark.ext import sampling
+
+    base = spark.range(n).selectExpr("id AS k")
+    a = {
+        r.k: r.pos
+        for r in sampling.hash_shuffle(base, "k").collect()
+    }
+    b = {
+        r.k: r.pos
+        for r in sampling.hash_shuffle(base.repartition(parts), "k").collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(1, n + 1))
