@@ -673,3 +673,61 @@ def semantic_dedup(
     return a.join(dropped, id_col, "left").select(
         id_col, "cell", F.col("_dropped").isNull().alias("keep")
     )
+
+
+def eval_overlap(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose word
+    n-gram shingles overlap an evaluation set (the public n-gram-overlap
+    protocol used by GPT-3 appx. C / PaLM / Llama dataset cards). A train
+    doc is ``contaminated`` when at least ``min_frac`` of its DISTINCT
+    shingles appear anywhere in the eval corpus.
+
+    Scale shape: the eval side is tiny relative to a 100 TB corpus
+    (benchmarks are thousands of documents), so its distinct-shingle set
+    is built once and BROADCAST; the train side streams through one
+    map-side hash semi-join — no shuffle of the big side for candidate
+    detection. The per-doc overlap count is then one partial-aggregated
+    groupBy on the train doc id, and the zero-overlap docs are restored
+    by a final left join on the (already keyed) train projection.
+
+    Output: one row per train doc — (id, n_shingles, n_overlap,
+    overlap_frac, contaminated).
+    """
+    eval_shingles = (
+        _shingle_rows(eval_set, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    tr = _shingle_rows(train, id_col, text_col, n)
+    sizes = train.select(
+        F.col(id_col),
+        F.size(word_shingles(F.col(text_col), n)).cast("long").alias("n_shingles"),
+    )
+    hits = (
+        tr.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    frac = F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+    return (
+        sizes.join(hits, sizes[id_col] == hits["_id"], "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            frac.alias("overlap_frac"),
+            (frac >= F.lit(min_frac)).alias("contaminated"),
+        )
+    )

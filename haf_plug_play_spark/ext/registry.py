@@ -580,6 +580,57 @@ def xa_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xa_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout split (80/10/10) by doc_id
+    hash — a pure function of the key, so incremental appends can never
+    migrate an existing document between splits
+    (ext/sampling.py:split_assign). Codegen CASE chain, zero shuffle."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.split_assign(docs, "doc_id", _SPLIT_FRACTIONS, seed=7)
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    )
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def xt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: sources src0/src1 stand in for the held-
+    out eval benchmark; every other document is audited for 3-gram overlap
+    against the eval shingle set (broadcast — eval sets are tiny next to
+    the corpus) and flagged when ≥50% of its shingles appear there
+    (ext/dedup.py:eval_overlap)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin("src0", "src1")
+    return dedup.eval_overlap(
+        docs.filter(~is_eval), docs.filter(is_eval), n=3, min_frac=0.5
+    ).orderBy("doc_id")
+
+
+def _decontam_sql(n: int = 3, min_frac: float = 0.5) -> str:
+    sh = _shingles_sql(n)
+    return (
+        f"WITH ev AS (SELECT DISTINCT unnest({sh}) AS shingle "
+        "FROM documents WHERE source IN ('src0', 'src1')), "
+        f"tr AS (SELECT doc_id, unnest({sh}) AS shingle "
+        "FROM documents WHERE source NOT IN ('src0', 'src1')), "
+        f"sizes AS (SELECT doc_id, len({sh}) AS n_shingles "
+        "FROM documents WHERE source NOT IN ('src0', 'src1')), "
+        "hits AS (SELECT doc_id, count(*) AS n_overlap FROM tr "
+        "JOIN ev USING (shingle) GROUP BY 1) "
+        "SELECT s.doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles, "
+        "CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap, "
+        "round(coalesce(h.n_overlap, 0) / s.n_shingles, 6) AS overlap_frac, "
+        f"round(coalesce(h.n_overlap, 0) / s.n_shingles, 6) >= {min_frac} "
+        "AS contaminated "
+        "FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id"
+    )
+
+
 def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
     components → one canonical keeper per cluster (minimum doc_id), every
@@ -948,6 +999,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XP-pipeline3": xp_pipeline3,
     "XS-knn": xs_knn,
     "XA-shuffle": xa_shuffle,
+    # new in r4, second wave (never driver-checked)
+    "XA-split": xa_split,
+    "XT-decontam": xt_decontam,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -975,7 +1029,14 @@ from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
 
 _uniform_sql_doc = _u_sql("doc_id", 7)
 
+from haf_plug_play_spark.ext.sampling import split_assign_sql as _split_sql
+
 EXT_ORACLE_SQL: dict[str, str] = {
+    "XA-split": (
+        f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
+        "AS split FROM documents ORDER BY doc_id"
+    ),
+    "XT-decontam": _decontam_sql(3, 0.5),
     "XT-gopher": _gopher_sql(),
     "XT-repetition": _repetition_sql(3),
     "XT-pii-scrub": _pii_sql(),

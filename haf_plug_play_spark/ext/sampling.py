@@ -125,6 +125,56 @@ def weighted_mix(
     return df.filter(_uniform(F.col(key_col), seed) < rate)
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic train/val/test split: each row lands in exactly one
+    named split, chosen by where uniform(key, seed) falls among the
+    cumulative fractions (which must sum to 1.0). The standard holdout
+    primitive for training pipelines — and like everything here, a pure
+    function of the row key: reruns, repartitions, and incremental
+    appends never move an existing row between splits, so a document can
+    never silently migrate from test into train between pipeline runs.
+
+    Splits are assigned in the ITERATION order of ``fractions`` (the
+    caller's declared order, e.g. train/val/test) — the boundaries are
+    cumulative sums, so order is part of the contract and documented in
+    the oracle the same way. Compiles to a codegen CASE chain over one
+    md5 — no shuffle, no join; adds a ``split`` column.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    u = _uniform(F.col(key_col), seed)
+    names = list(fractions)
+    # fold the CASE in reverse so the FIRST matching boundary wins
+    expr = F.lit(names[-1])  # last split absorbs the tail (u < 1.0)
+    bounds = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bounds.append((name, acc))
+    for name, b in reversed(bounds):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_assign_sql(key_expr: str, fractions: dict[str, float], seed: int = 7) -> str:
+    """DuckDB spelling of ``split_assign``'s CASE chain (same cumulative
+    boundaries, same md5 uniform) — returns the bare CASE expression."""
+    u = uniform_sql(key_expr, seed)
+    names = list(fractions)
+    branches = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        branches.append(f"WHEN {u} < {acc} THEN '{name}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
 def hash_shuffle(
     df: DataFrame, key_col: str, seed: int = 7, prefix_chars: int = 2
 ) -> DataFrame:

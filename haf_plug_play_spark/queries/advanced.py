@@ -639,6 +639,93 @@ def qsj_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "signup_id", "click_id")
 
 
+def qa5_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments per group: stddev and Pearson correlation of
+    (quantity, extendedprice), computed FROM EXACT DECIMAL SUMS — not
+    Spark's native stddev/corr aggregates, whose double accumulation
+    reassociates under partial aggregation and drifts in the low decimals
+    against any other engine. Summing x, y, x², y², xy exactly in decimal
+    (one map-side-combined hash agg, same cost as the native path) and
+    applying the closed-form moments once per group in double gives an
+    IEEE-identical operation sequence on both engines — determinism by
+    construction, at any partitioning. This is also the distributed-
+    friendly formulation: the five sums are associative, so the operator
+    scales exactly like a plain sum at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(_DEC)
+    y = F.col("l_extendedprice").cast(_DEC)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.sum(y * y).cast("double").alias("_syy"),
+        F.sum(x * y).cast("double").alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("_sx") / n, 6).alias("mean_qty"),
+        F.round(F.sqrt(vx / (n - F.lit(1.0))), 6).alias("stddev_qty"),
+        F.round(F.col("_sy") / n, 6).alias("mean_price"),
+        F.round(F.sqrt(vy / (n - F.lit(1.0))), 6).alias("stddev_price"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+def qh1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over events.value (width 50): bin id, count,
+    and bin extremes. Binning is a codegen floor-divide on the raw double
+    (both engines divide the identical IEEE double by the same literal, so
+    bin assignment agrees bit-for-bit); the histogram itself is one
+    partial-aggregated group-by on a low-cardinality key — the cheapest
+    possible distribution sketch at scale, and min/max are order-
+    insensitive so no decimal staging is needed."""
+    events = load_table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / F.lit(50.0)).cast("long")
+    return (
+        events.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+def qu2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with Spark's native unpivot (Expand — one pass,
+    no join/union re-scan of the input), then a per-metric aggregate.
+    The melt primitive for metric tables; the oracle spells the identical
+    semantics as a UNION ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_quantity").cast(_DEC).alias("qty"),
+            F.col("l_discount").cast(_DEC).alias("disc"),
+            F.col("l_tax").cast(_DEC).alias("tax"),
+        )
+        .unpivot(
+            ids=["l_returnflag"],
+            values=["qty", "disc", "tax"],
+            variableColumnName="metric",
+            valueColumnName="v",
+        )
+        .groupBy("l_returnflag", "metric")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("double").alias("total"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -661,9 +748,46 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QSJ-stream-join": qsj_stream_join,
     "QX6-map": qx6_map,
     "QSA-stream-stateful": qsa_stream_stateful,
+    "QA5-stats": qa5_stats,
+    "QH1-histogram": qh1_histogram,
+    "QU2-unpivot": qu2_unpivot,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
+    "QA5-stats": (
+        "WITH s AS (SELECT l_returnflag, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy, "
+        # DECIMAL(19,6) in the products forces DuckDB onto hugeint storage
+        # (int64 would overflow in the raw multiply); still exact, so the
+        # value is identical to Spark's (18,6)x(18,6) decimal product
+        "CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS DOUBLE) AS sxx, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS syy, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS DOUBLE) AS sxy "
+        "FROM lineitem GROUP BY 1) "
+        "SELECT l_returnflag, n, "
+        "round(sx / CAST(n AS DOUBLE), 6) AS mean_qty, "
+        "round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_qty, "
+        "round(sy / CAST(n AS DOUBLE), 6) AS mean_price, "
+        "round(sqrt((syy - sy * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_price, "
+        "round((sxy - sx * sy / CAST(n AS DOUBLE)) / "
+        "sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) * (syy - sy * sy / CAST(n AS DOUBLE))), 6) AS corr_qty_price "
+        "FROM s ORDER BY l_returnflag"
+    ),
+    "QH1-histogram": (
+        "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n, "
+        "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
+        "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QU2-unpivot": (
+        "WITH long AS ("
+        "SELECT l_returnflag, 'qty' AS metric, CAST(l_quantity AS DECIMAL(18,6)) AS v FROM lineitem "
+        "UNION ALL SELECT l_returnflag, 'disc', CAST(l_discount AS DECIMAL(18,6)) FROM lineitem "
+        "UNION ALL SELECT l_returnflag, 'tax', CAST(l_tax AS DECIMAL(18,6)) FROM lineitem) "
+        "SELECT l_returnflag, metric, count(*) AS n, "
+        "CAST(sum(v) AS DOUBLE) AS total FROM long "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
     "QW1-window": (
         "SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type, "
         "count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value "
