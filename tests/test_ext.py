@@ -619,3 +619,27 @@ def test_strip_html_crafted(spark):
     assert rows[2].clean_text == "no markup" and rows[2].n_tags == 0
     assert rows[3].clean_text == "x &lt; y and <tag> stays text"
     assert rows[4].clean_text == "a b" and rows[4].n_tags == 4
+
+
+def test_eval_overlap_planted_contamination(spark):
+    """Planted-structure check for decontamination: an exact eval copy is
+    fully contaminated, a disjoint-vocabulary doc has zero overlap, and a
+    partial share counts exactly its shared shingles."""
+    eval_df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),
+            (11, "zeta eta theta iota kappa"),
+            (12, "alpha beta gamma zzz yyy xxx www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.eval_overlap(train, eval_df, n=3, min_frac=0.5).collect()
+    }
+    assert out[10].contaminated and out[10].overlap_frac == 1.0
+    assert out[11].n_overlap == 0 and not out[11].contaminated
+    assert out[12].n_overlap == 1 and not out[12].contaminated

@@ -250,3 +250,48 @@ def test_knn_join_cell_equi_join(spark):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "Window" in plan
+
+
+def test_split_assign_projection_only(spark):
+    """Holdout split is a codegen CASE over one md5 — no join, and the
+    only keyed exchange is the declared ORDER BY."""
+    plan = _plan(EXT_QUERIES["XA-split"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert len(_key_exchanges(plan)) <= 1
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """Decontamination must probe the eval shingle set via broadcast hash
+    join — never a sort-merge shuffle of the (100 TB) train side against
+    the (tiny) eval side, and never a nested-loop fallback."""
+    plan = _plan(EXT_QUERIES["XT-decontam"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stats_moments_single_pass(spark):
+    """QA5's five decimal moments come from ONE scan + partial/final hash
+    agg — not five passes and not a join."""
+    import re
+
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["QA5-stats"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, scans
+
+
+def test_unpivot_single_expand_pass(spark):
+    """Native unpivot compiles to one Expand over one scan — the melt
+    never re-reads the input per metric (the UNION ALL oracle shape)."""
+    import re
+
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["QU2-unpivot"](spark, SF_ORACLE))
+    assert plan.count("Expand") >= 1
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 1, scans

@@ -356,3 +356,39 @@ def test_hash_shuffle_is_partition_invariant_permutation(spark, n, parts):
     }
     assert a == b
     assert sorted(a.values()) == list(range(1, n + 1))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=1, max_value=200),
+    parts=st.integers(min_value=1, max_value=8),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_split_assign_total_and_partition_invariant(spark, n, parts, seed):
+    """Every row lands in exactly one declared split, and the assignment
+    is identical under any partition layout (the no-test-set-leakage
+    contract: a rerun or append can never move a row between splits)."""
+    from haf_plug_play_spark.ext import sampling
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    base = spark.range(n).selectExpr("id AS k")
+    a = {r.k: r.split for r in sampling.split_assign(base, "k", fr, seed).collect()}
+    b = {
+        r.k: r.split
+        for r in sampling.split_assign(base.repartition(parts), "k", fr, seed).collect()
+    }
+    assert a == b
+    assert set(a) == set(range(n))
+    assert set(a.values()) <= set(fr)
+
+
+def test_split_assign_rejects_bad_fractions(spark):
+    from haf_plug_play_spark.ext import sampling
+
+    base = spark.range(3).selectExpr("id AS k")
+    with pytest.raises(ValueError):
+        sampling.split_assign(base, "k", {"a": 0.5, "b": 0.6})
