@@ -598,6 +598,35 @@ def xa_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+def xa_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pruning: keep the top 70% of every source by
+    the composite quality score — the rank-based "drop each source's own
+    worst tail" gate (ext/sampling.py:quantile_prune), one keyed window
+    shuffle. Tie-break on doc_id keeps the cut deterministic."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = xt.with_quality(load_table(spark, sf_dir, "documents"))
+    return (
+        sampling.quantile_prune(
+            docs, ["source"], "q_score", keep_frac=0.7, tie_col="doc_id"
+        )
+        .select("doc_id", "source", "q_score", "score_rank_frac")
+        .orderBy("doc_id")
+    )
+
+
+def _prune_sql(keep_frac: float = 0.7) -> str:
+    return (
+        f"WITH scored AS (SELECT doc_id, source, {_QSCORE_SQL} AS q_score "
+        "FROM documents), "
+        "ranked AS (SELECT doc_id, source, q_score, "
+        "round(cume_dist() OVER (PARTITION BY source "
+        "ORDER BY q_score DESC, doc_id), 6) AS score_rank_frac FROM scored) "
+        "SELECT doc_id, source, q_score, score_rank_frac FROM ranked "
+        f"WHERE score_rank_frac <= {keep_frac} ORDER BY doc_id"
+    )
+
+
 def xt_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: sources src0/src1 stand in for the held-
     out eval benchmark; every other document is audited for 3-gram overlap
@@ -628,6 +657,28 @@ def _decontam_sql(n: int = 3, min_frac: float = 0.5) -> str:
         f"round(coalesce(h.n_overlap, 0) / s.n_shingles, 6) >= {min_frac} "
         "AS contaminated "
         "FROM sizes s LEFT JOIN hits h USING (doc_id) ORDER BY s.doc_id"
+    )
+
+
+def xl_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (user_id, event_id) — the bit-exact
+    interleave that cluster_by_zorder lays files out by
+    (operators/layout.py). The oracle recomputes the same shift/mask
+    terms; the layout op itself (range shuffle + local sort + parquet
+    min/max skipping) is exercised in tests/test_layout.py."""
+    from haf_plug_play_spark.operators.layout import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    zk = zorder_key([F.col("user_id"), F.col("event_id")], bits=16)
+    return events.select("event_id", "user_id", zk.alias("zkey")).orderBy("event_id")
+
+
+def _zorder_sql() -> str:
+    from haf_plug_play_spark.operators.layout import zorder_key_sql
+
+    return (
+        f"SELECT event_id, user_id, {zorder_key_sql(['user_id', 'event_id'], 16)} "
+        "AS zkey FROM events ORDER BY event_id"
     )
 
 
@@ -1002,6 +1053,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in r4, second wave (never driver-checked)
     "XA-split": xa_split,
     "XT-decontam": xt_decontam,
+    "XA-prune": xa_prune,
+    "XL-zorder": xl_zorder,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1037,6 +1090,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
         "AS split FROM documents ORDER BY doc_id"
     ),
     "XT-decontam": _decontam_sql(3, 0.5),
+    "XA-prune": _prune_sql(0.7),
+    "XL-zorder": _zorder_sql(),
     "XT-gopher": _gopher_sql(),
     "XT-repetition": _repetition_sql(3),
     "XT-pii-scrub": _pii_sql(),

@@ -175,6 +175,35 @@ def split_assign_sql(key_expr: str, fractions: dict[str, float], seed: int = 7) 
     return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
 
 
+def quantile_prune(
+    df: DataFrame,
+    strata_cols: list[str],
+    score_col: str,
+    keep_frac: float,
+    tie_col: str,
+) -> DataFrame:
+    """Per-stratum quality pruning: keep the top ``keep_frac`` of each
+    stratum by ``score_col`` (the "drop the worst-perplexity 30% of every
+    source" primitive). Selection is rank-based — ``cume_dist`` over
+    (score desc, tie) — so the cut adapts to each stratum's own score
+    distribution instead of a global threshold, and the tie column makes
+    the cut total and deterministic.
+
+    One shuffle on the strata key (the window partition); ranking stays
+    partition-parallel after it, so a skewed giant stratum is one fat
+    window partition — bounded by the same stratum-size ceiling any
+    per-stratum statistic has. Adds ``score_rank_frac`` (cumulative
+    fraction of the stratum at or above this row).
+    """
+    w = W.partitionBy(*strata_cols).orderBy(
+        F.col(score_col).desc(), F.col(tie_col)
+    )
+    return (
+        df.withColumn("score_rank_frac", F.round(F.cume_dist().over(w), 6))
+        .filter(F.col("score_rank_frac") <= keep_frac)
+    )
+
+
 def hash_shuffle(
     df: DataFrame, key_col: str, seed: int = 7, prefix_chars: int = 2
 ) -> DataFrame:

@@ -726,6 +726,86 @@ def qu2_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qw6_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value quartiles per event type: NTILE(4) over (value desc,
+    event_id) inside each type partition, rolled up to per-quartile
+    counts and extremes. The window partitions on event_type — a KEYED
+    shuffle, never the single-reducer global NTILE — and the quartile
+    summary after it is a low-cardinality hash agg. Tie-break on
+    event_id makes the quartile boundary total and deterministic."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        events.withColumn("q", F.ntile(4).over(w))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+def qsw_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows under the oracle gate: the events table
+    replays through Structured Streaming (file source → watermark →
+    F.session_window gap-merge → memory sink, availableNow) and the
+    complete-mode result must equal QW5's batch session oracle — the
+    dynamic-window state machine (sessions merge as gap-bridging events
+    arrive) verified against a hard batch oracle, beside QST's fixed
+    tumbling windows.
+
+    The availableNow replay admits every event before any window is
+    finalized, so streaming gap-merging and the batch group-by agree by
+    construction (same equivalence argument as QST/QSS/QSJ)."""
+    import os
+    import shutil
+    import tempfile
+
+    from haf_plug_play_spark.streaming.windowed import session_event_counts
+
+    schema = load_table(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix="qsw_events_")
+    try:
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        src = spark.readStream.schema(schema).parquet(d)
+        sess = session_event_counts(src, gap="30 minutes", watermark="10 minutes")
+        name = f"qsw_stream_session_{abs(hash(d)) % 10_000_000}"
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                raise RuntimeError(
+                    "qsw_stream_session: streaming replay did not finish "
+                    "within 300 s"
+                )
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("w").start.alias("s_start"),
+            F.col("w").end.alias("s_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "s_start")
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -751,6 +831,8 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QA5-stats": qa5_stats,
     "QH1-histogram": qh1_histogram,
     "QU2-unpivot": qu2_unpivot,
+    "QW6-ntile": qw6_ntile,
+    "QSW-stream-session": qsw_stream_session,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -778,6 +860,14 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n, "
         "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
         "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QW6-ntile": (
+        "WITH t AS (SELECT event_type, value, "
+        "ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS q "
+        "FROM events) "
+        "SELECT event_type, CAST(q AS INT) AS q, count(*) AS n, "
+        "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
+        "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
     ),
     "QU2-unpivot": (
         "WITH long AS ("
@@ -942,3 +1032,8 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "ORDER BY p.event_id"
     ),
 }
+
+# The streaming session replay must converge to EXACTLY the batch session
+# result — one oracle string, two execution modes (same pattern as
+# QST-stream-window sharing QW1's shape).
+ADVANCED_ORACLE_SQL["QSW-stream-session"] = ADVANCED_ORACLE_SQL["QW5-session-window"]

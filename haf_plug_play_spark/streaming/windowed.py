@@ -40,3 +40,22 @@ def windowed_event_aggs(
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
     )
+
+
+def session_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-user session windows (F.session_window — dynamic, gap-merged
+    event-time windows) with streaming state handling. On a streaming
+    DataFrame the watermark bounds the open-session state (a session can
+    only stay open while events within the watermark lag could still
+    extend it); on a batch DataFrame the same code is QW5's plain
+    session-window group-by."""
+    src = _as_event_time(events, "ts")
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.session_window("ts", gap).alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))

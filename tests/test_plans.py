@@ -295,3 +295,31 @@ def test_unpivot_single_expand_pass(spark):
     assert plan.count("Expand") >= 1
     scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scans) == 1, scans
+
+
+def test_prune_single_window_shuffle(spark):
+    """Quantile pruning: one keyed exchange for the per-stratum window
+    plus the declared ORDER BY — no join, no global sort before the
+    rank filter."""
+    plan = _plan(EXT_QUERIES["XA-prune"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert len(_key_exchanges(plan)) <= 2
+
+
+def test_ntile_keyed_window_only(spark):
+    """NTILE quartiles partition on event_type — a keyed exchange, never
+    the single-reducer global NTILE."""
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["QW6-ntile"](spark, SF_ORACLE))
+    keyed = _key_exchanges(plan)
+    assert not any("SinglePartition" in k for k in keyed), keyed
+    assert len(keyed) <= 3  # window + agg + ORDER BY
+
+
+def test_zorder_key_is_codegen_only(spark):
+    """The Morton key is a flat shift/mask expression: scan → project,
+    with the only exchange being the declared ORDER BY."""
+    plan = _plan(EXT_QUERIES["XL-zorder"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert len(_key_exchanges(plan)) <= 1
