@@ -40,6 +40,15 @@ _ROTATED_BACK = [
     "XT-langid", "XT-quality", "XT-tokens", "XT-fingerprint", "XT-rollfp",
     "XT-tfidf", "XT-winnow", "XD-exact-census", "XD-ngram-jaccard",
     "XD-minhash-sig", "XD-minhash-pairs", "XD-simhash",
+    # canonical/advanced, driver-green r3 — rotated back in r4 so every
+    # never-driver-checked r4 operator (and the r2-green similarity
+    # family) fits inside the 50-slot window; positions 40-50 of the
+    # declaration order still re-check the head of this list
+    "QF8-semi", "QJ1-left-composite", "QJ4-theta", "QJ5-anti",
+    "QA1-topk", "QA2-cntdistinct", "QE2-textstats", "QW2-sessions",
+    "QA3-lineitem-agg", "QG1-rollup", "QA4-quantile", "QP1-pivot",
+    "QAS-asof", "QU1-setops", "QAD-approx-distinct", "QR1-range-join",
+    "QW3-time-rollup", "QST-stream-window", "QO6-topk-group", "QG2-cube",
 ]
 
 
