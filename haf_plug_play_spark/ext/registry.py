@@ -682,6 +682,88 @@ def _zorder_sql() -> str:
     )
 
 
+def xt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size word chunking (size 16, overlap 4 — small
+    constants so the tiny fixture docs still produce multi-chunk output;
+    production would use model-context-sized chunks) — the long-document
+    split that precedes sequence packing (ext/text.py:chunk_documents)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xt.chunk_documents(docs, size=16, overlap=4).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def _chunk_sql(size: int = 16, overlap: int = 4) -> str:
+    stride = size - overlap
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
+        "SELECT doc_id, "
+        f"CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx, "
+        f"CAST(len(ws[s : s + {size - 1}]) AS BIGINT) AS n_tok, "
+        f"array_to_string(ws[s : s + {size - 1}], ' ') AS chunk_text "
+        f"FROM w, unnest(range(1, len(ws) + 1, {stride})) AS t(s) "
+        "ORDER BY doc_id, chunk_idx"
+    )
+
+
+def xp_pipeline4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth composed pipeline — the holdout-aware curation chain over
+    the r4 second-wave operators: quality-prune the worst 30% of every
+    source → deterministic train/val/test split → keep the train slice →
+    overlapping word chunking → token-budget packing per source. One
+    Catalyst plan: two keyed windows (prune, pack), a codegen CASE
+    (split), per-row chunk expressions; no joins at all."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = xt.with_quality(load_table(spark, sf_dir, "documents"))
+    pruned = sampling.quantile_prune(
+        docs, ["source"], "q_score", keep_frac=0.7, tie_col="doc_id"
+    )
+    train = sampling.split_assign(pruned, "doc_id", _SPLIT_FRACTIONS, seed=7).where(
+        F.col("split") == "train"
+    )
+    chunks = xt.chunk_documents(
+        train.select("doc_id", "source", "text"),
+        size=16, overlap=4, carry_cols=["source"],
+    )
+    return (
+        sampling.pack_chunks(
+            chunks, ["source"], "n_tok", budget=256,
+            order_col=["doc_id", "chunk_idx"],
+        )
+        .select("doc_id", "chunk_idx", "source", "n_tok", "chunk_offset", "chunk_id")
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def _pipeline4_sql() -> str:
+    split_case = _split_sql_expr()
+    return (
+        f"WITH scored AS (SELECT doc_id, source, text, {_QSCORE_SQL} AS q_score "
+        "FROM documents), "
+        "ranked AS (SELECT *, round(cume_dist() OVER (PARTITION BY source "
+        "ORDER BY q_score DESC, doc_id), 6) AS frac FROM scored), "
+        "kept AS (SELECT * FROM ranked WHERE frac <= 0.7), "
+        f"train AS (SELECT * FROM kept WHERE ({split_case}) = 'train'), "
+        "w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM train), "
+        "ch AS (SELECT doc_id, source, CAST((s - 1) / 12 AS BIGINT) AS chunk_idx, "
+        "CAST(len(ws[s : s + 15]) AS BIGINT) AS n_tok "
+        "FROM w, unnest(range(1, len(ws) + 1, 12)) AS t(s)), "
+        "packed AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source "
+        "ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) "
+        "AS chunk_offset FROM ch) "
+        "SELECT doc_id, chunk_idx, source, n_tok, chunk_offset, "
+        "CAST(floor(chunk_offset / 256) AS BIGINT) AS chunk_id "
+        "FROM packed ORDER BY doc_id, chunk_idx"
+    )
+
+
+def _split_sql_expr() -> str:
+    from haf_plug_play_spark.ext.sampling import split_assign_sql
+
+    return split_assign_sql("doc_id", _SPLIT_FRACTIONS, 7)
+
+
 def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
     components → one canonical keeper per cluster (minimum doc_id), every
@@ -1055,6 +1137,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-decontam": xt_decontam,
     "XA-prune": xa_prune,
     "XL-zorder": xl_zorder,
+    "XT-chunk": xt_chunk,
+    "XP-pipeline4": xp_pipeline4,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1092,6 +1176,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-decontam": _decontam_sql(3, 0.5),
     "XA-prune": _prune_sql(0.7),
     "XL-zorder": _zorder_sql(),
+    "XT-chunk": _chunk_sql(16, 4),
+    "XP-pipeline4": _pipeline4_sql(),
     "XT-gopher": _gopher_sql(),
     "XT-repetition": _repetition_sql(3),
     "XT-pii-scrub": _pii_sql(),

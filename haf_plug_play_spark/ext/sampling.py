@@ -88,18 +88,21 @@ def pack_chunks(
     strata_cols: list[str],
     token_col: str,
     budget: int,
-    order_col: str,
+    order_col: str | list[str],
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget chunk within its
-    stratum: documents are laid out in ``order_col`` order, token counts
-    accumulate, and ``chunk_id`` = which budget-sized slice the document
-    STARTS in (concatenate-then-slice packing). Adds ``chunk_id`` and
-    ``chunk_offset`` (tokens before this doc within its stratum).
+    stratum: documents are laid out in ``order_col`` order (one column or
+    a composite, e.g. ``["doc_id", "chunk_idx"]`` for pre-chunked docs),
+    token counts accumulate, and ``chunk_id`` = which budget-sized slice
+    the document STARTS in (concatenate-then-slice packing). Adds
+    ``chunk_id`` and ``chunk_offset`` (tokens before this doc within its
+    stratum).
 
     Deterministic: pure function of (stratum, order_col). Scale: the only
     shuffle is the per-stratum window; chunk ids never need a global pass.
     """
-    w = W.partitionBy(*strata_cols).orderBy(order_col)
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = W.partitionBy(*strata_cols).orderBy(*order_cols)
     run = F.sum(token_col).over(w.rowsBetween(W.unboundedPreceding, 0))
     offset = (run - F.col(token_col)).cast("long")
     return df.withColumn("chunk_offset", offset).withColumn(

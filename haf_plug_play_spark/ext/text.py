@@ -328,3 +328,45 @@ def strip_html(
         F.regexp_count(text, F.lit(HTML_TAG_RE)).cast("long").alias("n_tags"),
         clean.alias("clean_text"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 64,
+    overlap: int = 8,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Split documents into fixed-size word chunks with overlap — the
+    long-document preprocessing step before sequence packing (a context
+    window can't hold a book; overlapping chunk starts preserve the
+    continuations that a hard cut would sever). Chunk k starts at word
+    ``k * (size - overlap)``; the final chunk may be short.
+
+    All per-row expression work: the word array is let-bound once, chunk
+    starts are a stride sequence, and chunks are sliced + re-joined
+    inside a transform, so the only row-expansion is the final
+    posexplode — no shuffle, no Python, linear in corpus size.
+    Output: (id, chunk_idx, n_tok, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    words = F.split(F.col(text_col), " ")
+
+    def build(ws: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(ws), F.lit(stride))
+        return F.transform(starts, lambda s: F.slice(ws, s, size))
+
+    carry = list(carry_cols or [])  # columns to thread through join-free
+    chunks = F.get(F.transform(F.array(words), build), 0)
+    return df.select(
+        F.col(id_col), *carry, F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col,
+        *carry,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("_c").cast("long").alias("n_tok"),
+        F.concat_ws(" ", "_c").alias("chunk_text"),
+    )

@@ -806,6 +806,30 @@ def qsw_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qa6_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group (nations per region):
+    collect_list → array_sort → concat_ws. collect_list alone is
+    partition-order-dependent; the explicit sort makes the concatenation
+    deterministic — the same reason DuckDB's mirror needs string_agg's
+    ORDER BY clause. Broadcast join (region is tiny) + one keyed agg."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -833,6 +857,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QU2-unpivot": qu2_unpivot,
     "QW6-ntile": qw6_ntile,
     "QSW-stream-session": qsw_stream_session,
+    "QA6-stringagg": qa6_stringagg,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -860,6 +885,12 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n, "
         "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
         "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QA6-stringagg": (
+        "SELECT r_name, count(*) AS n_nations, "
+        "string_agg(n_name, ',' ORDER BY n_name) AS nations "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name"
     ),
     "QW6-ntile": (
         "WITH t AS (SELECT event_type, value, "

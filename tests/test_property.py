@@ -392,3 +392,38 @@ def test_split_assign_rejects_bad_fractions(spark):
     base = spark.range(3).selectExpr("id AS k")
     with pytest.raises(ValueError):
         sampling.split_assign(base, "k", {"a": 0.5, "b": 0.6})
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_words=st.integers(min_value=1, max_value=200),
+    size=st.integers(min_value=2, max_value=40),
+    overlap=st.integers(min_value=0, max_value=10),
+)
+def test_chunk_documents_covers_every_word(spark, n_words, size, overlap):
+    """Chunking must cover every word position exactly per the stride
+    contract: chunk k holds words [k*stride, k*stride + size), and
+    dropping each chunk's first `overlap` words (after chunk 0)
+    reconstructs the document."""
+    from haf_plug_play_spark.ext import text as xt
+
+    if overlap >= size:
+        overlap = size - 1
+    words = [f"w{i}" for i in range(n_words)]
+    doc = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(
+        xt.chunk_documents(doc, size=size, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    stride = size - overlap
+    rebuilt: list[str] = []
+    for r in rows:
+        cw = r.chunk_text.split(" ")
+        assert cw == words[r.chunk_idx * stride : r.chunk_idx * stride + size]
+        assert r.n_tok == len(cw)
+        rebuilt.extend(cw if r.chunk_idx == 0 else cw[overlap:])
+    assert rebuilt == words
