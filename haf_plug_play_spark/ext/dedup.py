@@ -731,3 +731,74 @@ def eval_overlap(
             (frac >= F.lit(min_frac)).alias("contaminated"),
         )
     )
+
+
+def incremental_minhash_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """Incremental near-dup detection: every LSH pair that TOUCHES the new
+    batch — (new × corpus) and (new × new) — without ever re-pairing the
+    corpus against itself. This is the path a production pipeline actually
+    runs daily: the corpus is deduped once, and each incoming batch only
+    has to answer "is this new doc a near-copy of anything seen before, or
+    of another new doc?".
+
+    Scale shape: both sides compute zero-shuffle signatures; the corpus
+    band index is SEMI-JOINED down to the band buckets the new batch
+    occupies before any pairing (with |new| << |corpus|, the probed slice
+    is ~|new| × bucket occupancy, not |corpus|). The pair join then runs
+    new-side-left against the pruned union, so candidate volume scales
+    with the batch, and corpus×corpus pairs are excluded by construction.
+    Verification is exact Jaccard over the full shingle sets of only the
+    docs that appear in some candidate pair. Ids must be unique across
+    both inputs (the caller's contract, same as one concatenated corpus).
+
+    Output matches minhash_lsh_pairs (id_a, id_b, inter, union_sz,
+    jaccard) restricted to pairs with at least one new id — equality with
+    the full-corpus run is property-tested (tests/test_ext.py).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def band_buckets(df: DataFrame) -> DataFrame:
+        sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+        band_cols = [
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(
+                    "_", *[F.col(f"h{bi * r + j}") for j in range(r)]
+                ).alias("key"),
+            )
+            for bi in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
+        )
+
+    nb = band_buckets(new_docs)
+    cb = band_buckets(corpus)
+    # prune the corpus index to buckets the new batch occupies — the ONLY
+    # corpus-wide step, and it's a semi-join on the band key
+    cb_hot = cb.join(nb.select("bk").distinct(), "bk", "semi")
+    x = nb.alias("x")
+    y = nb.unionByName(cb_hot).alias("y")
+    candidates = (
+        x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x._id") != F.col("y._id")))
+        .select(
+            F.least(F.col("x._id"), F.col("y._id")).alias("id_a"),
+            F.greatest(F.col("x._id"), F.col("y._id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    both = new_docs.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
+    )
+    return _jaccard_verify(both, id_col, text_col, n, candidates, threshold)

@@ -764,6 +764,31 @@ def _split_sql_expr() -> str:
     return split_assign_sql("doc_id", _SPLIT_FRACTIONS, 7)
 
 
+def xd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: docs with doc_id % 5 == 0 play the incoming
+    batch, the rest the already-deduped corpus; the engine runs the
+    batch-vs-corpus path (corpus band index semi-joined to the batch's
+    buckets — never corpus×corpus) and must produce EXACTLY the pairs of
+    a full-corpus LSH run that touch the batch, which is what the oracle
+    computes (ext/dedup.py:incremental_minhash_pairs)."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    is_new = F.col("doc_id") % 5 == 0
+    return dedup.incremental_minhash_pairs(
+        docs.filter(is_new), docs.filter(~is_new),
+        num_hashes=8, bands=4, threshold=0.5, seed=1,
+    ).orderBy("id_a", "id_b")
+
+
+def _incremental_sql() -> str:
+    full = _minhash_pairs_sql(8, 4, 3, 0.5, 1).replace(
+        " ORDER BY p.id_a, p.id_b", ""
+    )
+    return (
+        f"SELECT * FROM ({full}) "
+        "WHERE id_a % 5 = 0 OR id_b % 5 = 0 ORDER BY id_a, id_b"
+    )
+
+
 def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
     components → one canonical keeper per cluster (minimum doc_id), every
@@ -1139,6 +1164,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XL-zorder": xl_zorder,
     "XT-chunk": xt_chunk,
     "XP-pipeline4": xp_pipeline4,
+    "XD-incremental": xd_incremental,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1178,6 +1204,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XL-zorder": _zorder_sql(),
     "XT-chunk": _chunk_sql(16, 4),
     "XP-pipeline4": _pipeline4_sql(),
+    "XD-incremental": _incremental_sql(),
     "XT-gopher": _gopher_sql(),
     "XT-repetition": _repetition_sql(3),
     "XT-pii-scrub": _pii_sql(),

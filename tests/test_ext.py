@@ -643,3 +643,28 @@ def test_eval_overlap_planted_contamination(spark):
     assert out[10].contaminated and out[10].overlap_frac == 1.0
     assert out[11].n_overlap == 0 and not out[11].contaminated
     assert out[12].n_overlap == 1 and not out[12].contaminated
+
+
+def test_incremental_minhash_equals_full_run_restriction(spark):
+    """The incremental batch-vs-corpus path must produce EXACTLY the
+    full-corpus LSH pairs that touch the batch — no pair lost to the
+    bucket semi-join pruning, none invented."""
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 == 3)
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    full = {
+        (r.id_a, r.id_b): (r.inter, r.union_sz, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, threshold=0.3, seed=1
+        ).collect()
+    }
+    expected = {
+        k: v for k, v in full.items() if k[0] % 7 == 3 or k[1] % 7 == 3
+    }
+    got = {
+        (r.id_a, r.id_b): (r.inter, r.union_sz, r.jaccard)
+        for r in dedup.incremental_minhash_pairs(
+            new, corpus, num_hashes=8, bands=4, threshold=0.3, seed=1
+        ).collect()
+    }
+    assert got == expected

@@ -323,3 +323,13 @@ def test_zorder_key_is_codegen_only(spark):
     plan = _plan(EXT_QUERIES["XL-zorder"](spark, SF_ORACLE))
     assert "Join" not in plan
     assert len(_key_exchanges(plan)) <= 1
+
+
+def test_incremental_dedup_semi_joins_corpus(spark):
+    """The corpus band index must be pruned by a LeftSemi join on the
+    batch's buckets before any pairing — the step that keeps candidate
+    volume proportional to the batch, not the corpus."""
+    plan = _plan(EXT_QUERIES["XD-incremental"](spark, SF_ORACLE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
