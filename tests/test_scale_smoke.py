@@ -323,3 +323,42 @@ def test_knn_join_finds_planted_copies(spark):
     for i in range(50):
         assert top1[10_000 + i].nbr_id == i and top1[10_000 + i].cosine == 1.0
         assert top1[i].nbr_id == 10_000 + i and top1[i].cosine == 1.0
+
+
+def test_incremental_dedup_finds_planted_copies_at_scale(spark, corpus):
+    """Incremental batch-vs-corpus dedup on the 20k corpus: the planted
+    copies arrive as the 'new batch' and every (base, exact), (base,
+    near), and (exact, near) pair must surface — through the skewed
+    corpus, with the corpus never self-paired."""
+    from haf_plug_play_spark.ext.dedup import incremental_minhash_pairs
+
+    new = corpus.filter(F.col("doc_id") >= N_UNIQUE)
+    old = corpus.filter(F.col("doc_id") < N_UNIQUE)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_minhash_pairs(
+            new, old, num_hashes=16, bands=8, threshold=0.9, seed=1
+        ).collect()
+    }
+    for g in range(N_GROUPS):
+        base, exact, near = g, N_UNIQUE + g, N_UNIQUE + N_GROUPS + g
+        assert (base, exact) in pairs, f"exact copy lost for group {g}"
+        assert (base, near) in pairs, f"near copy lost for group {g}"
+        assert (exact, near) in pairs, f"new-new pair lost for group {g}"
+    # nothing else reaches jaccard 0.9 on the unique corpus
+    assert len(pairs) == 3 * N_GROUPS
+
+
+def test_decontam_at_scale_flags_planted_eval_copies(spark, corpus):
+    """Decontamination on the 20k corpus: the 100 planted-group bases act
+    as the eval benchmark; their exact and near copies in the train side
+    must be flagged (overlap ≥ 50%), and the 19.9k unrelated docs must
+    not — through the hot-stop-phrase skew."""
+    from haf_plug_play_spark.ext.dedup import eval_overlap
+
+    eval_set = corpus.filter(F.col("doc_id") < N_GROUPS)
+    train = corpus.filter(F.col("doc_id") >= N_GROUPS)
+    out = eval_overlap(train, eval_set, n=3, min_frac=0.5)
+    flagged = {r.doc_id for r in out.filter(F.col("contaminated")).collect()}
+    expected = {N_UNIQUE + i for i in range(2 * N_GROUPS)}
+    assert flagged == expected
