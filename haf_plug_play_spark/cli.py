@@ -154,7 +154,7 @@ def main(argv: list[str] | None = None) -> int:
                             {
                                 "snapshot_id": m["snapshot_id"],
                                 "parent": m["parent"],
-                                "data_dir": m["data_dir"],
+                                "data_dirs": sn._data_dirs(m),
                                 "committed_utc": m["committed_utc"],
                             }
                             for m in chain

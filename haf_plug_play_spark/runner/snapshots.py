@@ -96,17 +96,30 @@ def committed_chain(table_dir: str, fs) -> list[dict]:
     return chain
 
 
-def commit_snapshot(
-    spark: SparkSession, df: DataFrame, table_dir: str, fs=None
-) -> dict:
-    """Publish ``df`` as the table's next snapshot; returns the manifest.
+def _data_dirs(manifest: dict) -> list[str]:
+    """A manifest's data dirs. Append commits list several
+    (``data_dirs``); full commits keep the original single ``data_dir``
+    key — both spellings stay readable forever."""
+    if "data_dirs" in manifest:
+        return list(manifest["data_dirs"])
+    return [manifest["data_dir"]]
 
-    The parquet write is the data plane (Spark's own writers, any scheme);
-    nothing in this function renames or overwrites an existing object
-    except the final single-pointer swap.
-    """
+
+def _commit(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    fs,
+    inherit_dirs: bool,
+    batch_id: int | None = None,
+) -> dict:
     fs = fs or LocalFS()
     fs.makedirs(os.path.join(table_dir, _MANIFESTS))
+    cur = current_manifest(table_dir, fs)
+    if batch_id is not None and cur is not None and cur.get("batch_id") == batch_id:
+        # idempotent re-commit: an at-least-once stream retrying a batch
+        # whose pointer swap already landed must not append it twice
+        return cur
     known = _manifest_ids(table_dir, fs)
     # next id rides on the manifest listing, not the pointer, so a crashed
     # commit's orphan manifest can never be ambiguous with a live id
@@ -116,14 +129,16 @@ def commit_snapshot(
     data_dir = os.path.join(table_dir, data_rel)
     df.write.mode("error").parquet(data_dir)
 
-    cur = current_manifest(table_dir, fs)
+    dirs = (_data_dirs(cur) if inherit_dirs and cur is not None else []) + [data_rel]
     manifest = {
         "snapshot_id": snap_id,
-        "data_dir": data_rel,
+        "data_dirs": dirs,
         "parent": cur["snapshot_id"] if cur else None,
         "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
         "committed_utc": datetime.now(timezone.utc).isoformat(),
     }
+    if batch_id is not None:
+        manifest["batch_id"] = batch_id
     mname = f"manifest-{snap_id:08d}-{tag}.json"
     fs.write_bytes_atomic(
         os.path.join(table_dir, _MANIFESTS, mname),
@@ -134,6 +149,42 @@ def commit_snapshot(
         os.path.join(table_dir, _CURRENT), mname.encode("utf-8")
     )
     return manifest
+
+
+def commit_snapshot(
+    spark: SparkSession, df: DataFrame, table_dir: str, fs=None
+) -> dict:
+    """Publish ``df`` as the table's next snapshot (replacing the previous
+    content); returns the manifest.
+
+    The parquet write is the data plane (Spark's own writers, any scheme);
+    nothing in this function renames or overwrites an existing object
+    except the final single-pointer swap.
+    """
+    return _commit(spark, df, table_dir, fs, inherit_dirs=False)
+
+
+def append_snapshot(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    fs=None,
+    batch_id: int | None = None,
+) -> dict:
+    """Publish ``df`` as an APPEND: the new manifest lists the parent
+    snapshot's data dirs plus one fresh dir holding only the new rows —
+    an append commit writes the delta, never rewrites the table (the
+    Iceberg append shape). Same crash safety as commit_snapshot: the
+    pointer swap is the only mutation.
+
+    ``batch_id`` makes the append idempotent for at-least-once writers
+    (Structured Streaming ``foreachBatch`` retries a batch after a crash):
+    a re-commit of the batch that is already current is a no-op, so the
+    published table sees each micro-batch exactly once. The append chain
+    grows one small dir per batch; fold it periodically with
+    ``rewrite_snapshot`` (the compaction story is unchanged).
+    """
+    return _commit(spark, df, table_dir, fs, inherit_dirs=True, batch_id=batch_id)
 
 
 def read_snapshot(
@@ -157,7 +208,9 @@ def read_snapshot(
                 f"(committed chain: {sorted(chain)})"
             )
         manifest = chain[snapshot_id]
-    return spark.read.parquet(os.path.join(table_dir, manifest["data_dir"]))
+    return spark.read.parquet(
+        *[os.path.join(table_dir, d) for d in _data_dirs(manifest)]
+    )
 
 
 def rewrite_snapshot(
@@ -191,7 +244,9 @@ def vacuum(
     chain = committed_chain(table_dir, fs)  # newest first
     keep = chain[: max(1, keep_last)]
     keep_ids = sorted(m["snapshot_id"] for m in keep)
-    keep_dirs = {m["data_dir"] for m in keep}
+    # append manifests SHARE data dirs with their parents — a dir is only
+    # reclaimable when no kept manifest lists it
+    keep_dirs = {d for m in keep for d in _data_dirs(m)}
     chain_ids = {m["snapshot_id"] for m in chain}
     deleted_manifests, deleted_dirs = [], []
     for sid, name in sorted(known.items()):
@@ -199,16 +254,17 @@ def vacuum(
             continue
         if sid not in chain_ids and not delete_orphans:
             continue  # uncommitted leftover: opt-in only
-        ddir = _load_manifest(table_dir, fs, name)["data_dir"]
-        if ddir not in keep_dirs:
-            fs.delete(os.path.join(table_dir, ddir))
-            deleted_dirs.append(ddir)
+        for ddir in _data_dirs(_load_manifest(table_dir, fs, name)):
+            if ddir not in keep_dirs and ddir not in deleted_dirs:
+                fs.delete(os.path.join(table_dir, ddir))
+                deleted_dirs.append(ddir)
         fs.delete(os.path.join(table_dir, _MANIFESTS, name))
         deleted_manifests.append(name)
     if delete_orphans:
         kept_manifest_dirs = {
-            _load_manifest(table_dir, fs, n)["data_dir"]
+            d
             for s, n in _manifest_ids(table_dir, fs).items()
+            for d in _data_dirs(_load_manifest(table_dir, fs, n))
         }
         for name in fs.listdir(os.path.join(table_dir, _DATA)):
             rel = f"{_DATA}/{name}"

@@ -101,3 +101,80 @@ def test_rewrite_and_vacuum(spark, fs, tmp_path):
 def test_empty_table_raises(spark, fs, tmp_path):
     with pytest.raises(FileNotFoundError, match="no committed snapshot"):
         sn.read_snapshot(spark, str(tmp_path / "none"), fs)
+
+
+def test_append_commits_accumulate_without_rewrite(spark, fs, tmp_path):
+    """Append commits: each writes ONLY the delta dir; the manifest lists
+    parent dirs + the new one, the current read is the union, and time
+    travel sees each prefix."""
+    t = str(tmp_path / "tbl")
+    m1 = sn.append_snapshot(spark, _df(spark, 1, rows=10), t, fs)
+    m2 = sn.append_snapshot(spark, _df(spark, 2, rows=20), t, fs)
+    m3 = sn.append_snapshot(spark, _df(spark, 3, rows=30), t, fs)
+    assert len(sn._data_dirs(m1)) == 1
+    assert len(sn._data_dirs(m2)) == 2
+    assert len(sn._data_dirs(m3)) == 3
+    assert sn._data_dirs(m2)[0] == sn._data_dirs(m1)[0]  # shared, not copied
+    assert sn.read_snapshot(spark, t, fs).count() == 60
+    assert sn.read_snapshot(spark, t, fs, snapshot_id=2).count() == 30
+
+
+def test_append_batch_id_is_idempotent(spark, fs, tmp_path):
+    """An at-least-once writer retrying the already-committed batch must
+    be a no-op — the exactly-once contract foreachBatch needs."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark, _df(spark, 1, rows=10), t, fs, batch_id=0)
+    m = sn.append_snapshot(spark, _df(spark, 2, rows=20), t, fs, batch_id=1)
+    retry = sn.append_snapshot(spark, _df(spark, 2, rows=20), t, fs, batch_id=1)
+    assert retry["snapshot_id"] == m["snapshot_id"]
+    assert sn.read_snapshot(spark, t, fs).count() == 30
+
+
+def test_vacuum_never_deletes_dirs_shared_with_kept_appends(spark, fs, tmp_path):
+    """Vacuuming old append manifests must keep every data dir the
+    current manifest still lists — append chains share dirs."""
+    t = str(tmp_path / "tbl")
+    for v in (1, 2, 3):
+        sn.append_snapshot(spark, _df(spark, v, rows=10), t, fs)
+    rep = sn.vacuum(t, fs, keep_last=1)
+    assert rep["kept"] == [3]
+    assert rep["deleted_dirs"] == []  # snapshots 1-2's dirs live on in 3
+    assert sn.read_snapshot(spark, t, fs).count() == 30
+    # after a REWRITE (fresh dirs), vacuum reclaims the whole old chain
+    sn.rewrite_snapshot(spark, t, fs, target_files=1)
+    rep = sn.vacuum(t, fs, keep_last=1)
+    assert len(rep["deleted_dirs"]) == 3
+    assert sn.read_snapshot(spark, t, fs).count() == 30
+
+
+def test_stream_publishes_through_append_snapshots(spark, tmp_path):
+    """End-to-end stream → snapshot publication: a rate-limited file
+    stream appends each micro-batch through the manifest commit, so
+    readers only ever observe committed batch boundaries and the final
+    table equals the batch input exactly once."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    t = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    spark.range(100).selectExpr("id", "id % 7 AS v").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    fs = LocalFS()
+
+    def publish(batch_df, batch_id):
+        sn.append_snapshot(spark, batch_df, t, fs, batch_id=batch_id)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(publish)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    out = sn.read_snapshot(spark, t, fs)
+    assert out.count() == 100
+    assert out.selectExpr("sum(id)").collect()[0][0] == 4950
+    shutil.rmtree(ck, ignore_errors=True)
