@@ -40,7 +40,16 @@ def _spread(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    # proxy the scan's split count by its file count — cheap catalog
+    # metadata, no RDD conversion / py4j plan materialization per query
+    # build. Files >= cores ⇒ the scan already parallelizes (splits >=
+    # files); fewer big files than cores is not a shape the small-fixture
+    # branch this guard exists for produces.
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:  # non-file-backed plans: fall back to the RDD probe
+        n_in = df.rdd.getNumPartitions()
+    if n_in < par:
         return df.repartition(par)
     return df
 
@@ -789,6 +798,35 @@ def _incremental_sql() -> str:
     )
 
 
+def xs_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization census: per-vector symmetric scale +
+    codes (serialized to CSV so the differential hash stays on scalar
+    columns), plus an in-query certification that every code is in
+    [-127, 127] (ext/similarity.py:quantize_embeddings)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("codes")).alias("codes_csv"),
+        (
+            F.array_max(F.transform(F.col("codes"), F.abs)) <= F.lit(127)
+        ).alias("codes_in_range"),
+    ).orderBy("vec_id")
+
+
+def _quant_sql() -> str:
+    scale = "greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-30)"
+    code = f"CAST(floor(x / {scale} * 127 + 0.5) AS INT)"
+    return (
+        "SELECT vec_id, "
+        f"round({scale}, 6) AS scale, "
+        f"array_to_string(list_transform(embedding, x -> {code}), ',') AS codes_csv, "
+        f"list_max(list_transform(embedding, x -> abs({code}))) <= 127 AS codes_in_range "
+        "FROM embeddings ORDER BY vec_id"
+    )
+
+
 def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup DECISION census: MinHash-LSH near-dup pairs → connected
     components → one canonical keeper per cluster (minimum doc_id), every
@@ -1165,6 +1203,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-chunk": xt_chunk,
     "XP-pipeline4": xp_pipeline4,
     "XD-incremental": xd_incremental,
+    "XS-quant": xs_quant,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1205,6 +1244,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-chunk": _chunk_sql(16, 4),
     "XP-pipeline4": _pipeline4_sql(),
     "XD-incremental": _incremental_sql(),
+    "XS-quant": _quant_sql(),
     "XT-gopher": _gopher_sql(),
     "XT-repetition": _repetition_sql(3),
     "XT-pii-scrub": _pii_sql(),

@@ -273,3 +273,33 @@ def knn_join_cells(
         # BIGINT rank: Spark row_number is INT, SQL engines rank in BIGINT
         .select(id_col, "nbr_id", "cosine", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max |x_i|, code_i =
+    floor(x_i / scale * 127 + 0.5) ∈ [-127, 127] — the standard 4×
+    storage/bandwidth cut for large embedding corpora (dequantization is
+    code·scale/127, max error scale/254). floor(x + 0.5) spells the
+    rounding explicitly so both engines execute the identical IEEE
+    sequence — a bare round() would pit Spark's HALF_UP against another
+    engine's banker's rounding on exact .5 codes.
+
+    Pure per-row array transforms — zero shuffle, one mapper pass at any
+    corpus size. Output: (id, scale, codes).
+    """
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    staged = df.select(F.col(id_col), v.alias("_v"), scale.alias("_s"))
+    codes = F.transform(
+        F.col("_v"),
+        lambda x: F.floor(x / F.col("_s") * 127 + F.lit(0.5)).cast("int"),
+    )
+    return staged.select(
+        id_col,
+        F.round(F.col("_s"), 6).alias("scale"),
+        codes.alias("codes"),
+    )

@@ -668,3 +668,20 @@ def test_incremental_minhash_equals_full_run_restriction(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_quantization_reconstruction_error_bound(spark, np_emb):
+    """Dequantized vectors must sit within the analytic half-step bound
+    |x - code*scale/127| <= scale/254 — the contract downstream ANN over
+    quantized codes relies on."""
+    ids, V = np_emb
+    rows = similarity.quantize_embeddings(
+        load_table(spark, SF_ORACLE, "embeddings")
+    ).orderBy("vec_id").collect()
+    assert [r.vec_id for r in rows] == list(ids)
+    for r, x in zip(rows, V):
+        codes = np.array(r.codes, dtype=np.float64)
+        scale = np.abs(x).max()
+        assert np.abs(codes).max() <= 127
+        err = np.abs(x - codes * scale / 127.0)
+        assert err.max() <= scale / 254.0 + 1e-12
