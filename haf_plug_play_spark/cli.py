@@ -22,8 +22,32 @@ from haf_plug_play_spark.session import get_spark
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--ops", required=True, help="op-log parquet path")
-    p.add_argument("--out", required=True, help="derived-table output root")
+    # not argparse-required: a --config file may supply them (resolved in
+    # main, flags win — the reference's Config feeds its runner the same
+    # way, run_plug_play.py + config.py)
+    p.add_argument("--ops", default=None, help="op-log parquet path")
+    p.add_argument("--out", default=None, help="derived-table output root")
+    p.add_argument(
+        "--config", default=None,
+        help="key=value config file supplying ops/trx/out/step defaults",
+    )
+
+
+def _apply_config(args: argparse.Namespace) -> None:
+    """Fill unset CLI args from --config (flags always win); missing
+    required settings raise ConfigError with the field name."""
+    from haf_plug_play_spark.config import ConfigError, load_config
+
+    conf = load_config(args.config) if getattr(args, "config", None) else {}
+    mapping = {"ops": "ops_path", "trx": "trx_path", "out": "out_dir", "step": "step"}
+    for attr, field in mapping.items():
+        if hasattr(args, attr) and getattr(args, attr) is None and field in conf:
+            setattr(args, attr, conf[field])
+    for attr in ("ops", "out"):
+        if hasattr(args, attr) and getattr(args, attr) is None:
+            raise ConfigError(
+                f"--{attr} is required (flag or {mapping[attr]} in --config)"
+            )
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -36,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--plug", required=True, choices=sorted(PLUGS))
     b.add_argument("--start", type=int, required=True)
     b.add_argument("--end", type=int, required=True)
-    b.add_argument("--step", type=int, default=100)
+    b.add_argument("--step", type=int, default=None)  # config may supply; 100 otherwise
 
     s = sub.add_parser("status", help="sync health (≙ GET /api)")
     _add_common(s)
@@ -76,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd in ("backfill", "status"):
+        _apply_config(args)
+        if getattr(args, "step", None) is None:
+            args.step = 100
     spark = get_spark("haf_plug_play_spark_cli")
     if args.cmd == "backfill":
         runner = PlugRunner(

@@ -89,3 +89,68 @@ def test_cli_snapshot_lifecycle(spark, tmp_path, capsys):
     from haf_plug_play_spark.runner import snapshots as sn
 
     assert sn.read_snapshot(spark, table).count() == 200
+
+
+def test_config_loader_contract(tmp_path):
+    """key=value parsing, typed integers, unknown-key and missing-file
+    errors raised (not process-killed — the reference-defect fix), blank
+    template creation on first run."""
+    import pytest
+
+    from haf_plug_play_spark.config import (
+        CONFIG_FIELDS, ConfigError, load_config,
+    )
+
+    cf = tmp_path / "plug_play.conf"
+    cf.write_text(
+        "# engine settings\n"
+        "ops_path=/data/ops\n"
+        "out_dir=/data/out\n"
+        "step=250\n"
+        "server_port=8080\n"
+        "trx_path=\n"  # blank → omitted, caller defaults apply
+    )
+    conf = load_config(str(cf))
+    assert conf == {
+        "ops_path": "/data/ops", "out_dir": "/data/out",
+        "step": 250, "server_port": 8080,
+    }
+
+    bad = tmp_path / "bad.conf"
+    bad.write_text("db_host=x\n")  # a reference field, not an engine one
+    with pytest.raises(ConfigError, match="invalid config key 'db_host'"):
+        load_config(str(bad))
+
+    nonint = tmp_path / "nonint.conf"
+    nonint.write_text("step=many\n")
+    with pytest.raises(ConfigError, match="step must be an integer"):
+        load_config(str(nonint))
+
+    missing = tmp_path / "fresh" / "new.conf"
+    with pytest.raises(ConfigError, match="blank template was created"):
+        load_config(str(missing))
+    assert missing.read_text() == "".join(f"{f}=\n" for f in CONFIG_FIELDS)
+
+
+def test_cli_backfill_reads_config_file(spark, tmp_path, capsys):
+    """--config supplies ops/trx/out/step; explicit flags still win."""
+    ops_df, trx_df = fixtures.as_dataframes(spark, 1000, 9)
+    ops, trx = str(tmp_path / "ops"), str(tmp_path / "trx")
+    out = str(tmp_path / "out")
+    ops_df.write.parquet(ops)
+    trx_df.write.parquet(trx)
+    lo = ops_df.agg({"block_num": "min"}).first()[0]
+    hi = ops_df.agg({"block_num": "max"}).first()[0]
+    cf = tmp_path / "conf"
+    cf.write_text(
+        f"ops_path={ops}\ntrx_path={trx}\nout_dir={out}\nstep=500\n"
+    )
+    got = _run(capsys, [
+        "backfill", "--plug", "podping", "--config", str(cf),
+        "--start", str(lo), "--end", str(hi),
+    ])
+    assert got["cursor"] == hi
+    assert got["chunks"] == (hi - lo) // 500 + 1
+    status = _run(capsys, ["status", "--config", str(cf)])
+    by_plug = {p["plug"]: p for p in status["plugs"]}
+    assert by_plug["podping"]["latest_block_num"] == hi
