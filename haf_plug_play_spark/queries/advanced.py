@@ -830,6 +830,58 @@ def qa6_stringagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qw7_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF resample (the hypertable
+    ``time_bucket_gapfill`` shape): hourly counts per event type with
+    MISSING hours materialized as zero rows, and the hourly average value
+    carried forward across the gaps (last-observation-carried-forward).
+
+    Scale shape: the dense grid is one ``sequence`` over the global
+    [min, max] hour bounds — span/granularity rows, independent of event
+    volume, cross-joined (broadcast) with the distinct keys; the hourly
+    aggregate is one keyed shuffle and the LOCF fill one keyed window.
+    The event table is never expanded, only the tiny grid is."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"), 6
+            ).alias("_av"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        events.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("_n", F.lit(0)).cast("long").alias("n"),
+            F.last("_av", ignorenulls=True).over(w).alias("v_locf"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -858,6 +910,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW6-ntile": qw6_ntile,
     "QSW-stream-session": qsw_stream_session,
     "QA6-stringagg": qa6_stringagg,
+    "QW7-gapfill": qw7_gapfill,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -885,6 +938,23 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n, "
         "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
         "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QW7-gapfill": (
+        "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, "
+        "count(*) AS n, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS av "
+        "FROM events GROUP BY 1, 2), "
+        "b AS (SELECT date_trunc('hour', min(ts)) AS lo, "
+        "date_trunc('hour', max(ts)) AS hi FROM events), "
+        "grid AS (SELECT t.event_type, unnest(generate_series(b.lo, b.hi, "
+        "INTERVAL 1 HOUR)) AS h FROM (SELECT DISTINCT event_type FROM events) t, b), "
+        "j AS (SELECT g.event_type, g.h, coalesce(hourly.n, 0) AS n, hourly.av "
+        "FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type "
+        "AND hourly.h = g.h) "
+        "SELECT event_type, CAST(h AS TIMESTAMP) AS h, CAST(n AS BIGINT) AS n, "
+        "last_value(av IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h "
+        "ROWS UNBOUNDED PRECEDING) AS v_locf "
+        "FROM j ORDER BY event_type, h"
     ),
     "QA6-stringagg": (
         "SELECT r_name, count(*) AS n_nations, "
