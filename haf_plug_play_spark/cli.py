@@ -101,7 +101,15 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd in ("backfill", "status"):
-        _apply_config(args)
+        from haf_plug_play_spark.config import ConfigError
+
+        try:
+            _apply_config(args)
+        except ConfigError as exc:
+            # the clean usage-error exit argparse gave when --ops/--out
+            # were argparse-required; config problems exit the same way
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
         if getattr(args, "step", None) is None:
             args.step = 100
     spark = get_spark("haf_plug_play_spark_cli")

@@ -60,8 +60,15 @@ def load_config(config_file: str, create_if_missing: bool = True) -> dict:
     with open(config_file, encoding="utf-8") as f:
         for lineno, line in enumerate(f, 1):
             line = line.strip()
-            if not line or line.startswith("#") or "=" not in line:
+            if not line or line.startswith("#"):
                 continue
+            if "=" not in line:
+                # a silently-dropped malformed line would surface later as
+                # a baffling "field missing" error pointing away from it
+                raise ConfigError(
+                    f"{config_file}:{lineno}: malformed line {line!r} "
+                    "(expected key=value)"
+                )
             key, _, raw = line.partition("=")
             key, raw = key.strip(), raw.strip()
             if key not in CONFIG_FIELDS:

@@ -786,7 +786,7 @@ def incremental_minhash_pairs(
     nb = band_buckets(new_docs)
     cb = band_buckets(corpus)
     # prune the corpus index to buckets the new batch occupies — the ONLY
-    # corpus-wide step, and it's a semi-join on the band key
+    # corpus-wide step over signatures, and it's a semi-join on the band key
     cb_hot = cb.join(nb.select("bk").distinct(), "bk", "semi")
     x = nb.alias("x")
     y = nb.unionByName(cb_hot).alias("y")
@@ -797,8 +797,22 @@ def incremental_minhash_pairs(
             F.greatest(F.col("x._id"), F.col("y._id")).alias("id_b"),
         )
         .distinct()
+        # materialized once (bounded: LSH-candidate-sized) so the id
+        # prune below doesn't recompute the whole signature lineage
+        .localCheckpoint()
     )
     both = new_docs.select(id_col, text_col).unionByName(
         corpus.select(id_col, text_col)
     )
+    # verify-side prune BEFORE shingling: a projection ahead of a join is
+    # evaluated for every input row, so without this semi-join the verify
+    # stage would compute word_shingles over the ENTIRE corpus — an
+    # O(corpus) expression cost the O(batch) contract forbids. After it,
+    # shingle arrays exist only for docs appearing in some candidate pair.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    both = both.join(cand_ids, id_col, "semi")
     return _jaccard_verify(both, id_col, text_col, n, candidates, threshold)

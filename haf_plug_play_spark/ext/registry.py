@@ -44,10 +44,10 @@ def _spread(df: DataFrame) -> DataFrame:
     # metadata, no RDD conversion / py4j plan materialization per query
     # build. Files >= cores ⇒ the scan already parallelizes (splits >=
     # files); fewer big files than cores is not a shape the small-fixture
-    # branch this guard exists for produces.
-    try:
-        n_in = len(df.inputFiles())
-    except Exception:  # non-file-backed plans: fall back to the RDD probe
+    # branch this guard exists for produces. Non-file-backed plans return
+    # an EMPTY file list (not an error) — only they pay the RDD probe.
+    n_in = len(df.inputFiles())
+    if n_in == 0:
         n_in = df.rdd.getNumPartitions()
     if n_in < par:
         return df.repartition(par)

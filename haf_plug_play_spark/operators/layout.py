@@ -31,6 +31,14 @@ def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     Z-curve. Compiles to a flat sum of shift/mask terms: whole-stage
     codegen, zero shuffle."""
     n = len(cols)
+    if bits * n > 63:
+        # position bits*n-1 would land in the long's sign bit: rows with
+        # it set would sort FIRST (negative keys), silently breaking the
+        # Z-order — refuse instead (e.g. 4 columns need bits <= 15)
+        raise ValueError(
+            f"bits * n_cols must be <= 63 to fit a signed long, got "
+            f"{bits} * {n} = {bits * n}"
+        )
     mask = (1 << bits) - 1
     masked = [c.cast("long").bitwiseAND(F.lit(mask)) for c in cols]
     out = F.lit(0).cast("long")
@@ -46,6 +54,11 @@ def zorder_key_sql(col_exprs: list[str], bits: int = 16) -> str:
     """DuckDB spelling of ``zorder_key`` — identical shift/mask terms, so
     engine and oracle agree bit-for-bit."""
     n = len(col_exprs)
+    if bits * n > 63:
+        raise ValueError(
+            f"bits * n_cols must be <= 63 to fit a signed long, got "
+            f"{bits} * {n} = {bits * n}"
+        )
     mask = (1 << bits) - 1
     terms = []
     for b in range(bits):

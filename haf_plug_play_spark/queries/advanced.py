@@ -262,6 +262,73 @@ def qw3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    prefix: str,
+    output_mode: str,
+    n_sources: int = 1,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Shared Structured-Streaming replay harness for the QS* oracle-gated
+    queries: symlink the events fixture into a temp dir (Spark's file
+    source monitors directories; production streams the landing dir
+    itself), run ``build(*streams)`` through a memory sink with
+    availableNow, fail LOUDLY on timeout (a partial table masquerading as
+    the final result would surface as a baffling oracle hash mismatch),
+    clean the fixture dir, and return the sink table.
+    ``shuffle_partitions`` scopes a stream-start override for state-heavy
+    modes (stream-stream join state lives per shuffle partition on both
+    sides; the count is pinned at stream start) — restored in finally, so
+    batch plans are unaffected either way.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    schema = load_table(spark, sf_dir, "events").schema
+    d = tempfile.mkdtemp(prefix=f"{prefix}_events_")
+    try:
+        os.symlink(
+            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
+            os.path.join(d, "events.parquet"),
+        )
+        srcs = [
+            spark.readStream.schema(schema).parquet(d) for _ in range(n_sources)
+        ]
+        out = build(*srcs)
+        name = f"{prefix}_{abs(hash(d)) % 10_000_000}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            if shuffle_partitions is not None:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(shuffle_partitions)
+                )
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    raise RuntimeError(
+                        f"{prefix}: streaming replay did not finish within 300 s"
+                    )
+            finally:
+                q.stop()
+        finally:
+            if shuffle_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        # the file source only needs the dir during the replay; the memory
+        # sink holds the result, so the fixture dir can go immediately
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.table(name)
+
+
 def qst_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING windowed aggregation with a hard batch oracle: the events
     table is replayed through Structured Streaming (file source →
@@ -273,52 +340,14 @@ def qst_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive; availableNow replay admits everything, making the streaming and
     batch results identical by construction (the engine's streaming
     regression tests rely on the same equivalence).
-
-    The temp-dir symlink is a local-fixture adapter only: Spark's file
-    streaming source requires a directory to monitor (the production
-    deployment streams the landing directory itself).
     """
-    import os
-    import shutil
-    import tempfile
-
     from haf_plug_play_spark.streaming.windowed import windowed_event_aggs
 
-    schema = load_table(spark, sf_dir, "events").schema
-    d = tempfile.mkdtemp(prefix="qst_events_")
-    try:
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        src = spark.readStream.schema(schema).parquet(d)
-        agg = windowed_event_aggs(src)
-        name = f"qst_stream_window_{abs(hash(d)) % 10_000_000}"
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            # awaitTermination returns False on timeout — a partial
-            # complete-mode table masquerading as the final result would
-            # surface as a baffling oracle hash mismatch; fail loudly.
-            if not q.awaitTermination(300):
-                raise RuntimeError(
-                    "qst_stream_window: streaming replay did not finish "
-                    "within 300 s"
-                )
-        finally:
-            q.stop()
-    finally:
-        # the file source only needs the dir during the replay; the memory
-        # sink holds the result, so the fixture dir can go immediately
-        shutil.rmtree(d, ignore_errors=True)
+    t = _stream_replay(
+        spark, sf_dir, windowed_event_aggs, "qst_stream_window", "complete"
+    )
     return (
-        spark.table(name)
-        .select(
+        t.select(
             "w_start",
             "event_type",
             "n",
@@ -435,43 +464,15 @@ def qsa_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     it would test summation order, not the operator. The float path is
     covered by the module's own equivalence test instead.
     """
-    import os
-    import shutil
-    import tempfile
-
     from haf_plug_play_spark.streaming.stateful import running_user_state
 
-    schema = load_table(spark, sf_dir, "events").schema
-    d = tempfile.mkdtemp(prefix="qsa_events_")
-    try:
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        src = spark.readStream.schema(schema).parquet(d)
-        st = running_user_state(src)
-        name = f"qsa_stream_stateful_{abs(hash(d)) % 10_000_000}"
-        q = (
-            st.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise RuntimeError(
-                    "qsa_stream_stateful: streaming replay did not finish within 300 s"
-                )
-        finally:
-            q.stop()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    t = _stream_replay(
+        spark, sf_dir, running_user_state, "qsa_stream_stateful", "update"
+    )
     # update mode emits one row per user per batch; counts are monotone, so
     # max() selects the final state whatever the batch split was
     return (
-        spark.table(name)
-        .groupBy("user_id")
+        t.groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
             F.max("last_event_id").alias("last_event_id"),
@@ -540,39 +541,18 @@ def qss_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrival-order-dependent, so only the KEY SET is the contract — the
     deterministic keep-first row choice is the batch census' job
     (ext/dedup.py:exact_dedup)."""
-    import os
-    import shutil
-    import tempfile
-
     from haf_plug_play_spark.streaming.dedup import stream_exact_dedup
 
-    schema = load_table(spark, sf_dir, "events").schema
-    d = tempfile.mkdtemp(prefix="qss_events_")
-    try:
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        src = spark.readStream.schema(schema).parquet(d)
-        ded = stream_exact_dedup(src, ["user_id"], ts_col="ts", watermark="10 minutes")
-        name = f"qss_stream_dedup_{abs(hash(d)) % 10_000_000}"
-        q = (
-            ded.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise RuntimeError(
-                    "qss_stream_dedup: streaming replay did not finish within 300 s"
-                )
-        finally:
-            q.stop()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name).select("user_id").distinct().orderBy("user_id")
+    t = _stream_replay(
+        spark,
+        sf_dir,
+        lambda src: stream_exact_dedup(
+            src, ["user_id"], ts_col="ts", watermark="10 minutes"
+        ),
+        "qss_stream_dedup",
+        "append",
+    )
+    return t.select("user_id").distinct().orderBy("user_id")
 
 
 def qsj_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,55 +568,25 @@ def qsj_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     never match a future click). The availableNow replay admits everything
     in one batch, so streaming and batch pair sets agree by construction.
     """
-    import os
-    import shutil
-    import tempfile
-
     from haf_plug_play_spark.streaming.joins import click_attribution_join
 
-    schema = load_table(spark, sf_dir, "events").schema
-    d = tempfile.mkdtemp(prefix="qsj_events_")
-    try:
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        src1 = spark.readStream.schema(schema).parquet(d)
-        src2 = spark.readStream.schema(schema).parquet(d)
-        joined = click_attribution_join(
-            src1.filter(F.col("event_type") == "signup"),
-            src2.filter(F.col("event_type") == "click"),
-        )
-        name = f"qsj_stream_join_{abs(hash(d)) % 10_000_000}"
+    t = _stream_replay(
+        spark,
+        sf_dir,
+        lambda s1, s2: click_attribution_join(
+            s1.filter(F.col("event_type") == "signup"),
+            s2.filter(F.col("event_type") == "click"),
+        ),
+        "qsj_stream_join",
+        "append",
+        n_sources=2,
         # Stream-stream join state lives per shuffle partition ON BOTH
         # SIDES; at replay scale the per-partition state-store setup, not
         # the data, dominates (measured 8.7 s at sf0.001 with 32
-        # partitions). The partition count is pinned at STREAM START, so a
-        # scoped override is enough; production streams size this to their
-        # key cardinality. Restored in finally — batch plans are unaffected
-        # either way.
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-            q = (
-                joined.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            try:
-                if not q.awaitTermination(300):
-                    raise RuntimeError(
-                        "qsj_stream_join: streaming replay did not finish within 300 s"
-                    )
-            finally:
-                q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.table(name).orderBy("user_id", "signup_id", "click_id")
+        # partitions). Production streams size this to key cardinality.
+        shuffle_partitions=8,
+    )
+    return t.orderBy("user_id", "signup_id", "click_id")
 
 
 def qa5_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,42 +711,19 @@ def qsw_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     The availableNow replay admits every event before any window is
     finalized, so streaming gap-merging and the batch group-by agree by
     construction (same equivalence argument as QST/QSS/QSJ)."""
-    import os
-    import shutil
-    import tempfile
-
     from haf_plug_play_spark.streaming.windowed import session_event_counts
 
-    schema = load_table(spark, sf_dir, "events").schema
-    d = tempfile.mkdtemp(prefix="qsw_events_")
-    try:
-        os.symlink(
-            os.path.abspath(os.path.join(sf_dir, "events.parquet")),
-            os.path.join(d, "events.parquet"),
-        )
-        src = spark.readStream.schema(schema).parquet(d)
-        sess = session_event_counts(src, gap="30 minutes", watermark="10 minutes")
-        name = f"qsw_stream_session_{abs(hash(d)) % 10_000_000}"
-        q = (
-            sess.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                raise RuntimeError(
-                    "qsw_stream_session: streaming replay did not finish "
-                    "within 300 s"
-                )
-        finally:
-            q.stop()
-    finally:
-        shutil.rmtree(d, ignore_errors=True)
+    t = _stream_replay(
+        spark,
+        sf_dir,
+        lambda src: session_event_counts(
+            src, gap="30 minutes", watermark="10 minutes"
+        ),
+        "qsw_stream_session",
+        "complete",
+    )
     return (
-        spark.table(name)
-        .select(
+        t.select(
             "user_id",
             F.col("w").start.alias("s_start"),
             F.col("w").end.alias("s_end"),
@@ -836,11 +763,16 @@ def qw7_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     MISSING hours materialized as zero rows, and the hourly average value
     carried forward across the gaps (last-observation-carried-forward).
 
-    Scale shape: the dense grid is one ``sequence`` over the global
-    [min, max] hour bounds — span/granularity rows, independent of event
-    volume, cross-joined (broadcast) with the distinct keys; the hourly
-    aggregate is one keyed shuffle and the LOCF fill one keyed window.
-    The event table is never expanded, only the tiny grid is."""
+    Scale shape: events are scanned ONCE, into the hourly aggregate
+    (span/granularity × n_keys rows — tiny), which is materialized with
+    ``localCheckpoint`` and then reused three ways: the grid bounds
+    (date_trunc is monotone, so min/max over hourly hours equals the
+    truncated event min/max), the key set, and the fill join. Without the
+    materialization each reuse would re-run its own full event scan —
+    Catalyst does not share common subplans. The dense grid is one
+    ``sequence`` over the bounds, broadcast-crossed with the keys; the
+    LOCF fill is one keyed window. The event table is never expanded,
+    only the tiny grid is."""
     from pyspark.sql import Window as W
 
     events = load_table(spark, sf_dir, "events")
@@ -852,13 +784,11 @@ def qw7_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"), 6
             ).alias("_av"),
         )
+        .localCheckpoint()
     )
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = (
-        events.select("event_type").distinct()
+        hourly.select("event_type").distinct()
         .crossJoin(F.broadcast(bounds))
         .select(
             "event_type",

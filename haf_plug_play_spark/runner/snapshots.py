@@ -112,13 +112,24 @@ def _commit(
     fs,
     inherit_dirs: bool,
     batch_id: int | None = None,
+    writer_id: str | None = None,
 ) -> dict:
     fs = fs or LocalFS()
     fs.makedirs(os.path.join(table_dir, _MANIFESTS))
     cur = current_manifest(table_dir, fs)
-    if batch_id is not None and cur is not None and cur.get("batch_id") == batch_id:
+    if (
+        batch_id is not None
+        and cur is not None
+        and cur.get("batch_id") == batch_id
+        and cur.get("writer_id") == writer_id
+    ):
         # idempotent re-commit: an at-least-once stream retrying a batch
-        # whose pointer swap already landed must not append it twice
+        # whose pointer swap already landed must not append it twice. The
+        # key is (writer_id, batch_id) — batch_id alone would silently
+        # drop batch 0 of a DIFFERENT stream (fresh checkpoint, second
+        # pipeline) that happens to collide with the table's current
+        # batch number (the txnAppId+txnVersion shape of Delta's public
+        # foreachBatch idempotency pattern).
         return cur
     known = _manifest_ids(table_dir, fs)
     # next id rides on the manifest listing, not the pointer, so a crashed
@@ -139,6 +150,7 @@ def _commit(
     }
     if batch_id is not None:
         manifest["batch_id"] = batch_id
+        manifest["writer_id"] = writer_id
     mname = f"manifest-{snap_id:08d}-{tag}.json"
     fs.write_bytes_atomic(
         os.path.join(table_dir, _MANIFESTS, mname),
@@ -170,6 +182,7 @@ def append_snapshot(
     table_dir: str,
     fs=None,
     batch_id: int | None = None,
+    writer_id: str = "default",
 ) -> dict:
     """Publish ``df`` as an APPEND: the new manifest lists the parent
     snapshot's data dirs plus one fresh dir holding only the new rows —
@@ -177,14 +190,21 @@ def append_snapshot(
     Iceberg append shape). Same crash safety as commit_snapshot: the
     pointer swap is the only mutation.
 
-    ``batch_id`` makes the append idempotent for at-least-once writers
-    (Structured Streaming ``foreachBatch`` retries a batch after a crash):
-    a re-commit of the batch that is already current is a no-op, so the
-    published table sees each micro-batch exactly once. The append chain
+    ``(writer_id, batch_id)`` makes the append idempotent for
+    at-least-once writers (Structured Streaming ``foreachBatch`` retries a
+    batch after a crash): a re-commit of the batch that is already current
+    is a no-op, so the published table sees each micro-batch exactly once.
+    ``writer_id`` names the STREAM (use its checkpoint identity): two
+    different pipelines appending to one table each restart from batch 0,
+    and without the writer key the second stream's first batch would be
+    mistaken for a retry of the first's. The append chain
     grows one small dir per batch; fold it periodically with
     ``rewrite_snapshot`` (the compaction story is unchanged).
     """
-    return _commit(spark, df, table_dir, fs, inherit_dirs=True, batch_id=batch_id)
+    return _commit(
+        spark, df, table_dir, fs,
+        inherit_dirs=True, batch_id=batch_id, writer_id=writer_id,
+    )
 
 
 def read_snapshot(

@@ -178,3 +178,21 @@ def test_stream_publishes_through_append_snapshots(spark, tmp_path):
     assert out.count() == 100
     assert out.selectExpr("sum(id)").collect()[0][0] == 4950
     shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_append_batch_id_scoped_by_writer(spark, fs, tmp_path):
+    """A SECOND stream (fresh checkpoint → its own batch 0) appending to
+    the same table must not be mistaken for a retry of the first
+    stream's batch — idempotency keys on (writer_id, batch_id)."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark, _df(spark, 1, rows=10), t, fs, batch_id=0, writer_id="a")
+    m = sn.append_snapshot(
+        spark, _df(spark, 2, rows=20), t, fs, batch_id=0, writer_id="b"
+    )
+    assert m["snapshot_id"] == 2  # a real commit, not a skipped retry
+    assert sn.read_snapshot(spark, t, fs).count() == 30
+    retry = sn.append_snapshot(
+        spark, _df(spark, 2, rows=20), t, fs, batch_id=0, writer_id="b"
+    )
+    assert retry["snapshot_id"] == 2  # the true retry IS skipped
+    assert sn.read_snapshot(spark, t, fs).count() == 30
