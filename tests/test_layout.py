@@ -111,3 +111,17 @@ def test_cluster_by_zorder_files_prune_both_dimensions(spark):
             assert mean_span <= dims / 2, (name, mean_span)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    """bits * n_cols > 63 would push the top interleave bit into the
+    long's sign bit (negative keys sort first, breaking the Z-order) —
+    both the engine and the SQL spelling must refuse."""
+    from haf_plug_play_spark.operators.layout import zorder_key, zorder_key_sql
+
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key([F.col(c) for c in ("a", "b", "c", "d")], bits=16)
+    with pytest.raises(ValueError, match="<= 63"):
+        zorder_key_sql(["a", "b", "c", "d"], bits=16)
+    # 4 columns fit at 15 bits — the documented alternative
+    assert zorder_key([F.col(c) for c in ("a", "b", "c", "d")], bits=15) is not None
