@@ -812,6 +812,29 @@ def qw7_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qj7_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the matrix lacked): per-customer
+    order counts keeping both customers with no orders AND orphan order
+    keys, with null-side audit flags. Shuffle hash/sort-merge on the key;
+    the aggregate below it is the usual partial+final pair."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = customer.join(orders, customer["c_custkey"] == orders["o_custkey"], "full")
+    return (
+        j.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("c_custkey").isNull().alias("orphan_order"),
+            F.col("o_custkey").isNull().alias("no_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -841,6 +864,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QSW-stream-session": qsw_stream_session,
     "QA6-stringagg": qa6_stringagg,
     "QW7-gapfill": qw7_gapfill,
+    "QJ7-full-outer": qj7_full_outer,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -868,6 +892,15 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n, "
         "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
         "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QJ7-full-outer": (
+        "SELECT coalesce(c_custkey, o_custkey) AS custkey, "
+        "coalesce(n_orders, 0) AS n_orders, "
+        "c_custkey IS NULL AS orphan_order, "
+        "o_custkey IS NULL AS no_orders "
+        "FROM customer FULL OUTER JOIN "
+        "(SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o "
+        "ON c_custkey = o_custkey ORDER BY custkey"
     ),
     "QW7-gapfill": (
         "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h, "
