@@ -835,6 +835,58 @@ def qj7_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx7_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT-typed column surface (the typed sibling of QX6's map):
+    from_json with a declared schema → field access, a constructed nested
+    struct, dot-path access through it, and a struct equality comparison
+    — all per-row codegen."""
+    events = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "struct<k:int>")
+    nested = F.struct(
+        F.col("event_type").alias("t"),
+        F.struct(F.col("user_id").alias("u"), parsed["k"].alias("k")).alias(
+            "inner"
+        ),
+    )
+    return (
+        events.select("event_id", nested.alias("n"))
+        .select(
+            "event_id",
+            F.col("n.t").alias("t"),
+            F.col("n.inner.u").alias("u"),
+            F.col("n.inner.k").alias("k"),
+            (F.col("n.inner") == F.struct(
+                F.col("n.inner.u").alias("u"), F.col("n.inner.k").alias("k")
+            )).alias("roundtrip_eq"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def qw8_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS-frame window: per-type rolling 4-row average of
+    value ordered by (ts, event_id) — the moving-average frame the
+    fixed-bucket windows don't cover. Sum EXACTLY in decimal inside the
+    frame, divide by the frame row count once (the module's float
+    contract); one keyed window shuffle."""
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+                / F.count("*").over(w),
+                6,
+            ).alias("avg4"),
+        )
+        .orderBy("event_id")
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
@@ -865,6 +917,8 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QA6-stringagg": qa6_stringagg,
     "QW7-gapfill": qw7_gapfill,
     "QJ7-full-outer": qj7_full_outer,
+    "QX7-struct": qx7_struct,
+    "QW8-rolling": qw8_rolling,
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
@@ -892,6 +946,20 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n, "
         "round(min(value), 6) AS v_min, round(max(value), 6) AS v_max "
         "FROM events GROUP BY 1 ORDER BY 1"
+    ),
+    "QX7-struct": (
+        "SELECT event_id, event_type AS t, user_id AS u, "
+        "CAST(props->>'k' AS INTEGER) AS k, true AS roundtrip_eq "
+        "FROM events ORDER BY event_id"
+    ),
+    "QW8-rolling": (
+        "SELECT event_id, event_type, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) "
+        "/ count(*) OVER w, 6) AS avg4 "
+        "FROM events "
+        "WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+        "ORDER BY event_id"
     ),
     "QJ7-full-outer": (
         "SELECT coalesce(c_custkey, o_custkey) AS custkey, "
