@@ -248,3 +248,63 @@ def hash_shuffle(
         .withColumn("pos", (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_h", "_b", "_rn", "_off")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Temperature-scaled corpus rebalancing: sample stratum i (language,
+    source) with probability ``rate_i ∝ p_i^(alpha-1)`` normalized so the
+    rarest stratum keeps everything — the standard multilingual-pretraining
+    alpha-sampling that flattens a skewed corpus toward uniform
+    (alpha=1 keeps the natural distribution, alpha=0 equalizes strata,
+    0<alpha<1 interpolates). Unlike ``weighted_mix`` the rates are DERIVED
+    from the corpus's own stratum frequencies in the same query — no
+    hand-maintained rate table to drift out of date.
+
+    Plan shape: one tiny aggregation (stratum counts, map-side combined),
+    rates computed with a window over that stratum-count table (bounded by
+    the number of strata), broadcast-joined back, then the same
+    deterministic uniform(key, seed) filter as ``hash_bernoulli`` — the
+    full-table side never shuffles.
+
+    Output: the kept rows plus their stratum ``mix_rate`` (rounded 6 dp).
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    # rate_i = (n_i / N)^(alpha-1) / max_j (n_j / N)^(alpha-1)
+    #        = (n_i / n_min)^(alpha-1)   (maximized at the smallest stratum)
+    w_all = W.partitionBy()
+    rates = counts.select(
+        stratum_col,
+        F.pow(
+            F.col("_n") / F.min("_n").over(w_all), F.lit(alpha - 1.0)
+        ).alias("_rate"),
+    )
+    u = _uniform(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(u < F.col("_rate"))
+        .withColumn("mix_rate", F.round(F.col("_rate"), 6))
+        .drop("_rate")
+    )
+
+
+def temperature_mix_sql(
+    stratum_col: str, key_expr: str, alpha: float = 0.5, seed: int = 7
+) -> str:
+    """DuckDB spelling of ``temperature_mix`` over the documents table:
+    same rate algebra (pow of count ratio), same md5 uniform."""
+    u = uniform_sql(key_expr, seed)
+    return (
+        f"WITH counts AS (SELECT {stratum_col} AS s, count(*) AS n "
+        "FROM documents GROUP BY 1), "
+        "rates AS (SELECT s, pow(CAST(n AS DOUBLE) / min(n) OVER (), "
+        f"{alpha - 1.0!r}) AS rate FROM counts) "
+        f"SELECT doc_id, {stratum_col}, source, round(rate, 6) AS mix_rate "
+        f"FROM documents JOIN rates ON {stratum_col} = rates.s "
+        f"WHERE {u} < rate ORDER BY doc_id"
+    )

@@ -303,3 +303,60 @@ def quantize_embeddings(
         F.round(F.col("_s"), 6).alias("scale"),
         codes.alias("codes"),
     )
+
+
+def kmeans_refine_assign(
+    emb: DataFrame,
+    k: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """One fully-declarative Lloyd (k-means) refinement over the embedding
+    corpus: assign every vector to its nearest seeded unit centroid
+    (euclidean argmin, zero-shuffle projection), recompute each cell's
+    centroid as the per-dimension mean, and re-assign against the TRAINED
+    centroids — all as one Catalyst plan, no driver-side centroid collect
+    (unlike ``ivf_centroids``, whose per-iteration k×dim collect is the
+    bounded-but-driver-hop variant).
+
+    The trained-centroid assignment is expressed relationally so it scales
+    and oracles: centroids live in a (cell, pos, m) DataFrame (k×dim rows,
+    broadcast), scores come from the position-exploded vector stream
+    joined to it (``Σ x·m`` per (vec, cell), fan-out n×dim×k — linear,
+    partition-parallel), and the argmin is a struct-min per vector with
+    ties to the lowest cell. Empty cells simply field no candidates, same
+    as the oracle. Output: (id, cell0, cell1, moved) ordered by id.
+    """
+    cents = _seed_unit_centroids(dim, k, seed)
+    v = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("cell0", nearest_centroid(F.col("_v"), cents).cast("int"))
+    p = v.select(id_col, "cell0", F.posexplode("_v").alias("_pos", "_x"))
+    cent1 = (
+        p.groupBy("cell0", "_pos")
+        .agg(F.avg("_x").alias("_m"))
+        .select(F.col("cell0").alias("_cell"), "_pos", "_m")
+    )
+    cc = cent1.groupBy("_cell").agg(F.sum(F.col("_m") * F.col("_m")).alias("_cc"))
+    vc = (
+        p.join(F.broadcast(cent1), "_pos")
+        .groupBy(id_col, "cell0", "_cell")
+        .agg(F.sum(F.col("_x") * F.col("_m")).alias("_vc"))
+    )
+    scored = vc.join(F.broadcast(cc), "_cell").select(
+        id_col,
+        "cell0",
+        "_cell",
+        (F.col("_cc") - F.lit(2.0) * F.col("_vc")).alias("_score"),
+    )
+    best = scored.groupBy(id_col, "cell0").agg(
+        F.min(F.struct(F.col("_score"), F.col("_cell"))).alias("_b")
+    )
+    return best.select(
+        F.col(id_col),
+        "cell0",
+        F.col("_b._cell").cast("int").alias("cell1"),
+        (F.col("cell0") != F.col("_b._cell")).alias("moved"),
+    ).orderBy(id_col)

@@ -370,3 +370,43 @@ def chunk_documents(
         F.size("_c").cast("long").alias("n_tok"),
         F.concat_ws(" ", "_c").alias("chunk_text"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score: train word probabilities on
+    the corpus itself (p(w) = count(w) / total words), then score each
+    document by its mean word log-probability — the engine-portable
+    stand-in for the KenLM-perplexity quality filter every large pretraining
+    pipeline runs (docs full of rare/garbage tokens score low, fluent docs
+    built from common words score high; filter or prune on the score).
+
+    Fully declarative, two shuffles total: one hash aggregation keyed on
+    the word (map-side combinable, vocabulary-sized output), one re-join
+    of the word stream to those counts (same key — AQE reuses the
+    partitioning) followed by a per-doc aggregation. The corpus total
+    rides along as a broadcast single-row cross join (the TF-IDF N
+    pattern, ext/registry.py) — no driver scalar collect.
+
+    Output: (id, n_words, avg_logp) with avg_logp rounded to 6 dp.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_total"))
+    logp = counts.crossJoin(F.broadcast(total)).select(
+        "w", F.log(F.col("_cnt") / F.col("_total")).alias("_logp")
+    )
+    return (
+        words.join(logp, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg("_logp"), 6).alias("avg_logp"),
+        )
+        .orderBy(id_col)
+    )

@@ -887,7 +887,94 @@ def qw8_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIT_COLS: list[tuple[str, str]] = [
+    # (column, kind) — kind picks the cross-engine-stable string rendering
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+]
+
+
+def qv1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit / profiling: per-column row count, null count,
+    distinct count, and min/max (rendered as strings so one long-form
+    schema covers every type) over the orders table — the validation pass
+    a pipeline runs before trusting a new data drop. The reference has no
+    profiling surface; this extends §2.4's aggregate family.
+
+    One scan, one aggregation row, then a stack() unpivot to long form.
+    The multiple exact count-distincts expand the aggregate input (one
+    replica per distinct column — the standard Expand strategy); at corpus
+    scale swap ``approx_count_distinct`` in for the same plan minus the
+    expand. Min/max strings: numerics via printf('%.2f'), timestamps via
+    date_format — both bit-stable across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def render(c: str, kind: str, agg) -> F.Column:
+        col = agg(F.col(c))
+        if kind == "num":
+            return F.format_string("%.2f", col)
+        if kind == "ts":
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col.cast("string")
+
+    aggs: list[F.Column] = [F.count("*").alias("_n")]
+    for c, kind in _AUDIT_COLS:
+        aggs += [
+            F.sum(F.isnull(c).cast("long")).alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_dist_{c}"),
+            render(c, kind, F.min).alias(f"_min_{c}"),
+            render(c, kind, F.max).alias(f"_max_{c}"),
+        ]
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c, _ in _AUDIT_COLS
+    )
+    return (
+        row.selectExpr(
+            "_n",
+            f"stack({len(_AUDIT_COLS)}, {stack_args}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val)",
+        )
+        .select(
+            "col_name",
+            F.col("_n").alias("n_rows"),
+            "n_null",
+            "n_distinct",
+            "min_val",
+            "max_val",
+        )
+        .orderBy("col_name")
+    )
+
+
+def _audit_sql() -> str:
+    def render(c: str, kind: str, fn: str) -> str:
+        if kind == "num":
+            return f"printf('%.2f', {fn}({c}))"
+        if kind == "ts":
+            return f"strftime({fn}({c}), '%Y-%m-%d %H:%M:%S')"
+        return f"CAST({fn}({c}) AS VARCHAR)"
+
+    parts = [
+        (
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"count(*) - count({c}) AS n_null, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            f"{render(c, kind, 'min')} AS min_val, "
+            f"{render(c, kind, 'max')} AS max_val FROM orders"
+        )
+        for c, kind in _AUDIT_COLS
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "QV1-audit": qv1_audit,
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
     "QA3-lineitem-agg": qa3_lineitem_agg,
@@ -922,6 +1009,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
+    "QV1-audit": _audit_sql(),
     "QA5-stats": (
         "WITH s AS (SELECT l_returnflag, count(*) AS n, "
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx, "

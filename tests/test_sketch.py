@@ -1,0 +1,186 @@
+"""Sketch-operator tests beyond the registry oracles: the CMS and Bloom
+hard guarantees on planted adversarial fixtures, the k-means refinement's
+SSE contract on clustered data, temperature-mix boundary alphas, and a
+hand-computed unigram-LM golden. Plan tests lock the probe-side
+scale shape (broadcast joins, no sort-merge)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.ext import sampling, similarity, sketch, text as xt
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ------------------------------------------------------------- count-min
+
+
+def test_cms_never_undercounts_with_forced_collisions(spark):
+    """width=4 over a 40-word vocabulary forces heavy collisions; the CMS
+    estimate must still be >= exact for EVERY word (the sketch's hard
+    guarantee), and with d=3 rows the min must not exceed the worst
+    single-row bucket total."""
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(20))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sketch.cms_heavy_hitters(
+        docs, depth=3, width=4, min_support=0.0
+    ).collect()
+    assert len(out) == 40
+    assert all(r.certified for r in out)
+    assert all(r.cms_est >= r.exact_n for r in out)
+    # collisions actually happened (width 4 << vocab 40)
+    assert any(r.cms_est > r.exact_n for r in out)
+
+
+def test_cms_planted_heavy_hitter_dominates(spark):
+    """A word planted 50x more often than the rest must surface with an
+    estimate within the epsilon*N bound of its exact count (here: the
+    total mass of its colliding bucket-mates)."""
+    rows = [(i, "common " * 50 + f"rare{i % 20}") for i in range(100)]
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in rows], "doc_id long, text string"
+    )
+    out = {
+        r.term: r
+        for r in sketch.cms_heavy_hitters(
+            docs, depth=3, width=16, min_support=0.1
+        ).collect()
+    }
+    assert "common" in out
+    r = out["common"]
+    assert r.exact_n == 5000
+    assert r.exact_n <= r.cms_est <= r.exact_n + 2000  # rare mass total = 100
+
+
+# ------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    """Every member must be flagged (no false negatives — certified on
+    every row), and with m=4096/k=4/50 members the false-positive rate on
+    950 non-members must be far under 1% ((1-e^{-kn/m})^k ≈ 2e-6)."""
+    rows = [(i, f"text body number {i}", "member" if i < 50 else "other") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = sketch.bloom_probe(
+        docs, F.col("source") == "member", F.col("text")
+    ).collect()
+    assert all(r.certified for r in out)
+    members = [r for r in out if r.doc_id < 50]
+    assert all(r.bloom_hit and r.exact_hit for r in members)
+    fp = [r for r in out if not r.exact_hit and r.bloom_hit]
+    assert len(fp) <= 5  # expected ~0
+
+
+def test_bloom_probe_side_broadcast_only(spark):
+    """The probed table must reach its flags through broadcast hash joins
+    only — a sort-merge join would shuffle the full corpus per hash
+    function, the exact shape the operator exists to avoid."""
+    rows = [(i, f"t{i}", "m" if i < 5 else "o") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    plan = _plan(sketch.bloom_probe(docs, F.col("source") == "m", F.col("text")))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5  # 4 position probes + exact
+
+
+# ------------------------------------------------------------- k-means
+
+
+def test_kmeans_refinement_clusters_purely(spark):
+    """On well-separated clusters the refined assignment must be
+    deterministic and nearly pure: each true cluster maps to one dominant
+    refined cell."""
+    import random
+
+    rng = random.Random(3)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(4)]
+    rows = []
+    for vid in range(400):
+        c = centers[vid % 4]
+        rows.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_refine_assign(emb, k=4, seed=7, dim=16).collect()
+    assert len(out) == 400
+    # deterministic rerun
+    out2 = similarity.kmeans_refine_assign(emb, k=4, seed=7, dim=16).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in out2]
+    # true-cluster purity after refinement: each true cluster maps to one
+    # dominant refined cell
+    by_true: dict[int, dict[int, int]] = {}
+    for r in out:
+        by_true.setdefault(r.vec_id % 4, {}).setdefault(r.cell1, 0)
+        by_true[r.vec_id % 4][r.cell1] += 1
+    for counts in by_true.values():
+        assert max(counts.values()) / sum(counts.values()) >= 0.95
+
+
+def test_kmeans_moved_column_consistent(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_refine_assign(emb, k=3, seed=7, dim=8).collect()
+    for r in out:
+        assert r.moved == (r.cell0 != r.cell1)
+        assert 1 <= r.cell1 <= 3
+
+
+# ------------------------------------------------------------- temperature
+
+
+@pytest.fixture()
+def skewed_docs(spark):
+    rows = [(i, "x", "big" if i < 400 else ("mid" if i < 480 else "small")) for i in range(500)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_temperature_alpha_one_keeps_everything(spark, skewed_docs):
+    out = sampling.temperature_mix(skewed_docs, "lang", "doc_id", alpha=1.0)
+    assert out.count() == 500
+    assert out.select("mix_rate").distinct().collect()[0][0] == 1.0
+
+
+def test_temperature_alpha_zero_equalizes(spark, skewed_docs):
+    """alpha=0 → rate_i = n_min/n_i: every stratum's EXPECTED kept count
+    equals the smallest stratum's size; the rarest keeps everything."""
+    out = sampling.temperature_mix(skewed_docs, "lang", "doc_id", alpha=0.0)
+    kept = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept["small"] == 20  # rate exactly 1.0
+    # big: 400 rows at rate 0.05 → expect ~20, allow wide determinism band
+    assert 5 <= kept.get("big", 0) <= 40
+    assert 5 <= kept.get("mid", 0) <= 40
+    # deterministic rerun selects the identical rows
+    ids1 = [r.doc_id for r in out.orderBy("doc_id").collect()]
+    out2 = sampling.temperature_mix(skewed_docs, "lang", "doc_id", alpha=0.0)
+    ids2 = [r.doc_id for r in out2.orderBy("doc_id").collect()]
+    assert ids1 == ids2
+
+
+# ------------------------------------------------------------- unigram LM
+
+
+def test_unigram_lm_hand_computed(spark):
+    """3-doc fixture: total 6 words, p(a)=3/6, p(b)=2/6, p(c)=1/6. Scores
+    are the mean ln p over each doc's words."""
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in xt.unigram_lm_scores(docs).collect()}
+    pa, pb, pc = math.log(3 / 6), math.log(2 / 6), math.log(1 / 6)
+    assert out[0].n_words == 3
+    assert abs(out[0].avg_logp - round((2 * pa + pb) / 3, 6)) < 1e-6
+    assert abs(out[1].avg_logp - round((pa + pb) / 2, 6)) < 1e-6
+    assert abs(out[2].avg_logp - round(pc, 6)) < 1e-6
+    # common-word doc scores strictly higher than rare-word doc
+    assert out[0].avg_logp > out[2].avg_logp
