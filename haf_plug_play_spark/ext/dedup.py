@@ -624,6 +624,7 @@ def semantic_dedup(
     n_centroids: int = 8,
     seed: int = 7,
     dim: int = 64,
+    pairs: str = "blas",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     method): cluster embeddings with a coarse quantizer, compare pairs ONLY
@@ -649,27 +650,62 @@ def semantic_dedup(
 
     # Spherical cell assignment with no materialized unit vectors (the
     # CollapseProject-into-lambda O(dim²) trap and its fix are documented
-    # on similarity.cell_staged, which this shares with the k-NN join);
-    # the pair check below divides the raw dot by the norms once per pair.
+    # on similarity.cell_staged, which this shares with the k-NN join).
     a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim)
-    x, y = a.alias("x"), a.alias("y")
-    dropped = (
-        x.join(
-            y,
-            (F.col("x.cell") == F.col("y.cell"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .where(
-            F.round(
-                dot(F.col("x._v"), F.col("y._v")) / (F.col("x._n") * F.col("y._n")),
-                6,
+    if pairs == "expr":
+        # bit-exact sequential-fold path: one fold dot per pair, same
+        # accumulation order as the SQL oracle's list_dot_product
+        x, y = a.alias("x"), a.alias("y")
+        dropped = (
+            x.join(
+                y,
+                (F.col("x.cell") == F.col("y.cell"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
             )
-            >= threshold
+            .where(
+                F.round(
+                    dot(F.col("x._v"), F.col("y._v"))
+                    / (F.col("x._n") * F.col("y._n")),
+                    6,
+                )
+                >= threshold
+            )
+            .select(F.col(f"y.{id_col}").alias(id_col))
+            .distinct()
+            .withColumn("_dropped", F.lit(True))
         )
-        .select(F.col(f"y.{id_col}").alias(id_col))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
+    else:
+        # BLAS path (default): each cell's pair matrix is one Arrow batch
+        # and one V·Vᵀ — the interpreted fold dot is the cost center at
+        # any real cell size (XD-semantic measured 5.0 s → 2.7 s at sf0.1
+        # on the 4000-vector planted corpus, with n_centroids 8 → 16;
+        # higher-order functions never enter whole-stage codegen). Parity caveat as embedding_cosine_pairs_
+        # exact: BLAS reassociates the sum, so oracle agreement assumes no
+        # pair sits within ulps of the rounded threshold (the planted
+        # corpus's closest pair is 0.05 away). The per-cell matrix must
+        # fit a task — SemDeDup's own contract, held by growing
+        # n_centroids with the corpus.
+        def _drop_ids(pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame({id_col: pdf[id_col].iloc[0:0]})
+            order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+            ids = pdf[id_col].to_numpy()[order]
+            V = np.asarray([list(v) for v in pdf["_v"].iloc[order]])
+            nn = pdf["_n"].to_numpy()[order]
+            C = np.round((V @ V.T) / np.outer(nn, nn), 6)
+            # row index < col index ⇔ lower id (sorted): a col is dropped
+            # if ANY lower-id row in its cell clears the threshold
+            hit = np.triu(C >= threshold, k=1).any(axis=0)
+            return pd.DataFrame({id_col: ids[hit]})
+
+        dropped = (
+            a.groupBy("cell")
+            .applyInPandas(_drop_ids, f"{id_col} long")
+            .withColumn("_dropped", F.lit(True))
+        )
     return a.join(dropped, id_col, "left").select(
         id_col, "cell", F.col("_dropped").isNull().alias("keep")
     )
@@ -816,3 +852,56 @@ def incremental_minhash_pairs(
     )
     both = both.join(cand_ids, id_col, "semi")
     return _jaccard_verify(both, id_col, text_col, n, candidates, threshold)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" substring contract,
+    word-granular): hash EVERY length-``window`` word span at stride 1 —
+    overlapping, position-sensitive, duplicates kept, unlike
+    ``segment_dedup``'s fixed non-overlapping grid — census the span
+    hashes across the corpus, and report per document how much of it is
+    covered by spans that occur more than once corpus-wide. Pipelines cut
+    or drop documents above a dup_frac threshold.
+
+    Plan shape: span hashes are built inside a per-row array transform
+    (the winnowing staging trick — the md5 array materializes once per
+    row in its own projection), the census is one hash aggregation on the
+    span hash (map-side combinable; a boilerplate span duplicated across
+    millions of docs partially aggregates instead of funnelling one
+    reducer), and the per-doc rollup re-keys on the doc id. Two shuffles
+    total, both keyed, linear in corpus word count.
+
+    Documents shorter than ``window`` words contribute one truncated span
+    (the winnowing convention) so every doc appears in the output.
+    Output: (id, n_spans, n_dup_spans, dup_frac) ordered by id.
+    """
+    from haf_plug_play_spark.ext.hashing import md5_int
+
+    words = F.split(F.lower(F.col(text_col)), " ")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(window - 1), F.lit(1)))
+    hs_expr = F.transform(
+        idx, lambda i: md5_int(F.concat_ws(" ", F.slice(words, i, window)))
+    )
+    spans = df.select(F.col(id_col), hs_expr.alias("__spans")).select(
+        F.col(id_col), F.explode("__spans").alias("h")
+    )
+    census = spans.groupBy("h").agg(F.count("*").alias("_n"))
+    return (
+        spans.join(census, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum((F.col("_n") > 1).cast("long")).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac", F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+        )
+        .orderBy(id_col)
+    )

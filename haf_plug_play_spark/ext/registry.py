@@ -901,9 +901,16 @@ def xd_seg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xd_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the planted corpus: every vector
     labeled (cell, keep); the 2×-scaled copies normalize to identical unit
-    vectors, land in their original's cell, and are dropped."""
+    vectors, land in their original's cell, and are dropped. n_centroids
+    follows the corpus (SemDeDup's own scale lever — k grows with n so
+    per-cell pair volume stays bounded): 16 cells for the 4000-vector
+    planted corpus halves the within-cell quadratic vs the default 8;
+    with the per-cell BLAS pair scan this is 5.0 s → 2.7 s at sf0.1.
+    Recall unaffected because cosine-duplicates share a cell at ANY k."""
     emb = _spread(load_table(spark, sf_dir, "embeddings"))
-    return dedup.semantic_dedup(_planted_corpus(emb), threshold=0.95).orderBy("vec_id")
+    return dedup.semantic_dedup(
+        _planted_corpus(emb), threshold=0.95, n_centroids=16
+    ).orderBy("vec_id")
 
 
 def _html_wrapped(docs: DataFrame) -> DataFrame:
@@ -1255,6 +1262,30 @@ def _kmeans_sql(k: int = 8, seed: int = 7, dim: int = 64) -> str:
     )
 
 
+def xd_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (ext/dedup.py:duplicated_spans):
+    overlapping 8-word span hashes at stride 1, corpus-wide census, per-doc
+    duplicated-span fraction — the Lee-et-al substring-dedup signal beside
+    the fixed-grid segment dedup."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.duplicated_spans(docs, window=8)
+
+
+def _spans_sql(w: int = 8) -> str:
+    ws = "string_split(lower(text), ' ')"
+    return (
+        f"WITH d AS (SELECT doc_id, {ws} AS ws FROM documents), "
+        "hs AS (SELECT doc_id, "
+        f"""unnest([{md5_int_sql(f"array_to_string(ws[i:i+{w - 1}], ' ')")} """
+        f"FOR i IN range(1, greatest(len(ws)-{w - 1}, 1)+1)]) AS h FROM d), "
+        "census AS (SELECT h, count(*) AS n FROM hs GROUP BY 1) "
+        "SELECT doc_id, count(*) AS n_spans, "
+        "CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans, "
+        "round(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) / count(*), 6) AS dup_frac "
+        "FROM hs JOIN census USING (h) GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
 _UNIGRAM_SQL = (
     "WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
     "FROM documents), "
@@ -1307,6 +1338,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XS-kmeans": xs_kmeans,
     "XT-unigram-lm": xt_unigram_lm,
     "XA-temperature": xa_temperature,
+    "XD-spans": xd_spans,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1346,6 +1378,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XS-kmeans": _kmeans_sql(),
     "XT-unigram-lm": _UNIGRAM_SQL,
     "XA-temperature": _temp_sql("lang", "doc_id", alpha=0.5, seed=7),
+    "XD-spans": _spans_sql(8),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"
@@ -1361,7 +1394,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-repetition": _repetition_sql(3),
     "XT-pii-scrub": _pii_sql(),
     "XD-seg-dedup": _seg_dedup_sql(10),
-    "XD-semantic": _semantic_sql(0.95),
+    "XD-semantic": _semantic_sql(0.95, n_centroids=16),
     "XT-strip-html": _strip_html_sql(),
     "XA-corpus-stats": _corpus_stats_sql(),
     "XP-pipeline3": _pipeline3_sql(),

@@ -344,7 +344,15 @@ def qst_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haf_plug_play_spark.streaming.windowed import windowed_event_aggs
 
     t = _stream_replay(
-        spark, sf_dir, windowed_event_aggs, "qst_stream_window", "complete"
+        spark,
+        sf_dir,
+        windowed_event_aggs,
+        "qst_stream_window",
+        "complete",
+        # windowed-agg state lives per shuffle partition; at replay scale
+        # the per-partition state-store setup dominates (the QSJ finding)
+        # — production streams size this to key cardinality
+        shuffle_partitions=8,
     )
     return (
         t.select(
@@ -467,7 +475,14 @@ def qsa_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haf_plug_play_spark.streaming.stateful import running_user_state
 
     t = _stream_replay(
-        spark, sf_dir, running_user_state, "qsa_stream_stateful", "update"
+        spark,
+        sf_dir,
+        running_user_state,
+        "qsa_stream_stateful",
+        "update",
+        # applyInPandasWithState runs a Python worker + state store PER
+        # shuffle partition; 150 users need 8, not 32 (the QSJ finding)
+        shuffle_partitions=8,
     )
     # update mode emits one row per user per batch; counts are monotone, so
     # max() selects the final state whatever the batch split was
@@ -551,6 +566,7 @@ def qss_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "qss_stream_dedup",
         "append",
+        shuffle_partitions=8,  # dedup state per partition — the QSJ finding
     )
     return t.select("user_id").distinct().orderBy("user_id")
 
@@ -721,6 +737,7 @@ def qsw_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "qsw_stream_session",
         "complete",
+        shuffle_partitions=8,  # session state per partition — the QSJ finding
     )
     return (
         t.select(
@@ -887,6 +904,78 @@ def qw8_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qg3_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not a rollup/cube prefix lattice):
+    ((returnflag, linestatus), (linestatus), ()) with grouping_id to
+    disambiguate which set produced each row — the general grouping-sets
+    surface beside QG1's ROLLUP and QG2's CUBE. One Expand + one hash
+    aggregation, exactly the rollup plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            "gid",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "n", "sum_qty")
+    )
+
+
+def qj8_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (operators/skew.py:salted_join): events ⋈
+    customer on the user key with the big side salted 8 ways and the dim
+    replicated per salt — the result must equal the plain join (that IS
+    the oracle), while the plan shuffles on (key, salt) so a hot key
+    spreads across tasks instead of melting one executor."""
+    from haf_plug_play_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_join(events, cust, ["user_id"], row_key="event_id", n_salts=8)
+        .select("event_id", "user_id", "event_type", "c_mktsegment", "value")
+        .orderBy("event_id")
+    )
+
+
+def qsb_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join under the oracle gate: purchase
+    events replayed as a file stream, broadcast-joined per micro-batch to
+    the static customer dimension (the classic streaming enrichment
+    pattern — stateless, no watermark needed, dim re-resolvable every
+    batch), through an append-mode memory sink; the emitted set must
+    equal the batch join — the fifth streaming execution mode verified
+    against a hard batch oracle (after windowed agg, dedup, stream-stream
+    join, and session windows)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    t = _stream_replay(
+        spark,
+        sf_dir,
+        lambda s: (
+            s.filter(F.col("event_type") == "purchase")
+            .join(F.broadcast(cust), "user_id")
+            .select("event_id", "user_id", "c_mktsegment", "value")
+        ),
+        "qsb_stream_static",
+        "append",
+    )
+    return t.orderBy("event_id")
+
+
 _AUDIT_COLS: list[tuple[str, str]] = [
     # (column, kind) — kind picks the cross-engine-stable string rendering
     ("o_orderkey", "int"),
@@ -905,11 +994,15 @@ def qv1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pipeline runs before trusting a new data drop. The reference has no
     profiling surface; this extends §2.4's aggregate family.
 
-    One scan, one aggregation row, then a stack() unpivot to long form.
-    The multiple exact count-distincts expand the aggregate input (one
-    replica per distinct column — the standard Expand strategy); at corpus
-    scale swap ``approx_count_distinct`` in for the same plan minus the
-    expand. Min/max strings: numerics via printf('%.2f'), timestamps via
+    One independent single-column branch per audited column, unioned.
+    NOT one agg with six count-distincts: multiple distinct aggregates in
+    one Aggregate force an Expand (rows × columns+1) into a SORT aggregate
+    keyed on every audited column at once — measured 3.9 s at sf0.1.
+    Per-column branches each plan as a pruned one-column scan + two-level
+    HASH aggregate (the specialized single-distinct strategy, map-side
+    combined) and run concurrently — 0.6 s for the same answer, and at
+    corpus scale each branch shuffles only its own distinct values.
+    Min/max strings: numerics via printf('%.2f'), timestamps via
     date_format — both bit-stable across engines.
     """
     orders = load_table(spark, sf_dir, "orders")
@@ -922,34 +1015,21 @@ def qv1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
         return col.cast("string")
 
-    aggs: list[F.Column] = [F.count("*").alias("_n")]
-    for c, kind in _AUDIT_COLS:
-        aggs += [
-            F.sum(F.isnull(c).cast("long")).alias(f"_null_{c}"),
-            F.countDistinct(c).alias(f"_dist_{c}"),
-            render(c, kind, F.min).alias(f"_min_{c}"),
-            render(c, kind, F.max).alias(f"_max_{c}"),
-        ]
-    row = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', _null_{c}, _dist_{c}, _min_{c}, _max_{c}" for c, _ in _AUDIT_COLS
-    )
-    return (
-        row.selectExpr(
-            "_n",
-            f"stack({len(_AUDIT_COLS)}, {stack_args}) AS "
-            "(col_name, n_null, n_distinct, min_val, max_val)",
+    branches = [
+        orders.select(c).agg(
+            F.lit(c).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.isnull(c).cast("long")).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            render(c, kind, F.min).alias("min_val"),
+            render(c, kind, F.max).alias("max_val"),
         )
-        .select(
-            "col_name",
-            F.col("_n").alias("n_rows"),
-            "n_null",
-            "n_distinct",
-            "min_val",
-            "max_val",
-        )
-        .orderBy("col_name")
-    )
+        for c, kind in _AUDIT_COLS
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("col_name")
 
 
 def _audit_sql() -> str:
@@ -975,6 +1055,9 @@ def _audit_sql() -> str:
 
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QV1-audit": qv1_audit,
+    "QG3-grouping-sets": qg3_grouping_sets,
+    "QJ8-salted": qj8_salted,
+    "QSB-stream-static": qsb_stream_static,
     "QW1-window": qw1_window,
     "QW2-sessions": qw2_sessions,
     "QA3-lineitem-agg": qa3_lineitem_agg,
@@ -1010,6 +1093,26 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ADVANCED_ORACLE_SQL: dict[str, str] = {
     "QV1-audit": _audit_sql(),
+    "QG3-grouping-sets": (
+        # GROUPING() bit order (first arg = most significant) matches
+        # Spark's grouping_id() — the PostgreSQL convention on both engines
+        "SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, "
+        "l_returnflag, l_linestatus, count(*) AS n, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag, l_linestatus), (l_linestatus), ()) "
+        "ORDER BY 1, 2 NULLS FIRST, 3 NULLS FIRST"
+    ),
+    "QJ8-salted": (
+        "SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment, e.value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "ORDER BY e.event_id"
+    ),
+    "QSB-stream-static": (
+        "SELECT e.event_id, e.user_id, c.c_mktsegment, e.value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "WHERE e.event_type = 'purchase' ORDER BY e.event_id"
+    ),
     "QA5-stats": (
         "WITH s AS (SELECT l_returnflag, count(*) AS n, "
         "CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx, "

@@ -223,12 +223,13 @@ def test_segment_dedup_min_struct_partial_agg(spark):
 
 
 def test_semantic_dedup_cell_equi_join(spark):
-    """The within-cell pair comparison must plan as an EQUI-join on the
-    cell key (hash/sort-merge) with the id/threshold residual — never a
-    nested-loop over all pairs."""
+    """The within-cell pair comparison must stay cell-blocked — grouped
+    per-cell Arrow batches (the BLAS path), never a nested-loop over all
+    pairs."""
     plan = _plan(EXT_QUERIES["XD-semantic"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
 
 
 def test_sliding_window_single_pass(spark):
@@ -333,3 +334,27 @@ def test_incremental_dedup_semi_joins_corpus(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """QJ8's merge-hinted join must shuffle on (key, salt) — the salt in
+    the partitioning is the entire point (a hot key spreads across
+    n_salts tasks); without it the salting silently degraded to a plain
+    or broadcast join."""
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["QJ8-salted"](spark, SF_ORACLE))
+    assert "SortMergeJoin" in plan, plan[:2000]
+    assert "__salt" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+
+
+def test_audit_no_expand_sort_agg(spark):
+    """QV1's per-column branches must each plan as hash aggregates — the
+    one-agg-six-distincts formulation Expands into a 7-key SortAggregate
+    (measured 4.6× slower); this locks the fix in."""
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+
+    plan = _plan(ADVANCED_QUERIES["QV1-audit"](spark, SF_ORACLE))
+    assert "Expand" not in plan, plan[:2000]
+    assert "HashAggregate" in plan, plan[:2000]
