@@ -905,3 +905,84 @@ def duplicated_spans(
         )
         .orderBy(id_col)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over n-gram shingle
+    sets — the asymmetric overlap that Jaccard structurally misses. An
+    excerpt quoted inside a much longer document has containment ≈ 1.0
+    but Jaccard ≈ |A|/|B| ≈ 0, so a Jaccard-thresholded dedup never sees
+    it; containment is the standard signal for quote/excerpt/boilerplate-
+    embedding detection (Broder's resemblance-vs-containment distinction).
+
+    Same candidate machinery as ``ngram_jaccard_pairs``'s capped path
+    (inverted shingle index, hot shingles dropped from the index only,
+    count-based upper bound, full-set verify): the sound prefilter here is
+    ``(c_inter + min(hot_a, hot_b)) / min(sz_a, sz_b) >= threshold`` —
+    the numerator bounds the true intersection from above and the
+    denominator is the smaller set, so the bound dominates BOTH directed
+    containments; surviving candidates verify against full shingle
+    arrays (exact scores, no cap distortion). Same recall contract as the
+    Jaccard path for all-hot boilerplate (see ngram_jaccard_pairs).
+
+    Output: (id_a, id_b, inter, cont_a, cont_b) with id_a < id_b, kept
+    when max(cont_a, cont_b) >= threshold; cont_a = inter/|A|.
+    """
+    sh = _shingle_rows(df, id_col, text_col, n)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > (max_shingle_df or (1 << 62)))
+        .select("shingle")
+    )
+    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    stats = sh.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
+    ).groupBy("_id").agg(
+        F.count("*").alias("sz"),
+        F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
+    )
+    x, y = idx.alias("a"), idx.alias("b")
+    capped = (
+        x.join(
+            y,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("c_inter"))
+    )
+    sa = stats.select(
+        F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("n_hot").alias("hot_a")
+    )
+    sb = stats.select(
+        F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("n_hot").alias("hot_b")
+    )
+    ub_inter = F.col("c_inter") + F.least("hot_a", "hot_b")
+    upper = ub_inter / F.least("sz_a", "sz_b")
+    candidates = (
+        capped.join(sa, "id_a").join(sb, "id_b")
+        .filter(upper >= threshold)
+        .select("id_a", "id_b")
+    )
+    shing = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    a2 = shing.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b2 = shing.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    return (
+        candidates.join(a2, "id_a").join(b2, "id_b")
+        .withColumn("inter", inter)
+        .withColumn("cont_a", F.round(F.col("inter") / F.size("sh_a"), 6))
+        .withColumn("cont_b", F.round(F.col("inter") / F.size("sh_b"), 6))
+        .filter(F.greatest("cont_a", "cont_b") >= threshold)
+        .select("id_a", "id_b", "inter", "cont_a", "cont_b")
+    )

@@ -1286,6 +1286,85 @@ def _spans_sql(w: int = 8) -> str:
     )
 
 
+def _excerpt_corpus(docs: DataFrame) -> DataFrame:
+    """Planted containment fixture: the corpus plus one excerpt per doc
+    (doc_id + 1000000, the first 12 words) — the excerpt's shingle set is
+    a subset of its parent's, so every (parent, excerpt) pair has
+    containment 1.0 while Jaccard stays ≈ excerpt_sz/parent_sz (below any
+    Jaccard threshold) — exactly the asymmetry the operator exists for.
+    Mirrored verbatim in the oracle SQL."""
+    ws = F.split(F.col("text"), " ")
+    excerpt = docs.select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(ws, 1, 12)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(excerpt)
+
+
+def xd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment pairs (ext/dedup.py:ngram_containment_pairs) on
+    the excerpt-planted corpus: capped inverted index + sound count bound
+    + full-set verify; catches the quote/excerpt overlaps Jaccard misses."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.ngram_containment_pairs(
+        _excerpt_corpus(docs), threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+def xt_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams with corpus + document frequencies
+    (ext/text.py:top_ngrams) — the tokenizer-training statistics pass."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return xt.top_ngrams(docs, n=2, k=20)
+
+
+_CONT_CORPUS_SQL = (
+    "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, "
+    "array_to_string(string_split(text, ' ')[1:12], ' ') AS text FROM documents)"
+)
+
+
+def _containment_sql(n: int = 3, threshold: float = 0.8, max_df: int = 100) -> str:
+    """DuckDB mirror of ngram_containment_pairs over the excerpt corpus:
+    capped candidate index, exact scores from full shingle sets."""
+    return (
+        f"WITH {_CONT_CORPUS_SQL}, "
+        f"sh AS (SELECT doc_id, unnest({_shingles_sql(n)}) AS shingle FROM corpus), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id), "
+        "ints AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        f"dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1), "
+        f"idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfc USING (shingle) "
+        f"WHERE dfc.df <= {max_df}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id), "
+        "pairs AS (SELECT id_a, id_b, inter, "
+        "round(inter / sa.sz, 6) AS cont_a, round(inter / sb.sz, 6) AS cont_b "
+        "FROM ints JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b) "
+        "SELECT p.id_a, p.id_b, p.inter, p.cont_a, p.cont_b FROM pairs p "
+        "JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b "
+        f"WHERE greatest(p.cont_a, p.cont_b) >= {threshold} ORDER BY p.id_a, p.id_b"
+    )
+
+
+def _ngrams_sql(n: int = 2, k: int = 20) -> str:
+    ws = "string_split(lower(text), ' ')"
+    return (
+        f"WITH w AS (SELECT doc_id, {ws} AS ws FROM documents), "
+        "g AS (SELECT doc_id, "
+        f"unnest([array_to_string(ws[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(ws)-{n - 1}, 1)+1)]) AS ngram FROM w), "
+        "c AS (SELECT ngram, count(*) AS n_occurrences, "
+        "count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1) "
+        "SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, ngram) "
+        "AS BIGINT) AS rank, ngram, n_occurrences, n_docs FROM c "
+        f"ORDER BY n_occurrences DESC, ngram LIMIT {k}"
+    )
+
+
 _UNIGRAM_SQL = (
     "WITH words AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w "
     "FROM documents), "
@@ -1339,6 +1418,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-unigram-lm": xt_unigram_lm,
     "XA-temperature": xa_temperature,
     "XD-spans": xd_spans,
+    "XD-containment": xd_containment,
+    "XT-ngrams": xt_ngrams,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1379,6 +1460,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-unigram-lm": _UNIGRAM_SQL,
     "XA-temperature": _temp_sql("lang", "doc_id", alpha=0.5, seed=7),
     "XD-spans": _spans_sql(8),
+    "XD-containment": _containment_sql(3, 0.8, 100),
+    "XT-ngrams": _ngrams_sql(2, 20),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -9,7 +9,7 @@ mapper pass over the corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
@@ -409,4 +409,45 @@ def unigram_lm_scores(
             F.round(F.avg("_logp"), 6).alias("avg_logp"),
         )
         .orderBy(id_col)
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams with document frequencies — the
+    vocabulary/statistics pass a tokenizer-training (BPE-style) or
+    collocation-analysis pipeline starts from. Counts keep multiplicity
+    (corpus frequency), df counts distinct documents.
+
+    One explode of per-row n-gram arrays (positions kept, duplicates
+    kept), one hash aggregation keyed on the n-gram (map-side combined;
+    corpus frequency and document frequency in the same pass via a
+    distinct-id count), then a global top-k — TakeOrderedAndProject, no
+    global sort. Output: (rank, ngram, n_occurrences, n_docs).
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+
+    def build(ws: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.get(F.transform(F.array(words), build), 0)).alias("ngram"),
+    )
+    counts = grams.groupBy("ngram").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+    w = W.orderBy(F.desc("n_occurrences"), "ngram")
+    return (
+        counts.orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "ngram", "n_occurrences", "n_docs")
     )

@@ -685,3 +685,44 @@ def test_quantization_reconstruction_error_bound(spark, np_emb):
         assert np.abs(codes).max() <= 127
         err = np.abs(x - codes * scale / 127.0)
         assert err.max() <= scale / 254.0 + 1e-12
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A 12-word excerpt inside a 60-word parent: containment 1.0 (caught
+    at threshold 0.8) while Jaccard ≈ 10/58 ≈ 0.17 (invisible to the 0.5
+    Jaccard gate) — the asymmetric-overlap contract the operator exists
+    for."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    parents = [
+        (i, " ".join(rng.choice(vocab) for _ in range(60))) for i in range(20)
+    ]
+    rows = parents + [
+        (i + 1000, " ".join(t.split()[:12])) for i, t in parents
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = dedup.ngram_containment_pairs(docs, threshold=0.8).collect()
+    got = {(r.id_a, r.id_b) for r in cont}
+    for i, _ in parents:
+        assert (i, i + 1000) in got, f"excerpt pair {i} missed"
+    for r in cont:
+        assert max(r.cont_a, r.cont_b) >= 0.8
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100).collect()
+    jac_pairs = {(r.id_a, r.id_b) for r in jac}
+    assert not any((i, i + 1000) in jac_pairs for i, _ in parents)
+
+
+def test_top_ngrams_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string"
+    )
+    from haf_plug_play_spark.ext import text as xt
+
+    out = xt.top_ngrams(docs, n=2, k=3).collect()
+    assert [(r.rank, r.ngram, r.n_occurrences, r.n_docs) for r in out] == [
+        (1, "a b", 3, 2),
+        (2, "b a", 1, 1),
+        (3, "b c", 1, 1),
+    ]
