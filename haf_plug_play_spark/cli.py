@@ -81,6 +81,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="also promote the latest epoch (only when the stream is stopped)",
     )
 
+    cu = sub.add_parser(
+        "curate",
+        help="run the corpus-curation funnel (dedup → gates → sample → "
+        "split → pack) over a documents parquet (ext/curate.py)",
+    )
+    cu.add_argument("--in", dest="in_path", required=True, help="documents parquet")
+    cu.add_argument("--out", required=True, help="curated output dir")
+    cu.add_argument("--min-score", type=float, default=2.0)
+    cu.add_argument("--langs", default=None, help="comma-separated lang allowlist")
+    cu.add_argument("--rate", type=float, default=1.0, help="Bernoulli sample rate")
+    cu.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
+    cu.add_argument("--seed", type=int, default=7)
+
     sn = sub.add_parser(
         "snapshot",
         help="manifest-committed snapshot table ops — the object-store-safe "
@@ -158,6 +171,20 @@ def main(argv: list[str] | None = None) -> int:
             for k in total:
                 total[k] += s[k]
         print(json.dumps({"plug": args.plug, **total}))
+    elif args.cmd == "curate":
+        from haf_plug_play_spark.ext.curate import run_curate
+
+        summary = run_curate(
+            spark,
+            args.in_path,
+            args.out,
+            min_score=args.min_score,
+            langs=args.langs.split(",") if args.langs else None,
+            sample_rate=args.rate,
+            budget=args.budget,
+            seed=args.seed,
+        )
+        print(json.dumps(summary))
     elif args.cmd == "snapshot":
         from haf_plug_play_spark.runner import snapshots as sn
 

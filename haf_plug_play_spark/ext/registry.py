@@ -1318,6 +1318,44 @@ def xt_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xt.top_ngrams(docs, n=2, k=20)
 
 
+def xs_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + exact reconstruction error
+    (ext/similarity.py:pq_codes): 8 subspaces × 16 seeded unit centroids,
+    one zero-shuffle projection — the 32× ANN storage-compression path
+    beside int8 quantization (XS-quant)."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return similarity.pq_codes(emb)
+
+
+def _pq_sql(m: int = 8, ksub: int = 16, seed: int = 11, dim: int = 64) -> str:
+    """DuckDB mirror of pq_codes: same centroid literals, same
+    c·c − 2·(v_j·c) scores, same left-to-right error accumulation."""
+    sub = dim // m
+    code_cols = []
+    err_terms = []
+    for j in range(m):
+        cents = similarity._seed_unit_centroids(sub, ksub, seed + j)
+        subv = f"v[{j * sub + 1}:{(j + 1) * sub}]"
+        scores = ", ".join(
+            f"({sum(c * c for c in cent)!r} - 2.0 * "
+            f"list_dot_product({subv}, {_vec_sql(cent)}))"
+            for cent in cents
+        )
+        code_cols.append(
+            f"CAST(list_position([{scores}], list_min([{scores}])) AS INT) "
+            f"AS code_{j}"
+        )
+        err_terms.append(
+            f"(list_dot_product({subv}, {subv}) + list_min([{scores}]))"
+        )
+    err = " + ".join(err_terms)
+    return (
+        f"WITH s AS (SELECT vec_id, {_VD} AS v FROM embeddings) "
+        f"SELECT vec_id, {', '.join(code_cols)}, round({err}, 6) AS recon_err "
+        "FROM s ORDER BY vec_id"
+    )
+
+
 _CONT_CORPUS_SQL = (
     "corpus AS (SELECT doc_id, text FROM documents UNION ALL "
     "SELECT doc_id + 1000000 AS doc_id, "
@@ -1420,6 +1458,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-spans": xd_spans,
     "XD-containment": xd_containment,
     "XT-ngrams": xt_ngrams,
+    "XS-pq": xs_pq,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1462,6 +1501,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-spans": _spans_sql(8),
     "XD-containment": _containment_sql(3, 0.8, 100),
     "XT-ngrams": _ngrams_sql(2, 20),
+    "XS-pq": _pq_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -154,3 +154,30 @@ def test_cli_backfill_reads_config_file(spark, tmp_path, capsys):
     status = _run(capsys, ["status", "--config", str(cf)])
     by_plug = {p["plug"]: p for p in status["plugs"]}
     assert by_plug["podping"]["latest_block_num"] == hi
+
+
+def test_cli_curate_funnel_and_determinism(spark, tmp_path, capsys):
+    """curate runs the composed funnel over a documents parquet: counts
+    must shrink monotonically through the funnel, the output must be
+    partitioned by split with chunk assignments, and a rerun must select
+    the identical rows (pure-function-of-key contract)."""
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    argv = [
+        "curate", "--in", "/root/testdata/sf0.001/documents.parquet",
+        "--out", out1, "--rate", "0.8", "--budget", "512",
+    ]
+    got = _run(capsys, argv)
+    f = got["funnel"]
+    assert f["input"] >= f["deduped"] >= f["gated"] >= f["curated"] > 0
+    assert set(got["splits"]) <= {"train", "val", "test"}
+    df1 = spark.read.parquet(out1)
+    assert {"split", "chunk_id", "n_tok", "q_score", "lang"} <= set(df1.columns)
+    # deterministic rerun: identical surviving rows + identical chunk ids
+    got2 = _run(capsys, argv[:4] + [out2] + argv[5:])
+    assert got2["funnel"] == f
+    rows1 = sorted((r.doc_id, r.split, r.chunk_id) for r in df1.collect())
+    rows2 = sorted(
+        (r.doc_id, r.split, r.chunk_id)
+        for r in spark.read.parquet(out2).collect()
+    )
+    assert rows1 == rows2

@@ -184,3 +184,22 @@ def test_unigram_lm_hand_computed(spark):
     assert abs(out[2].avg_logp - round(pc, 6)) < 1e-6
     # common-word doc scores strictly higher than rare-word doc
     assert out[0].avg_logp > out[2].avg_logp
+
+
+# ------------------------------------------------------------- PQ
+
+
+def test_pq_codes_spread_and_error_nonneg(spark):
+    """PQ assignments must actually use the codebook (unit centroids make
+    the argmin a direction match — no smallest-norm collapse), and the
+    reconstruction error Σ_j ‖v_j − c_j‖² is non-negative by identity."""
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+    from tests.conftest import SF_ORACLE
+
+    out = EXT_QUERIES["XS-pq"](spark, SF_ORACLE).collect()
+    assert len(out) > 0
+    for j in range(8):
+        codes = {r[f"code_{j}"] for r in out}
+        assert codes <= set(range(1, 17))
+        assert len(codes) >= 8, f"subspace {j} degenerate: {codes}"
+    assert all(r.recon_err >= 0 for r in out)
