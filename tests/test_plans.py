@@ -358,3 +358,32 @@ def test_audit_no_expand_sort_agg(spark):
     plan = _plan(ADVANCED_QUERIES["QV1-audit"](spark, SF_ORACLE))
     assert "Expand" not in plan, plan[:2000]
     assert "HashAggregate" in plan, plan[:2000]
+
+
+def test_temperature_corpus_side_never_shuffles(spark):
+    """XA-temperature's rate lookup must be a broadcast join: the only
+    keyed exchanges are the tiny stratum-count aggregate (bounded by
+    |strata|) and the declared ORDER BY — the corpus never hash-shuffles."""
+    from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES  # noqa: F401
+
+    plan = _plan(EXT_QUERIES["XA-temperature"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_spans_census_partial_aggregates(spark):
+    """XD-spans' corpus census must partially aggregate map-side (a
+    boilerplate span in millions of docs combines before the shuffle) and
+    never use a window."""
+    plan = _plan(EXT_QUERIES["XD-spans"](spark, SF_ORACLE))
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
+
+
+def test_unigram_lm_broadcasts_total(spark):
+    """XT-unigram-lm's corpus total must ride a broadcast single-row
+    cross join (the TF-IDF N pattern) — no driver scalar collect, no
+    nested loop over data-sized inputs."""
+    plan = _plan(EXT_QUERIES["XT-unigram-lm"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]

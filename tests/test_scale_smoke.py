@@ -362,3 +362,55 @@ def test_decontam_at_scale_flags_planted_eval_copies(spark, corpus):
     flagged = {r.doc_id for r in out.filter(F.col("contaminated")).collect()}
     expected = {N_UNIQUE + i for i in range(2 * N_GROUPS)}
     assert flagged == expected
+
+
+def test_spans_census_at_scale(spark, corpus):
+    """Substring-span census over the 20k corpus with the hot stop phrase:
+    the corpus-wide census must partially aggregate (no quadratic bucket —
+    it is a count, not a pair join), planted exact copies must show FULL
+    duplication (every span duplicated), and unique docs that carry the
+    stop phrase must show only the bounded stop-phrase overlap."""
+    from haf_plug_play_spark.ext.dedup import duplicated_spans
+
+    out = duplicated_spans(corpus, window=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == N_UNIQUE + 2 * N_GROUPS
+    # exact-copy pairs: every span occurs in both copies → dup_frac 1.0
+    for g in range(0, N_GROUPS, 10):
+        assert rows[g].dup_frac == 1.0
+        assert rows[N_UNIQUE + g].dup_frac == 1.0
+    # a unique doc without the stop phrase shares no 8-word span
+    assert rows[N_GROUPS].n_dup_spans == 0
+
+
+def test_bloom_probe_at_scale(spark, corpus):
+    """Bloom decontamination across 20k docs with a 100-doc member set:
+    certified no-false-negatives on every row, false positives bounded."""
+    from haf_plug_play_spark.ext.sketch import bloom_probe
+
+    out = bloom_probe(
+        corpus, F.col("doc_id") < 100, F.col("text"), n_bits=8192, n_hashes=4
+    )
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum((~F.col("certified")).cast("long")).alias("uncert"),
+        F.sum((F.col("bloom_hit") & ~F.col("exact_hit")).cast("long")).alias("fp"),
+        F.sum(F.col("exact_hit").cast("long")).alias("exact"),
+    ).first()
+    assert agg.uncert == 0
+    # members = docs 0..99 plus their planted exact copies (same text)
+    assert agg.exact == 2 * N_GROUPS
+    assert agg.fp <= 20  # 4 hashes, 8192 bits, 100 keys → fp ~ 4e-6
+
+
+def test_cms_heavy_hitters_at_scale(spark, corpus):
+    """CMS over the 20k-doc word stream (~420k occurrences, ~20k distinct
+    words): the stop-phrase words are the true heavy hitters and every
+    estimate must certify est >= exact."""
+    from haf_plug_play_spark.ext.sketch import cms_heavy_hitters
+
+    out = cms_heavy_hitters(corpus, depth=3, width=1024, min_support=0.005).collect()
+    assert all(r.certified for r in out)
+    terms = {r.term for r in out}
+    # the 8 distinct stop-phrase words dominate the frequency distribution
+    assert set(STOP.split()) <= terms
