@@ -88,9 +88,12 @@ def run_curate(
     docs = spark.read.parquet(in_path)
     curated, funnel = curate_documents(docs, **kwargs)
     curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
+    # summarize from the parquet just written — a cheap scan of the
+    # materialized result, not a re-execution of the whole funnel plan
     per_split = {
         r["split"]: {"docs": r["docs"], "chunks": r["chunks"]}
-        for r in curated.groupBy("split")
+        for r in spark.read.parquet(out_path)
+        .groupBy("split")
         .agg(
             F.count("*").alias("docs"),
             F.countDistinct("chunk_id").alias("chunks"),

@@ -149,9 +149,12 @@ def ngram_jaccard_pairs(
         # bound clears the threshold pay for the full-array verify.
         ub_inter = F.col("c_inter") + F.least("hot_a", "hot_b")
         upper = ub_inter / (F.col("sz_a") + F.col("sz_b") - ub_inter)
+        # threshold margin covers the verify stage's 6-dp rounding (see
+        # ngram_containment_pairs) — the bound must not prune a pair whose
+        # exact score rounds up onto the threshold
         candidates = (
             capped.join(sa, "id_a").join(sb, "id_b")
-            .filter(upper >= threshold)
+            .filter(upper >= threshold - 1e-6)
             .select("id_a", "id_b")
         )
         return _jaccard_verify(df, id_col, text_col, n, candidates, threshold)
@@ -701,9 +704,13 @@ def semantic_dedup(
             hit = np.triu(C >= threshold, k=1).any(axis=0)
             return pd.DataFrame({id_col: ids[hit]})
 
+        from pyspark.sql import types as T
+
+        # output schema carries the caller's actual id type (string ids
+        # must not be forced through a hardcoded long)
         dropped = (
             a.groupBy("cell")
-            .applyInPandas(_drop_ids, f"{id_col} long")
+            .applyInPandas(_drop_ids, T.StructType([a.schema[id_col]]))
             .withColumn("_dropped", F.lit(True))
         )
     return a.join(dropped, id_col, "left").select(
@@ -883,12 +890,20 @@ def duplicated_spans(
     """
     from haf_plug_play_spark.ext.hashing import md5_int
 
+    # LET-BIND the word array (the word_shingles trick): referencing the
+    # raw split inside the span lambda would re-split the text once per
+    # span position — O(words²)/row, the documented HOF re-eval trap
     words = F.split(F.lower(F.col(text_col)), " ")
-    cnt = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(window - 1), F.lit(1)))
-    hs_expr = F.transform(
-        idx, lambda i: md5_int(F.concat_ws(" ", F.slice(words, i, window)))
-    )
+
+    def build(ws):
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(ws) - F.lit(window - 1), F.lit(1))
+        )
+        return F.transform(
+            idx, lambda i: md5_int(F.concat_ws(" ", F.slice(ws, i, window)))
+        )
+
+    hs_expr = F.get(F.transform(F.array(words), build), 0)
     spans = df.select(F.col(id_col), hs_expr.alias("__spans")).select(
         F.col(id_col), F.explode("__spans").alias("h")
     )
@@ -936,10 +951,11 @@ def ngram_containment_pairs(
     when max(cont_a, cont_b) >= threshold; cont_a = inter/|A|.
     """
     sh = _shingle_rows(df, id_col, text_col, n)
+    cap = (1 << 62) if max_shingle_df is None else max_shingle_df
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > (max_shingle_df or (1 << 62)))
+        .filter(F.col("df") > cap)
         .select("shingle")
     )
     idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
@@ -967,9 +983,13 @@ def ngram_containment_pairs(
     )
     ub_inter = F.col("c_inter") + F.least("hot_a", "hot_b")
     upper = ub_inter / F.least("sz_a", "sz_b")
+    # margin covers the verify stage's 6-dp rounding: a pair whose exact
+    # score sits just under the threshold but ROUNDS onto it must survive
+    # the unrounded prefilter, or the oracle (which has no prune) keeps a
+    # pair the engine dropped
     candidates = (
         capped.join(sa, "id_a").join(sb, "id_b")
-        .filter(upper >= threshold)
+        .filter(upper >= threshold - 1e-6)
         .select("id_a", "id_b")
     )
     shing = df.select(

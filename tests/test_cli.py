@@ -161,9 +161,11 @@ def test_cli_curate_funnel_and_determinism(spark, tmp_path, capsys):
     must shrink monotonically through the funnel, the output must be
     partitioned by split with chunk assignments, and a rerun must select
     the identical rows (pure-function-of-key contract)."""
+    from tests.conftest import SF_SMOKE
+
     out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
     argv = [
-        "curate", "--in", "/root/testdata/sf0.001/documents.parquet",
+        "curate", "--in", f"{SF_SMOKE}/documents.parquet",
         "--out", out1, "--rate", "0.8", "--budget", "512",
     ]
     got = _run(capsys, argv)

@@ -726,3 +726,19 @@ def test_top_ngrams_hand_computed(spark):
         (2, "b a", 1, 1),
         (3, "b c", 1, 1),
     ]
+
+
+def test_semantic_dedup_string_ids(spark):
+    """The BLAS path's applyInPandas schema must carry the caller's actual
+    id type — string ids worked on the expr path and must keep working on
+    the default path (review regression)."""
+    rows = [(f"doc-{i}", [float(i % 5 == j) for j in range(8)]) for i in range(20)]
+    rows += [(f"dup-{i}", rows[i][1]) for i in range(5)]  # exact directional dups
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_dedup(df, dim=8, n_centroids=4).collect()
+    }
+    assert len(out) == 25
+    for i in range(5):
+        assert not out[f"dup-{i}"].keep  # a lower-sorting twin exists
