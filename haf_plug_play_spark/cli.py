@@ -86,13 +86,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the corpus-curation funnel (dedup → gates → sample → "
         "split → pack) over a documents parquet (ext/curate.py)",
     )
-    cu.add_argument("--in", dest="in_path", required=True, help="documents parquet")
+    cu.add_argument(
+        "--in", dest="in_path", required=True,
+        help="documents corpus (parquet, .jsonl, or .csv)",
+    )
     cu.add_argument("--out", required=True, help="curated output dir")
+    cu.add_argument(
+        "--in-format", default=None, choices=["parquet", "jsonl", "csv"],
+        help="override extension-based input detection",
+    )
+    cu.add_argument(
+        "--out-format", default="parquet", choices=["parquet", "jsonl"],
+    )
     cu.add_argument("--min-score", type=float, default=2.0)
     cu.add_argument("--langs", default=None, help="comma-separated lang allowlist")
     cu.add_argument("--rate", type=float, default=1.0, help="Bernoulli sample rate")
     cu.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
     cu.add_argument("--seed", type=int, default=7)
+
+    vo = sub.add_parser(
+        "vocab",
+        help="learn BPE merge rules from a documents corpus (ext/bpe.py)",
+    )
+    vo.add_argument("--in", dest="in_path", required=True)
+    vo.add_argument(
+        "--in-format", default=None, choices=["parquet", "jsonl", "csv"]
+    )
+    vo.add_argument("--merges", type=int, default=16)
 
     sn = sub.add_parser(
         "snapshot",
@@ -178,6 +198,8 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             args.in_path,
             args.out,
+            in_format=args.in_format,
+            out_format=args.out_format,
             min_score=args.min_score,
             langs=args.langs.split(",") if args.langs else None,
             sample_rate=args.rate,
@@ -185,6 +207,12 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
         )
         print(json.dumps(summary))
+    elif args.cmd == "vocab":
+        from haf_plug_play_spark.ext.bpe import learn_bpe_merges
+        from haf_plug_play_spark.sources.corpus import read_corpus
+
+        docs = read_corpus(spark, args.in_path, args.in_format)
+        print(json.dumps({"merges": learn_bpe_merges(docs, args.merges)}))
     elif args.cmd == "snapshot":
         from haf_plug_play_spark.runner import snapshots as sn
 

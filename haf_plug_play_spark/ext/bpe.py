@@ -1,0 +1,157 @@
+"""Distributed BPE merge learning — the tokenizer-training step of a
+training-data pipeline (Sennrich et al. 2016, public algorithm).
+
+Classic BPE iterates: count adjacent symbol pairs over the corpus, merge
+the most frequent pair everywhere, repeat. The corpus-sized work per
+iteration is exactly two Spark-friendly shapes:
+
+- pair counting: one explode over per-word symbol arrays WEIGHTED by word
+  frequency (BPE operates on the distinct-word histogram, not the raw
+  token stream — the standard formulation), then one map-side-combinable
+  hash aggregation;
+- merge application: a greedy left-to-right fold inside each word's
+  symbol array — a per-row expression, no shuffle, no Python.
+
+Only the learned RULE crosses to the driver each round (one (left, right,
+count) triple — a model parameter, bounded like IVF centroids), so the
+corpus never leaves the cluster and iterations stay O(distinct words).
+The distinct-word histogram is localCheckpointed once: every iteration
+re-derives symbol arrays by REPLAYING the merge list learned so far
+(lineage depth stays O(1); merges apply in order, which is also what
+makes the result a pure function of (corpus, n_merges)).
+
+Ties break to the lexicographically smallest pair so the learned merge
+list is deterministic on any partitioning — property-tested against an
+independent single-process Python implementation in
+tests/test_bpe.py (rows-only evidence, like the runner ops: iterative
+merging is not expressible in one SQL statement for the DuckDB gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "▁"  # end-of-word sentinel (SentencePiece-style marker)
+
+
+def _initial_symbols(word: Column) -> Column:
+    """Character symbols + end-of-word sentinel appended to the last char
+    (the Sennrich formulation: word-final units are distinct symbols)."""
+    chars = F.split(word, "")
+    n = F.size(chars)
+    return F.transform(
+        chars,
+        lambda c, i: F.when(i == n - 1, F.concat(c, F.lit(END))).otherwise(c),
+    )
+
+
+def _apply_merge(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) inside one
+    symbol array: fold each symbol onto an accumulator, merging when the
+    accumulator's tail is ``left`` and the incoming symbol is ``right``.
+    After a merge the tail becomes left+right ≠ left, so merges never
+    overlap — the standard BPE application order."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(left + right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_histogram(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n) distinct-word frequency histogram — one hash agg over the
+    exploded word stream, localCheckpointed because every BPE iteration
+    scans it."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
+    ordered rule list [{rank, left, right, pair_count}] — the tokenizer
+    model artifact (driver-sized by definition)."""
+    hist = word_histogram(docs, text_col)
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        syms = _initial_symbols(F.col("word"))
+        for m in merges:
+            syms = _apply_merge(syms, m["left"], m["right"])
+        staged = hist.select("n", syms.alias("_s"))
+        pairs = staged.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_s"), 1, F.size("_s") - 1),
+                    F.slice(F.col("_s"), 2, F.size("_s") - 1),
+                    lambda a, b: F.struct(a.alias("left"), b.alias("right")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.left", "p.right")
+            .agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        merges.append(
+            {
+                "rank": rank,
+                "left": r.left,
+                "right": r.right,
+                "pair_count": r.pair_count,
+            }
+        )
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[dict],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per-word symbol
+    arrays with every merge replayed in rank order, flattened to one
+    token sequence per document — all per-row expression work, zero
+    shuffles. Output: (id, tokens array<string>, n_tokens)."""
+    def encode(word: Column) -> Column:
+        syms = _initial_symbols(word)
+        for m in sorted(merges, key=lambda m: m["rank"]):
+            syms = _apply_merge(syms, m["left"], m["right"])
+        return syms
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+    )
+    tokens = F.flatten(F.transform(words, encode))
+    return docs.select(
+        F.col(id_col),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("long").alias("n_tokens"),
+    )

@@ -81,19 +81,28 @@ def run_curate(
     spark: SparkSession,
     in_path: str,
     out_path: str,
+    in_format: str | None = None,
+    out_format: str = "parquet",
     **kwargs,
 ) -> dict:
-    """CLI body: read the documents parquet, curate, write parquet
-    partitioned by split, and return the JSON-able summary."""
-    docs = spark.read.parquet(in_path)
+    """CLI body: read the documents corpus (parquet/JSONL/CSV —
+    sources/corpus.py), curate, write partitioned by split
+    (parquet or JSONL), and return the JSON-able summary."""
+    from haf_plug_play_spark.sources.corpus import read_corpus, write_corpus
+
+    docs = read_corpus(spark, in_path, in_format)
     curated, funnel = curate_documents(docs, **kwargs)
-    curated.write.mode("overwrite").partitionBy("split").parquet(out_path)
-    # summarize from the parquet just written — a cheap scan of the
+    write_corpus(curated, out_path, out_format, partition_by=["split"])
+    # summarize from the files just written — a cheap scan of the
     # materialized result, not a re-execution of the whole funnel plan
+    written = (
+        spark.read.parquet(out_path)
+        if out_format == "parquet"
+        else spark.read.json(out_path)
+    )
     per_split = {
         r["split"]: {"docs": r["docs"], "chunks": r["chunks"]}
-        for r in spark.read.parquet(out_path)
-        .groupBy("split")
+        for r in written.groupBy("split")
         .agg(
             F.count("*").alias("docs"),
             F.countDistinct("chunk_id").alias("chunks"),

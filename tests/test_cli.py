@@ -183,3 +183,65 @@ def test_cli_curate_funnel_and_determinism(spark, tmp_path, capsys):
         for r in spark.read.parquet(out2).collect()
     )
     assert rows1 == rows2
+
+
+def test_corpus_format_roundtrip_and_curate_jsonl(spark, tmp_path, capsys):
+    """JSONL/CSV corpus readers must round-trip the parquet fixture
+    exactly (schema + values, including free text with commas and
+    quotes), and the curate CLI must produce the identical funnel over a
+    JSONL input as over the parquet it came from, writing JSONL out."""
+    from tests.conftest import SF_SMOKE
+
+    from haf_plug_play_spark.sources.corpus import (
+        convert_corpus,
+        read_corpus,
+        write_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    jl = str(tmp_path / "docs_jsonl")
+    write_corpus(docs, jl, fmt="jsonl")
+    back = read_corpus(spark, jl, fmt="jsonl")
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+    # CSV with hostile text: embedded commas and quotes survive FAILFAST
+    csv_dir = str(tmp_path / "docs_csv")
+    hostile = spark.createDataFrame(
+        [(1, 'a, "quoted" text', "en", "s", 16), (2, "plain", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    hostile.write.option("header", "true").option("quote", '"').option(
+        "escape", '"'
+    ).csv(csv_dir)
+    got = read_corpus(spark, csv_dir, fmt="csv")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, hostile.collect()))
+
+    # one-pass migration
+    pq = str(tmp_path / "docs_pq")
+    assert convert_corpus(spark, jl, pq, fmt="jsonl") == docs.count()
+
+    # curate over JSONL input == curate over the original parquet
+    out_j = str(tmp_path / "cur_j")
+    got_j = _run(capsys, [
+        "curate", "--in", jl, "--in-format", "jsonl", "--out", out_j,
+        "--out-format", "jsonl", "--rate", "0.8", "--budget", "512",
+    ])
+    out_p = str(tmp_path / "cur_p")
+    got_p = _run(capsys, [
+        "curate", "--in", f"{SF_SMOKE}/documents.parquet", "--out", out_p,
+        "--rate", "0.8", "--budget", "512",
+    ])
+    assert got_j["funnel"] == got_p["funnel"]
+    assert got_j["splits"] == got_p["splits"]
+
+
+def test_cli_vocab_learns_merges(spark, capsys):
+    from tests.conftest import SF_SMOKE
+
+    got = _run(capsys, [
+        "vocab", "--in", f"{SF_SMOKE}/documents.parquet", "--merges", "4",
+    ])
+    assert len(got["merges"]) == 4
+    assert [m["rank"] for m in got["merges"]] == [1, 2, 3, 4]
+    assert all(m["pair_count"] > 0 for m in got["merges"])
