@@ -114,6 +114,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vo.add_argument("--merges", type=int, default=16)
 
+    ex = sub.add_parser(
+        "explain",
+        help="print the physical plan of a declared query (plan hygiene: "
+        "pushdown, broadcast, TakeOrderedAndProject — SCALE.md evidence)",
+    )
+    ex.add_argument("query", help="query id from __spark_entry__.queries()")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument(
+        "--mode", default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+
     sn = sub.add_parser(
         "snapshot",
         help="manifest-committed snapshot table ops — the object-store-safe "
@@ -207,6 +219,20 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed,
         )
         print(json.dumps(summary))
+    elif args.cmd == "explain":
+        from haf_plug_play_spark.ext.registry import EXT_QUERIES
+        from haf_plug_play_spark.queries.advanced import ADVANCED_QUERIES
+        from haf_plug_play_spark.queries.canonical import CANONICAL_QUERIES
+
+        registry = {**CANONICAL_QUERIES, **ADVANCED_QUERIES, **EXT_QUERIES}
+        if args.query not in registry:
+            print(
+                f"error: unknown query {args.query!r}; known: "
+                + " ".join(sorted(registry)),
+                file=sys.stderr,
+            )
+            return 2
+        registry[args.query](spark, args.sf_dir).explain(args.mode)
     elif args.cmd == "vocab":
         from haf_plug_play_spark.ext.bpe import learn_bpe_merges
         from haf_plug_play_spark.sources.corpus import read_corpus

@@ -331,3 +331,98 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
 
     ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "content").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def make_fake_audio(media_id: int, n_samples: int = 1600, rate: int = 16000) -> bytes:
+    """Deterministic fake audio clip: FAKEAUD magic + (rate, n_samples)
+    header + int16-LE PCM of a seeded sine with a DC-free ramp — the
+    audio twin of ``make_fake_image`` (real WAV/MP3 decode is the same
+    declared codec boundary as PNG/JPEG)."""
+    import math
+
+    header = b"FAKEAUD\x00" + struct.pack("<II", rate, n_samples)
+    amp = 8000 + (media_id % 7) * 1000
+    freq = 110.0 * (1 + media_id % 5)
+    samples = [
+        int(amp * math.sin(2 * math.pi * freq * i / rate)) for i in range(n_samples)
+    ]
+    return header + struct.pack(f"<{n_samples}h", *samples)
+
+
+def attach_fake_audio(documents: DataFrame, n_samples: int = 1600, rate: int = 16000) -> DataFrame:
+    """Deterministic audio media table derived from documents (test
+    harness), feeding ``audio_stats``/``byte_histogram`` directly."""
+
+    def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "content": [
+                        make_fake_audio(int(d), n_samples, rate)
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(documents.sparkSession)
+    return documents.select("doc_id").mapInPandas(
+        _attach, "media_id long, kind string, content binary"
+    )
+
+
+AUDIO_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_s double, "
+    "rms double, peak int, zero_cross_rate double"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Waveform statistics per clip — RMS level, peak amplitude, zero-
+    crossing rate, duration — the audio quality-gate features (silence /
+    clipping / noise filters key off exactly these). NumPy-vectorized
+    under Arrow batches; one mapper pass, no shuffle. Decodes the
+    engine's FAKEAUD PCM container and fails loudly on anything else
+    (the declared codec boundary — soundfile/ffmpeg would slot in)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                if buf[:8] != b"FAKEAUD\x00":
+                    raise NotImplementedError(
+                        f"audio decode for this container not available "
+                        f"(media_id={mid}, magic={buf[:8]!r})"
+                    )
+                rate, n = struct.unpack("<II", buf[8:16])
+                x = np.frombuffer(buf[16 : 16 + 2 * n], dtype="<i2").astype(np.float64)
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                out.append(
+                    (
+                        mid,
+                        rate,
+                        n,
+                        round(n / rate, 6),
+                        round(float(np.sqrt(np.mean(x * x))), 6),
+                        int(np.abs(x).max()),
+                        round(zc / max(n - 1, 1), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "peak", "zero_cross_rate",
+                ],
+            )
+
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(_stats, AUDIO_SCHEMA)

@@ -245,3 +245,12 @@ def test_cli_vocab_learns_merges(spark, capsys):
     assert len(got["merges"]) == 4
     assert [m["rank"] for m in got["merges"]] == [1, 2, 3, 4]
     assert all(m["pair_count"] > 0 for m in got["merges"])
+
+
+def test_cli_explain_prints_plan(spark, capsys):
+    rc = cli.main(["explain", "QA1-topk"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TakeOrderedAndProject" in out  # the top-k plan contract
+    rc = cli.main(["explain", "NOPE"])
+    assert rc == 2

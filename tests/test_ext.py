@@ -742,3 +742,37 @@ def test_semantic_dedup_string_ids(spark):
     assert len(out) == 25
     for i in range(5):
         assert not out[f"dup-{i}"].keep  # a lower-sorting twin exists
+
+
+def test_audio_stats_golden(spark):
+    """Waveform stats vs a NumPy recomputation of the same synthetic PCM:
+    RMS ≈ amp/√2 for a pure sine, zero-crossing rate ≈ 2·freq/rate,
+    duration exact — and a non-FAKEAUD payload fails loudly (the declared
+    codec boundary)."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = multimodal.attach_fake_audio(docs, n_samples=1600, rate=16000)
+    out = {r.media_id: r for r in multimodal.audio_stats(media).collect()}
+    assert len(out) == 6
+    for mid in range(6):
+        buf = multimodal.make_fake_audio(mid, 1600, 16000)
+        x = np.frombuffer(buf[16:], dtype="<i2").astype(np.float64)
+        r = out[mid]
+        assert r.sample_rate == 16000 and r.n_samples == 1600
+        assert r.duration_s == 0.1
+        assert abs(r.rms - round(float(np.sqrt(np.mean(x * x))), 6)) < 1e-9
+        assert r.peak == int(np.abs(x).max())
+        amp = 8000 + (mid % 7) * 1000
+        assert abs(r.rms - amp / math.sqrt(2)) / (amp / math.sqrt(2)) < 0.02
+        freq = 110.0 * (1 + mid % 5)
+        assert abs(r.zero_cross_rate - 2 * freq / 16000) < 0.01
+
+    bad = spark.createDataFrame(
+        [(0, b"RIFFxxxx")], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="audio decode"):
+        multimodal.audio_stats(bad).collect()
