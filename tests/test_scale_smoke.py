@@ -414,3 +414,21 @@ def test_cms_heavy_hitters_at_scale(spark, corpus):
     terms = {r.term for r in out}
     # the 8 distinct stop-phrase words dominate the frequency distribution
     assert set(STOP.split()) <= terms
+
+
+def test_bpe_merges_at_scale(spark, corpus):
+    """BPE merge learning over the 20k-doc corpus (~20k distinct
+    md5-pseudo-words + the hot stop phrase): rules must come out
+    deterministic across partitionings, distinct, and dominated by the
+    stop-phrase words (the only high-frequency structure planted)."""
+    from haf_plug_play_spark.ext import bpe
+
+    got = bpe.learn_bpe_merges(corpus, n_merges=4)
+    assert len(got) == 4
+    assert len({(m["left"], m["right"]) for m in got}) == 4
+    assert all(m["pair_count"] > 0 for m in got)
+    again = bpe.learn_bpe_merges(corpus.repartition(7), n_merges=4)
+    assert again == got
+    # the most frequent first merge must come from stop-phrase characters
+    stop_chars = set("".join(STOP.split())) | {bpe.END}
+    assert set(got[0]["left"] + got[0]["right"]) <= stop_chars
