@@ -49,6 +49,23 @@ _ROTATED_BACK = [
     "QA3-lineitem-agg", "QG1-rollup", "QA4-quantile", "QP1-pivot",
     "QAS-asof", "QU1-setops", "QAD-approx-distinct", "QR1-range-join",
     "QW3-time-rollup", "QST-stream-window", "QO6-topk-group", "QG2-cube",
+    # advanced + extension, driver-green r4 (CORRECTNESS_r04.json, 50/50) —
+    # rotated back in r5 so the last four never-driver-checked operators
+    # (XD-spans, XD-containment, XT-ngrams, XS-pq) plus the r2-green
+    # similarity family lead the window; positions 12-50 re-check r1-r3
+    # greens from the head of this list.
+    "QV1-audit", "QG3-grouping-sets", "QJ8-salted", "QSB-stream-static",
+    "QW4-sliding", "QW5-session-window", "QAD2-approx-quantile",
+    "QSS-stream-dedup", "QSJ-stream-join", "QX6-map", "QSA-stream-stateful",
+    "QA5-stats", "QH1-histogram", "QU2-unpivot", "QW6-ntile",
+    "QSW-stream-session", "QA6-stringagg", "QW7-gapfill", "QJ7-full-outer",
+    "QX7-struct", "QW8-rolling", "XD-cluster", "XP-pipeline2",
+    "XA-sample-hash", "XA-sample-strat", "XA-pack-chunks", "XA-weighted-mix",
+    "XT-gopher", "XT-repetition", "XT-pii-scrub", "XD-seg-dedup",
+    "XD-semantic", "XT-strip-html", "XA-corpus-stats", "XP-pipeline3",
+    "XS-knn", "XA-shuffle", "XA-split", "XT-decontam", "XA-prune",
+    "XL-zorder", "XT-chunk", "XP-pipeline4", "XD-incremental", "XS-quant",
+    "XK-cms", "XD-bloom", "XS-kmeans", "XT-unigram-lm", "XA-temperature",
 ]
 
 

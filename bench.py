@@ -119,20 +119,28 @@ def main() -> None:
     canonical_total, canonical_incomplete = canonical_headline(
         timings, errors, CANONICAL_QUERIES
     )
-    result = {
+    # Key order is tail-truncation-survivable BY DESIGN: the driver captures
+    # only the tail of stdout, and with 111 queries the one-line JSON exceeds
+    # that capture (BENCH_r04 parsed:null). The bulky per-query dict therefore
+    # serializes FIRST and the headline keys LAST, and a second compact
+    # headline-only JSON line (no per-query dict, always fits) prints after
+    # the full line so a last-line/tail parser always finds a complete object.
+    headline = {
         "metric": "canonical_query_suite_wall_clock",
         "value": canonical_total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
         "all_queries_sec": round(sum(timings.values()), 4),
         "sync_blocks_per_sec": sync_blocks_per_sec,
     }
     if canonical_incomplete:
-        result["canonical_incomplete"] = True
+        headline["canonical_incomplete"] = True
+    result = {"queries": timings}
     if errors:
         result["errors"] = errors
+    result.update(headline)
     print(json.dumps(result))
+    print(json.dumps(headline | {"n_queries": len(timings), "n_errors": len(errors)}))
 
 
 if __name__ == "__main__":

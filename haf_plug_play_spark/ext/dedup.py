@@ -698,7 +698,11 @@ def semantic_dedup(
             ids = pdf[id_col].to_numpy()[order]
             V = np.asarray([list(v) for v in pdf["_v"].iloc[order]])
             nn = pdf["_n"].to_numpy()[order]
-            C = np.round((V @ V.T) / np.outer(nn, nn), 6)
+            # round HALF_UP (away from zero) to match the expr path's
+            # F.round and the oracle's round() — np.round is half-even,
+            # which would flip a score landing on an exact 5e-7 tie
+            raw = (V @ V.T) / np.outer(nn, nn)
+            C = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
             # row index < col index ⇔ lower id (sorted): a col is dropped
             # if ANY lower-id row in its cell clears the threshold
             hit = np.triu(C >= threshold, k=1).any(axis=0)

@@ -328,6 +328,14 @@ def kmeans_refine_assign(
     partition-parallel), and the argmin is a struct-min per vector with
     ties to the lowest cell. Empty cells simply field no candidates, same
     as the oracle. Output: (id, cell0, cell1, moved) ordered by id.
+
+    FP parity caveat (same family as the BLAS semantic-dedup note): the
+    trained centroids come from ``F.avg`` over a shuffle whose accumulation
+    order is nondeterministic, and DuckDB's ``avg`` reassociates its own
+    way — so exact argmin agreement with the oracle assumes no vector sits
+    within fp noise of a cell boundary. The sf0.01/sf0.1 corpora hold that
+    margin (closest boundary gap measured ≫ 1e-9); a corpus engineered
+    with equidistant vectors could flip a cell between engines.
     """
     cents = _seed_unit_centroids(dim, k, seed)
     v = emb.select(

@@ -239,16 +239,21 @@ def bloom_sql(
     member_bits = " UNION ALL ".join(
         f"SELECT p{j} AS pos FROM keyed WHERE {member_pred}" for j in range(n_hashes)
     )
+    # COALESCE(..., FALSE) mirrors the Spark side's NULL handling: a NULL
+    # key row hashes to NULL positions (NULL % / IN propagate NULL in SQL),
+    # while bloom_probe's left-join misses coalesce to False — without the
+    # wrap a NULL text row would diverge engine vs oracle.
     hit = " AND ".join(
-        f"p{j} IN (SELECT pos FROM bits)" for j in range(n_hashes)
+        f"COALESCE(p{j} IN (SELECT pos FROM bits), FALSE)" for j in range(n_hashes)
     )
+    exact = "COALESCE(x IN (SELECT x FROM mk), FALSE)"
     return (
         f"WITH hx AS (SELECT *, {x} AS x FROM documents), "
         f"keyed AS (SELECT *, {pos_cols} FROM hx), "
         f"bits AS (SELECT DISTINCT pos FROM ({member_bits})), "
         f"mk AS (SELECT DISTINCT x FROM keyed WHERE {member_pred}) "
         f"SELECT doc_id, ({hit}) AS bloom_hit, "
-        "x IN (SELECT x FROM mk) AS exact_hit, "
-        f"(({hit}) OR NOT x IN (SELECT x FROM mk)) AS certified "
+        f"{exact} AS exact_hit, "
+        f"(({hit}) OR NOT {exact}) AS certified "
         "FROM keyed ORDER BY doc_id"
     )

@@ -1002,15 +1002,18 @@ def qv1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     HASH aggregate (the specialized single-distinct strategy, map-side
     combined) and run concurrently — 0.6 s for the same answer, and at
     corpus scale each branch shuffles only its own distinct values.
-    Min/max strings: numerics via printf('%.2f'), timestamps via
-    date_format — both bit-stable across engines.
+    Min/max strings: numerics are rounded to 2 dp (HALF_UP on both
+    engines) BEFORE formatting — Java's %.2f rounds HALF_UP while C's
+    printf rounds half-even, so formatting the raw double would diverge
+    on an exact half-cent; after round(x, 2) the double is never a
+    formatting tie. Timestamps via date_format — bit-stable as-is.
     """
     orders = load_table(spark, sf_dir, "orders")
 
     def render(c: str, kind: str, agg) -> F.Column:
         col = agg(F.col(c))
         if kind == "num":
-            return F.format_string("%.2f", col)
+            return F.format_string("%.2f", F.round(col, 2))
         if kind == "ts":
             return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
         return col.cast("string")
@@ -1035,7 +1038,8 @@ def qv1_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _audit_sql() -> str:
     def render(c: str, kind: str, fn: str) -> str:
         if kind == "num":
-            return f"printf('%.2f', {fn}({c}))"
+            # round() first: DuckDB printf is C half-even, Java's is HALF_UP
+            return f"printf('%.2f', round({fn}({c}), 2))"
         if kind == "ts":
             return f"strftime({fn}({c}), '%Y-%m-%d %H:%M:%S')"
         return f"CAST({fn}({c}) AS VARCHAR)"
