@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from haf_plug_play_spark.ext import sampling, text as xt
 from haf_plug_play_spark.ext.text import fingerprint_md5
@@ -37,35 +38,51 @@ def curate_documents(
 
     Output columns: the input's id/text plus lang, q_score, split, n_tok,
     chunk_offset, chunk_id. The funnel dict reports surviving row counts
-    after each stage (each an action over a prefix of the same lazy plan).
+    after each stage, computed in ONE conditional-aggregation action:
+    every stage predicate is a flag column over the same row stream
+    (dedup-keeper, quality+language gate, sample membership — all pure
+    functions of the row), and the funnel is one ``sum(flag)`` pass. The
+    previous design ran four separate ``.count()`` actions over prefix
+    plans — four corpus scans at 100 TB just for counters; this is one.
     """
-    funnel: dict[str, int] = {"input": docs.count()}
-
-    # exact dedup: first doc (lowest id) per normalized-text fingerprint —
-    # min_by under a hash group-by (map-side combinable), not a window
-    keep = (
-        docs.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("_fp"))
-        .groupBy("_fp")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+    # exact dedup as a FLAG, not a filter: the keeper (lowest id) per
+    # normalized-text fingerprint via a fingerprint-partitioned window —
+    # one hash shuffle (vs the groupBy+semi-join's two) and every input
+    # row survives carrying its flag so one aggregation can count every
+    # funnel stage at once.
+    fp_w = Window.partitionBy(fingerprint_md5(F.col(text_col)))
+    flagged = docs.withColumn(
+        "_keep_dedup", F.col(id_col) == F.min(id_col).over(fp_w)
     )
-    deduped = docs.join(keep, id_col, "left_semi")
-    funnel["deduped"] = deduped.count()
-
-    scored = xt.with_quality(deduped, text_col).withColumn(
+    scored = xt.with_quality(flagged, text_col).withColumn(
         "lang", xt.lang_pred(F.col(text_col))
     )
-    gated = scored.filter(F.col("q_score") >= min_score)
+    gate = F.col("_keep_dedup") & (F.col("q_score") >= min_score)
     if langs:
-        gated = gated.filter(F.col("lang").isin(list(langs)))
-    funnel["gated"] = gated.count()
-
-    sampled = (
-        sampling.hash_bernoulli(gated, id_col, sample_rate, seed=seed)
+        gate = gate & F.col("lang").isin(list(langs))
+    sample = gate & (
+        sampling._uniform(F.col(id_col), seed) < F.lit(sample_rate)
         if sample_rate < 1.0
-        else gated
+        else F.lit(True)
     )
-    split = sampling.split_assign(sampled, id_col, splits or DEFAULT_SPLITS, seed=seed)
+    scored = scored.withColumn("_gate", gate).withColumn("_sample", sample)
+
+    row = scored.agg(
+        F.count("*").alias("input"),
+        F.sum(F.col("_keep_dedup").cast("long")).alias("deduped"),
+        F.sum(F.col("_gate").cast("long")).alias("gated"),
+        F.sum(F.col("_sample").cast("long")).alias("curated"),
+    ).first()
+    funnel = {k: int(row[k]) for k in ("input", "deduped", "gated", "curated")}
+
+    survivors = scored.filter(F.col("_sample")).drop(
+        "_keep_dedup", "_gate", "_sample"
+    )
+    split = sampling.split_assign(
+        survivors, id_col, splits or DEFAULT_SPLITS, seed=seed
+    )
+    # split_assign and pack_chunks preserve row counts, so "curated" from
+    # the flag pass equals the packed output count exactly.
     packed = sampling.pack_chunks(
         split.withColumn("n_tok", xt.n_tokens_ws(F.col(text_col)).cast("long")),
         ["split"],
@@ -73,7 +90,6 @@ def curate_documents(
         budget,
         id_col,
     )
-    funnel["curated"] = packed.count()
     return packed, funnel
 
 

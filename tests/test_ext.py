@@ -776,3 +776,17 @@ def test_audio_stats_golden(spark):
     )
     with _pytest.raises(Exception, match="audio decode"):
         multimodal.audio_stats(bad).collect()
+
+
+def test_pq_np_matches_expr(spark):
+    """The default NumPy PQ path is BIT-EXACT with the pure-expression
+    path — codes AND recon_err, full float equality, not a tolerance:
+    the NumPy kernel keeps each row's sequential fold order (one
+    elementwise multiply-add per position) and the 6-dp rounding stays
+    Spark-side on both paths, so any drift is a real regression."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    got = similarity.pq_codes(emb, method="np").collect()
+    want = similarity.pq_codes(emb, method="expr").collect()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g == w, f"np/expr mismatch at vec_id={w.vec_id}: {g} != {w}"
