@@ -84,15 +84,120 @@ def word_histogram(
     )
 
 
+def _merge_word(syms: tuple, left: str, right: str) -> tuple:
+    """Python mirror of ``_apply_merge``'s fold: greedy left-to-right,
+    accumulator-tail semantics — byte-identical application order."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = left + right
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def _learn_merges_driver(hist_rows, n_merges: int) -> list[dict]:
+    """Fast in-memory BPE over the collected (word, n) histogram — the
+    path every production tokenizer trainer takes once the DISTINCT-word
+    histogram fits in memory (it is vocabulary-sized, not corpus-sized).
+    Incremental pair maintenance: only words containing the merged pair
+    are re-segmented each round, and a lazy max-heap picks the next pair —
+    O(affected words) per merge instead of a full corpus-histogram scan,
+    which is what makes 1k+ merges take seconds where the job-per-merge
+    distributed path would schedule 1k sequential Spark jobs.
+
+    Semantics are golden-tested IDENTICAL to the distributed path
+    (tests/test_bpe.py): same end-of-word sentinel, same greedy
+    left-to-right application (``_merge_word``), same weighted pair
+    counts, same (count desc, left asc, right asc) tie-break.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    words: list[tuple] = []
+    freqs: list[int] = []
+    for word, n in hist_rows:
+        syms = tuple(word[:-1]) + (word[-1] + END,) if word else ()
+        if syms:
+            words.append(syms)
+            freqs.append(n)
+
+    counts: Counter = Counter()
+    where: defaultdict = defaultdict(set)
+    for i, syms in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] += freqs[i]
+            where[p].add(i)
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -negc and -negc > 0:
+                best = (p, -negc)
+                break
+        if best is None:
+            break
+        (left, right), pair_count = best
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "pair_count": pair_count}
+        )
+        touched: set = set()
+        for i in sorted(where[(left, right)]):
+            old = words[i]
+            new = _merge_word(old, left, right)
+            if new == old:
+                continue
+            f = freqs[i]
+            for p in zip(old, old[1:]):
+                counts[p] -= f
+                where[p].discard(i)
+                touched.add(p)
+            for p in zip(new, new[1:]):
+                counts[p] += f
+                where[p].add(i)
+                touched.add(p)
+            words[i] = new
+        for p in touched:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            else:
+                counts.pop(p, None)
+                where.pop(p, None)
+    return merges
+
+
 def learn_bpe_merges(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
+    method: str = "auto",
+    max_collect_words: int = 2_000_000,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
     ordered rule list [{rank, left, right, pair_count}] — the tokenizer
-    model artifact (driver-sized by definition)."""
+    model artifact (driver-sized by definition).
+
+    ``method='auto'`` (default) collects the distinct-word histogram to
+    the driver when it is bounded (≤ ``max_collect_words`` rows — the
+    histogram is vocabulary-sized, so this is the common case even at
+    100 TB of text) and learns all merges in memory with incremental
+    pair updates; otherwise — or with ``method='distributed'`` — it
+    falls back to one Spark job per merge over the checkpointed
+    histogram. The two paths are golden-tested equal (tests/test_bpe.py);
+    the driver path turns the 32k-vocab "32k sequential jobs" cadence
+    into one collect + an in-memory loop."""
     hist = word_histogram(docs, text_col)
+    if method not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown method {method!r}")
+    if method != "distributed":
+        if method == "driver" or hist.count() <= max_collect_words:
+            rows = [(r.word, r.n) for r in hist.collect()]
+            return _learn_merges_driver(rows, n_merges)
     merges: list[dict] = []
     for rank in range(1, n_merges + 1):
         syms = _initial_symbols(F.col("word"))

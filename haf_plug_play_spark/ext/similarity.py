@@ -370,6 +370,123 @@ def kmeans_refine_assign(
     ).orderBy(id_col)
 
 
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train per-subspace PQ codebooks with distributed Lloyd iterations —
+    the quality path beside ``pq_codes``' seeded (deterministic,
+    SQL-oracle-able) codebooks. Returns ``m`` codebooks of ``ksub``
+    centroids each, initialized from the SAME seeded unit centroids the
+    untrained path uses, so training strictly refines the assignment the
+    oracle query certifies.
+
+    Scale shape: each iteration is ONE pass — an Arrow-batched
+    ``mapInPandas`` kernel assigns every subvector to its nearest centroid
+    and emits per-(subspace, cell, dimension) partial sums/counts (at most
+    m×ksub×sub rows per task, here 1024), which a map-side-combinable
+    groupBy folds into means. Only the m×ksub×sub codebook floats reach
+    the driver per iteration (the bounded driver hop documented on
+    ``ivf_centroids``); the corpus itself never moves. Empty cells keep
+    their previous centroid, matching standard Lloyd practice.
+
+    Recon-error and recall gates: tests/test_ext.py certifies trained
+    codebooks strictly reduce total reconstruction error vs seeded, and
+    tests/test_scale_smoke.py gates ADC recall on the 20k-vector corpus.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cents_all = [_seed_unit_centroids(sub, ksub, seed + j) for j in range(m)]
+    v = emb.select(F.col(vec_col).cast("array<double>").alias("_v")).cache()
+    try:
+        for _ in range(iters):
+            cur = [[list(c) for c in cb] for cb in cents_all]
+
+            def _partials(batches, cur=cur):
+                import numpy as np
+                import pandas as pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    V = np.asarray([list(x) for x in pdf["_v"]], dtype=np.float64)
+                    js, cells, poss, ss, ns = [], [], [], [], []
+                    for j in range(m):
+                        Vj = V[:, j * sub : (j + 1) * sub]
+                        C = np.asarray(cur[j])
+                        d2 = (C * C).sum(1)[None, :] - 2.0 * (Vj @ C.T)
+                        code = np.argmin(d2, axis=1)
+                        for cell in np.unique(code):
+                            block = Vj[code == cell]
+                            js += [j] * sub
+                            cells += [int(cell)] * sub
+                            poss += list(range(sub))
+                            ss += [float(x) for x in block.sum(0)]
+                            ns += [int(len(block))] * sub
+                    yield pd.DataFrame(
+                        {"j": js, "cell": cells, "pos": poss, "s": ss, "n": ns}
+                    )
+
+            rows = (
+                v.mapInPandas(_partials, "j int, cell int, pos int, s double, n long")
+                .groupBy("j", "cell", "pos")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
+            new = [[list(c) for c in cb] for cb in cents_all]
+            for r in rows:
+                if r.n:
+                    new[r.j][r.cell][r.pos] = r.s / r.n
+            cents_all = new
+    finally:
+        v.unpersist()
+    return cents_all
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ codes table — the reason
+    PQ exists: rank billions of vectors reading m small ints per row
+    instead of dim floats. The query-to-centroid distance table (m×ksub
+    floats) is computed driver-side and baked in as array LITERALS, so the
+    per-row score is m codegen ``element_at`` lookups + adds — zero
+    shuffle, zero Python, and the scan is over the 8-byte codes column,
+    not the 512-byte vector. Top-k plans as TakeOrderedAndProject.
+
+    Scores approximate squared euclidean distance Σ_j ‖q_j − c_{code_j}‖²
+    (Jégou et al. 2011 eq. 12); recall vs the exact ranking is gated in
+    tests/test_scale_smoke.py on the 20k corpus with trained codebooks.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    score = F.lit(0.0)
+    for j in range(m):
+        qj = query_vec[j * sub : (j + 1) * sub]
+        lut = [
+            sum((a - b) * (a - b) for a, b in zip(qj, cent))
+            for cent in codebooks[j]
+        ]
+        score = score + F.element_at(
+            F.array(*[F.lit(float(x)) for x in lut]), F.col(f"code_{j}")
+        )
+    return (
+        codes.select(F.col(id_col), F.round(score, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), id_col)
+        .limit(k)
+    )
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = 8,
@@ -379,6 +496,7 @@ def pq_codes(
     vec_col: str = "embedding",
     dim: int = 64,
     method: str = "np",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product quantization (Jégou et al., PAMI 2011 — public method):
     split each vector into ``m`` subvectors and quantize each against its
@@ -422,8 +540,9 @@ def pq_codes(
     v = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
+    cbs = codebooks or [_seed_unit_centroids(sub, ksub, seed + j) for j in range(m)]
     if method == "np":
-        cents_all = [_seed_unit_centroids(sub, ksub, seed + j) for j in range(m)]
+        cents_all = cbs
         from pyspark.sql import types as T
 
         out_schema = T.StructType(
@@ -477,7 +596,7 @@ def pq_codes(
     # bit-exact oracle order for this operator.
     staged_cols = [F.col(id_col)]
     for j in range(m):
-        cents = _seed_unit_centroids(sub, ksub, seed + j)
+        cents = cbs[j]
         subv = F.slice(F.col("_v"), j * sub + 1, sub)
         scores = F.array(
             *[

@@ -54,11 +54,18 @@ def test_bpe_matches_reference_implementation(spark):
     for t in texts:
         counts.update(t.split())
     expected = _python_bpe(dict(counts), n_merges=10)
-    got = bpe.learn_bpe_merges(docs, n_merges=10)
+    # BOTH paths must reproduce the reference exactly: the distributed
+    # job-per-merge loop and the driver-side incremental-histogram fast
+    # path (the auto default for bounded vocabularies).
+    got = bpe.learn_bpe_merges(docs, n_merges=10, method="distributed")
     assert got == expected
+    got_driver = bpe.learn_bpe_merges(docs, n_merges=10, method="driver")
+    assert got_driver == expected
 
     # repartitioning must not change the learned rules (tie-break total)
-    got32 = bpe.learn_bpe_merges(docs.repartition(32), n_merges=10)
+    got32 = bpe.learn_bpe_merges(
+        docs.repartition(32), n_merges=10, method="distributed"
+    )
     assert got32 == expected
 
 

@@ -423,12 +423,63 @@ def test_bpe_merges_at_scale(spark, corpus):
     stop-phrase words (the only high-frequency structure planted)."""
     from haf_plug_play_spark.ext import bpe
 
-    got = bpe.learn_bpe_merges(corpus, n_merges=4)
+    got = bpe.learn_bpe_merges(corpus, n_merges=4, method="distributed")
     assert len(got) == 4
     assert len({(m["left"], m["right"]) for m in got}) == 4
     assert all(m["pair_count"] > 0 for m in got)
-    again = bpe.learn_bpe_merges(corpus.repartition(7), n_merges=4)
+    again = bpe.learn_bpe_merges(
+        corpus.repartition(7), n_merges=4, method="distributed"
+    )
     assert again == got
+    # the driver fast path (the 32k-vocab scale fix: one histogram collect
+    # + incremental in-memory merges instead of a job per merge) must
+    # learn the identical rules on the 20k-distinct-word histogram, and
+    # keep going deep: 200 merges in one call, all positive, prefix-stable
+    deep = bpe.learn_bpe_merges(corpus, n_merges=200, method="driver")
+    assert deep[:4] == got
+    assert len(deep) == 200 and all(m["pair_count"] > 0 for m in deep)
     # the most frequent first merge must come from stop-phrase characters
     stop_chars = set("".join(STOP.split())) | {bpe.END}
     assert set(got[0]["left"] + got[0]["right"]) <= stop_chars
+
+
+def test_pq_adc_shortlist_recall_at_scale(spark):
+    """Trained PQ + ADC on the 20k x 32-dim corpus, in the regime PQ is
+    actually used (8-bit codes: m=8, ksub=256, as in FAISS defaults):
+    the ADC shortlist must capture the exact-euclidean top-10 so a
+    downstream exact rerank recovers them — the standard two-stage ANN
+    contract. NumPy-mirror sweep: ksub=16 corr 0.22 (useless), ksub=256
+    corr 0.84, exact-top-10 coverage 10/10 at shortlist 200."""
+    import numpy as np
+
+    from haf_plug_play_spark.ext import similarity
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(20_000, 32)).astype(np.float64)
+    q = rng.normal(size=32)
+    q /= np.linalg.norm(q)
+    for i in range(20):
+        base[i] = q * 10 + rng.normal(scale=0.5, size=32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    emb = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    qv = [float(x) for x in q]
+
+    cbs = similarity.train_pq_codebooks(emb, m=8, ksub=256, iters=8, dim=32)
+    codes = similarity.pq_codes(
+        emb, m=8, ksub=256, dim=32, codebooks=cbs
+    ).localCheckpoint()
+    exact = set(np.argsort(((base - q) ** 2).sum(1))[:10].tolist())
+
+    shortlist = {
+        r.vec_id for r in similarity.pq_adc_topk(codes, qv, cbs, k=200).collect()
+    }
+    assert len(exact & shortlist) >= 8, sorted(exact & shortlist)
+
+    # exact rerank of the shortlist recovers the true neighbors
+    d = ((base[sorted(shortlist)] - q) ** 2).sum(1)
+    reranked = [sorted(shortlist)[i] for i in np.argsort(d)[:10]]
+    assert len(exact & set(reranked)) >= 8
