@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from haf_plug_play_spark.ext import bpe as bpe_mod
 from haf_plug_play_spark.ext import dedup, similarity, text as xt
 from haf_plug_play_spark.ext.hashing import MERSENNE_P, hash_params, md5_int_sql
 from haf_plug_play_spark.sources.tables import load_table
@@ -1327,6 +1328,109 @@ def xs_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_codes(emb)
 
 
+def xs_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric-distance) top-20 over PQ codes
+    (ext/similarity.py:pq_adc_topk): the query's m×ksub distance table is
+    baked in as literals, so ranking reads ONLY the 8 small code columns —
+    the compressed-domain search that makes PQ useful at billon-vector
+    scale. Seeded codebooks keep it a pure function of the seed for the
+    oracle; the trained path is recall-gated in tests."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    codes = similarity.pq_codes(emb)
+    cbs = [similarity._seed_unit_centroids(8, 16, 11 + j) for j in range(8)]
+    return similarity.pq_adc_topk(codes, _QUERY_VEC, cbs, k=20)
+
+
+# Fixed BPE merge rules — the tokenizer-model artifact for the oracle-gated
+# tokenization query: the first 8 rules learn_bpe_merges learns from the
+# sf0.01 documents corpus, hardcoded so the query is a pure function of its
+# input (learning itself is iterative and stays under the golden/replay
+# gate in tests/test_bpe.py).
+_BPE_FIXTURE_MERGES = [
+    {"rank": 1, "left": "e", "right": "r▁"},
+    {"rank": 2, "left": "o", "right": "w▁"},
+    {"rank": 3, "left": "t", "right": "o"},
+    {"rank": 4, "left": "a", "right": "t"},
+    {"rank": 5, "left": "l", "right": "u"},
+    {"rank": 6, "left": "a", "right": "s"},
+    {"rank": 7, "left": "i", "right": "n"},
+    {"rank": 8, "left": "e", "right": "r"},
+]
+
+
+def xt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a fixed BPE merge list to the corpus (ext/bpe.py:apply_bpe):
+    per-word greedy left-to-right merge folds, flattened to one token
+    stream per document — all per-row expressions, zero shuffle. The
+    oracle mirrors the fold with a space-joined replace() chain (both are
+    greedy leftmost non-overlapping, and a merged tail can never re-match
+    its own rule), certifying the tokenizer application end-to-end."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    out = bpe_mod.apply_bpe(docs, _BPE_FIXTURE_MERGES)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tokens",
+    ).orderBy("doc_id")
+
+
+def _adc_sql(k: int = 20, m: int = 8, ksub: int = 16, seed: int = 11, dim: int = 64) -> str:
+    """DuckDB mirror of xs_adc: the same code assignment as _pq_sql, then
+    the same query-to-centroid lookup-table literals (computed by the
+    identical driver-side Python sums as pq_adc_topk's F.lit values)."""
+    sub = dim // m
+    code_cols = []
+    adc_terms = []
+    for j in range(m):
+        cents = similarity._seed_unit_centroids(sub, ksub, seed + j)
+        subv = f"v[{j * sub + 1}:{(j + 1) * sub}]"
+        scores = ", ".join(
+            f"({sum(c * c for c in cent)!r} - 2.0 * "
+            f"list_dot_product({subv}, {_vec_sql(cent)}))"
+            for cent in cents
+        )
+        code_cols.append(
+            f"CAST(list_position([{scores}], list_min([{scores}])) AS INT) "
+            f"AS code_{j}"
+        )
+        qj = _QUERY_VEC[j * sub : (j + 1) * sub]
+        lut = [
+            sum((a - b) * (a - b) for a, b in zip(qj, cent)) for cent in cents
+        ]
+        # cast: a bare numeric list literal parses as DECIMAL[] in DuckDB
+        adc_terms.append(f"CAST({_vec_sql(lut)} AS DOUBLE[])[code_{j}]")
+    adc = " + ".join(adc_terms)
+    return (
+        f"WITH s AS (SELECT vec_id, {_VD} AS v FROM embeddings), "
+        f"c AS (SELECT vec_id, {', '.join(code_cols)} FROM s) "
+        f"SELECT vec_id, round({adc}, 6) AS adc_dist FROM c "
+        f"ORDER BY adc_dist, vec_id LIMIT {k}"
+    )
+
+
+def _bpe_tokenize_sql() -> str:
+    """DuckDB mirror of xt_bpe_tokenize: initial symbols as a space-joined
+    char string (sentinel appended to the word-final char), each merge a
+    literal replace() — greedy leftmost non-overlapping, equivalent to the
+    engine's accumulator fold (see xt_bpe_tokenize docstring)."""
+    inner = (
+        "' ' || regexp_replace(regexp_replace(w, '(.)', '\\1 ', 'gs'), "
+        "' $', chr(9601) || ' ')"
+    )
+    for r in _BPE_FIXTURE_MERGES:
+        left, right = r["left"], r["right"]
+        inner = f"replace({inner}, ' {left} {right} ', ' {left}{right} ')"
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '') AS ws FROM documents), "
+        "t AS (SELECT doc_id, flatten(list_transform(ws, "
+        f"w -> list_filter(string_split({inner}, ' '), x -> x <> ''))) AS toks "
+        "FROM w) "
+        "SELECT doc_id, array_to_string(toks, ' ') AS tokens_str, "
+        "CAST(len(toks) AS BIGINT) AS n_tokens FROM t ORDER BY doc_id"
+    )
+
+
 def _pq_sql(m: int = 8, ksub: int = 16, seed: int = 11, dim: int = 64) -> str:
     """DuckDB mirror of pq_codes: same centroid literals, same
     c·c − 2·(v_j·c) scores, same left-to-right error accumulation."""
@@ -1462,6 +1566,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-containment": xd_containment,
     "XT-ngrams": xt_ngrams,
     "XS-pq": xs_pq,
+    # new in r5 (never driver-checked)
+    "XS-adc": xs_adc,
+    "XT-bpe-tokenize": xt_bpe_tokenize,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1505,6 +1612,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-containment": _containment_sql(3, 0.8, 100),
     "XT-ngrams": _ngrams_sql(2, 20),
     "XS-pq": _pq_sql(),
+    "XS-adc": _adc_sql(),
+    "XT-bpe-tokenize": _bpe_tokenize_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

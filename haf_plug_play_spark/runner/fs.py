@@ -43,8 +43,17 @@ import shutil
 import tempfile
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A compare-and-swap found the target changed since it was read —
+    another writer committed first. The caller's staged objects are
+    orphans (vacuum-able); the caller must re-read and retry or give up."""
+
+
 class LocalFS:
     """POSIX-local implementation (os/shutil)."""
+
+    #: this implementation can do a true conditional pointer swap
+    supports_cas = True
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -88,6 +97,33 @@ class LocalFS:
             f.write(data)
         os.replace(tmp, path)
 
+    def swap_if_current(
+        self, path: str, expected: bytes | None, data: bytes
+    ) -> None:
+        """Compare-and-swap ``path``: write ``data`` only if the file's
+        current content is exactly ``expected`` (``None`` = must not
+        exist). Raises ``ConcurrentWriteError`` otherwise. The local CAS
+        is an ``flock`` on a sidecar — held only across read+replace, and
+        released by the kernel if the holder dies, so a crashed writer
+        can never wedge the table. This is the POSIX stand-in for an
+        object store's conditional PUT (S3 If-None-Match/If-Match, GCS
+        if-generation-match, ABFS ETag)."""
+        import fcntl
+
+        fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            current = self.read_bytes(path) if os.path.exists(path) else None
+            if current != expected:
+                raise ConcurrentWriteError(
+                    f"CAS failed on {path}: expected "
+                    f"{expected!r}, found {current!r} — another writer "
+                    "committed first"
+                )
+            self.write_bytes_atomic(path, data)
+        finally:
+            os.close(fd)  # closing drops the flock
+
 
 class HadoopFS:
     """Hadoop FileSystem API via the live Spark JVM (py4j).
@@ -98,9 +134,27 @@ class HadoopFS:
     no-overwrite rename, recursive delete).
     """
 
+    #: loud capability probe: the portable Hadoop FileSystem API exposes no
+    #: conditional PUT, so this implementation cannot CAS — callers that
+    #: need concurrent-writer safety must check this flag (snapshot commits
+    #: do) instead of discovering last-writer-wins in production.
+    supports_cas = False
+
     def __init__(self, spark) -> None:
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+
+    def swap_if_current(
+        self, path: str, expected: bytes | None, data: bytes
+    ) -> None:
+        raise NotImplementedError(
+            "HadoopFS cannot compare-and-swap: the portable Hadoop "
+            "FileSystem API has no conditional PUT. Concurrent snapshot "
+            "writers on object stores need the store's own conditional "
+            "write (S3 If-Match, GCS if-generation-match) or a lock/catalog "
+            "service; single-writer deployments may pass "
+            "require_cas=False to accept last-writer-wins."
+        )
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)

@@ -31,10 +31,16 @@ width, in which the table is missing or partial: the failure mode of the
 rename-pair protocols on S3A simply does not exist here. Old snapshots stay
 readable (time travel) until ``vacuum`` reclaims them.
 
-Single-writer assumption (same as the runner's maintenance CLI): the
-pointer swap is last-writer-wins, not compare-and-swap. Concurrent writers
-need a conditional PUT / lock service on object stores — out of scope and
-stated loudly rather than faked.
+Concurrent writers: when the FS seam can compare-and-swap
+(``fs.supports_cas`` — LocalFS via flock; an object store's conditional
+PUT would slot in the same way), the pointer swap is CONDITIONAL on the
+pointer still holding the manifest this commit built on — of two racing
+writers exactly one commits and the loser raises ``ConcurrentWriteError``
+(its staged objects are vacuum-able orphans; re-read and retry). The
+portable HadoopFS cannot CAS (no conditional PUT in the portable API —
+loud ``supports_cas=False`` probe), so there the swap stays last-writer-
+wins single-writer semantics unless the caller passes ``require_cas=True``
+to fail fast instead.
 """
 
 from __future__ import annotations
@@ -46,7 +52,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
-from haf_plug_play_spark.runner.fs import LocalFS
+from haf_plug_play_spark.runner.fs import ConcurrentWriteError, LocalFS
 
 _CURRENT = "_current"
 _MANIFESTS = "manifests"
@@ -113,10 +119,22 @@ def _commit(
     inherit_dirs: bool,
     batch_id: int | None = None,
     writer_id: str | None = None,
+    require_cas: bool = False,
 ) -> dict:
     fs = fs or LocalFS()
     fs.makedirs(os.path.join(table_dir, _MANIFESTS))
-    cur = current_manifest(table_dir, fs)
+    # read the pointer BYTES once: they are both the parent manifest to
+    # build on and the compare-and-swap expectation at the commit point —
+    # any concurrent commit that lands in between changes them and the
+    # final swap fails instead of silently orphaning the other writer's
+    # snapshot (last-writer-wins, the r4 gap).
+    ptr = os.path.join(table_dir, _CURRENT)
+    expected = fs.read_bytes(ptr) if fs.exists(ptr) else None
+    cur = (
+        _load_manifest(table_dir, fs, expected.decode("utf-8").strip())
+        if expected is not None
+        else None
+    )
     if (
         batch_id is not None
         and cur is not None
@@ -156,24 +174,57 @@ def _commit(
         os.path.join(table_dir, _MANIFESTS, mname),
         json.dumps(manifest, indent=1).encode("utf-8"),
     )
-    # THE commit point — everything before this is invisible to readers
-    fs.write_bytes_atomic(
-        os.path.join(table_dir, _CURRENT), mname.encode("utf-8")
-    )
+    # THE commit point — everything before this is invisible to readers.
+    # Conditional swap when the FS can CAS (LocalFS flock; an object
+    # store's conditional PUT): the swap succeeds only if the pointer
+    # still holds what this commit built on, so of two concurrent
+    # writers exactly one wins and the loser raises
+    # ConcurrentWriteError with its objects left as vacuum-able orphans.
+    # A non-CAS FS (portable HadoopFS) keeps the documented single-writer
+    # last-writer-wins behavior unless the caller demanded safety.
+    if getattr(fs, "supports_cas", False):
+        try:
+            fs.swap_if_current(ptr, expected, mname.encode("utf-8"))
+        except ConcurrentWriteError:
+            # the loser deletes its OWN staged objects before re-raising:
+            # racing writers pick the same next snapshot id (both listed
+            # the same manifests), so leaving the losing manifest behind
+            # would make the id→manifest listing ambiguous with the
+            # winner's. A crash (not a CAS loss) still leaves orphans —
+            # that path is covered by opt-in vacuum, same as before.
+            fs.delete(os.path.join(table_dir, _MANIFESTS, mname))
+            fs.delete(data_dir)
+            raise
+    elif require_cas:
+        raise NotImplementedError(
+            f"require_cas=True but {type(fs).__name__} cannot "
+            "compare-and-swap (supports_cas is false) — use a CAS-capable "
+            "store or accept single-writer semantics"
+        )
+    else:
+        fs.write_bytes_atomic(ptr, mname.encode("utf-8"))
     return manifest
 
 
 def commit_snapshot(
-    spark: SparkSession, df: DataFrame, table_dir: str, fs=None
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    fs=None,
+    require_cas: bool = False,
 ) -> dict:
     """Publish ``df`` as the table's next snapshot (replacing the previous
     content); returns the manifest.
 
     The parquet write is the data plane (Spark's own writers, any scheme);
     nothing in this function renames or overwrites an existing object
-    except the final single-pointer swap.
+    except the final single-pointer swap — conditional when the FS can
+    CAS (see module docstring); ``require_cas=True`` refuses to commit
+    through a store that cannot.
     """
-    return _commit(spark, df, table_dir, fs, inherit_dirs=False)
+    return _commit(
+        spark, df, table_dir, fs, inherit_dirs=False, require_cas=require_cas
+    )
 
 
 def append_snapshot(
@@ -183,6 +234,7 @@ def append_snapshot(
     fs=None,
     batch_id: int | None = None,
     writer_id: str = "default",
+    require_cas: bool = False,
 ) -> dict:
     """Publish ``df`` as an APPEND: the new manifest lists the parent
     snapshot's data dirs plus one fresh dir holding only the new rows —
@@ -204,6 +256,7 @@ def append_snapshot(
     return _commit(
         spark, df, table_dir, fs,
         inherit_dirs=True, batch_id=batch_id, writer_id=writer_id,
+        require_cas=require_cas,
     )
 
 

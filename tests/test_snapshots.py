@@ -56,6 +56,10 @@ def test_crashed_commit_is_unobservable(spark, fs, tmp_path):
                 raise RuntimeError("injected crash at commit point")
             self._inner.write_bytes_atomic(path, data)
 
+        def swap_if_current(self, path, expected, data):
+            # the CAS-capable commit point routes here instead
+            raise RuntimeError("injected crash at commit point")
+
     with pytest.raises(RuntimeError, match="injected crash"):
         sn.commit_snapshot(spark, _df(spark, 2), t, CrashAtPointer(fs))
 
@@ -196,3 +200,78 @@ def test_append_batch_id_scoped_by_writer(spark, fs, tmp_path):
     )
     assert retry["snapshot_id"] == 2  # the true retry IS skipped
     assert sn.read_snapshot(spark, t, fs).count() == 30
+
+
+class _RacingFS(LocalFS):
+    """Injects a competing full commit at the worst moment: after the
+    victim read the pointer and staged its data, right before its own
+    manifest write — so the victim's CAS expectation is stale by the
+    time it reaches the commit point."""
+
+    def __init__(self, spark, table_dir, competitor_df):
+        self._spark = spark
+        self._table_dir = table_dir
+        self._competitor_df = competitor_df
+        self._fired = False
+
+    def write_bytes_atomic(self, path, data):
+        if not self._fired and "/manifests/manifest-" in path:
+            self._fired = True
+            sn.commit_snapshot(
+                self._spark, self._competitor_df, self._table_dir, LocalFS()
+            )
+        super().write_bytes_atomic(path, data)
+
+
+def test_concurrent_commit_one_wins_loser_raises(spark, tmp_path):
+    from haf_plug_play_spark.runner.fs import ConcurrentWriteError
+
+    table = str(tmp_path / "tbl")
+    base = spark.range(5).withColumnRenamed("id", "v")
+    sn.commit_snapshot(spark, base, table, LocalFS())
+
+    winner_df = spark.range(100, 103).withColumnRenamed("id", "v")
+    loser_df = spark.range(200, 209).withColumnRenamed("id", "v")
+    racing = _RacingFS(spark, table, winner_df)
+    with pytest.raises(ConcurrentWriteError):
+        sn.commit_snapshot(spark, loser_df, table, racing)
+
+    # the interleaved commit won; the loser's snapshot is invisible
+    got = sorted(r.v for r in sn.read_snapshot(spark, table, LocalFS()).collect())
+    assert got == [100, 101, 102]
+    # the loser cleaned up its staged manifest + data dir (racing writers
+    # pick the SAME next id, so a leftover would be ambiguous): listing
+    # equals the committed chain exactly, data/ holds only chain dirs
+    chain = sn.committed_chain(table, LocalFS())
+    chain_ids = {m["snapshot_id"] for m in chain}
+    assert set(sn._manifest_ids(table, LocalFS())) == chain_ids
+    chain_dirs = {d.split("/", 1)[1] for m in chain for d in sn._data_dirs(m)}
+    assert set(LocalFS().listdir(os.path.join(table, "data"))) == chain_dirs
+
+
+def test_cas_swap_primitive(tmp_path):
+    from haf_plug_play_spark.runner.fs import ConcurrentWriteError
+
+    fs = LocalFS()
+    p = str(tmp_path / "ptr")
+    # first write: expected None means "must not exist"
+    fs.swap_if_current(p, None, b"a")
+    assert fs.read_bytes(p) == b"a"
+    with pytest.raises(ConcurrentWriteError):
+        fs.swap_if_current(p, None, b"b")
+    with pytest.raises(ConcurrentWriteError):
+        fs.swap_if_current(p, b"stale", b"b")
+    fs.swap_if_current(p, b"a", b"b")
+    assert fs.read_bytes(p) == b"b"
+
+
+def test_hadoopfs_cas_probe_and_require_cas(spark, tmp_path):
+    hfs = HadoopFS(spark)
+    assert hfs.supports_cas is False
+    with pytest.raises(NotImplementedError, match="conditional PUT"):
+        hfs.swap_if_current(str(tmp_path / "p"), None, b"x")
+    df = spark.range(3).withColumnRenamed("id", "v")
+    with pytest.raises(NotImplementedError, match="require_cas"):
+        sn.commit_snapshot(
+            spark, df, f"file://{tmp_path}/t", hfs, require_cas=True
+        )
