@@ -1374,6 +1374,88 @@ def xt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def xa_pack_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-granular sequence packing (ext/sampling.py:
+    pack_split_segments): the concatenated per-source token stream cut
+    into EXACT 256-token chunks, documents split across chunk boundaries —
+    one row per (doc, chunk) segment with the half-open token range. The
+    whole-document variant is XA-pack-chunks; this is what the
+    pretraining dataloader actually consumes."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", xt.n_tokens_ws(F.col("text"))
+    )
+    return (
+        sampling.pack_split_segments(
+            docs, ["source"], "n_tok", budget=256, order_col="doc_id"
+        )
+        .select(
+            "doc_id", "source", "n_tok", "chunk_id",
+            "seg_start", "seg_end", "seg_len",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def xt_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-taxonomy topic tagging (ext/text.py:topic_tag): distinct
+    anchor-keyword hits per topic, first-match-wins argmax with
+    lexicographic tie-break, 'other' when nothing hits — the
+    domain-classification pass that steers a training mixture."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return xt.topic_tag(docs)
+
+
+_NTOK_SQL = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
+
+
+def _pack_split_sql(budget: int = 256) -> str:
+    """DuckDB mirror of xa_pack_split: same per-stratum running offset as
+    XA-pack-chunks, then one range() unnest over the spanned chunk ids."""
+    return (
+        f"WITH t AS (SELECT doc_id, source, {_NTOK_SQL} AS n_tok FROM documents), "
+        "r AS (SELECT doc_id, source, n_tok, "
+        "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off FROM t), "
+        "c AS (SELECT doc_id, source, n_tok, off, "
+        f"unnest(range(CAST(floor(off / {budget}) AS BIGINT), "
+        f"CAST(floor((off + n_tok - 1) / {budget}) AS BIGINT) + 1)) AS chunk_id "
+        "FROM r WHERE n_tok > 0) "
+        "SELECT doc_id, source, n_tok, chunk_id, "
+        f"greatest(CAST(0 AS BIGINT), chunk_id * {budget} - off) AS seg_start, "
+        f"least(n_tok, (chunk_id + 1) * {budget} - off) AS seg_end, "
+        f"least(n_tok, (chunk_id + 1) * {budget} - off) - "
+        f"greatest(CAST(0 AS BIGINT), chunk_id * {budget} - off) AS seg_len "
+        "FROM c ORDER BY doc_id, chunk_id"
+    )
+
+
+def _topics_sql() -> str:
+    """DuckDB mirror of topic_tag: the same intersect hit counts and the
+    same first-match-wins CASE chain (see topic_tag's docstring for the
+    argmax equivalence)."""
+    hits = {
+        t: (
+            "len(list_intersect(string_split(lower(text), ' '), "
+            f"[{', '.join(repr(w) for w in xt.TOPIC_KEYWORDS[t])}]))"
+        )
+        for t in xt.TOPIC_PRIORITY
+    }
+    whens = []
+    for i, t in enumerate(xt.TOPIC_PRIORITY):
+        conds = [f"{hits[t]} > 0"] + [
+            f"{hits[t]} >= {hits[later]}" for later in xt.TOPIC_PRIORITY[i + 1 :]
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{t}'")
+    case = f"CASE {' '.join(whens)} ELSE 'other' END"
+    greatest = f"greatest({', '.join(hits[t] for t in xt.TOPIC_PRIORITY)})"
+    return (
+        f"SELECT doc_id, {case} AS topic, "
+        f"CAST({greatest} AS BIGINT) AS n_hits FROM documents ORDER BY doc_id"
+    )
+
+
 def _adc_sql(k: int = 20, m: int = 8, ksub: int = 16, seed: int = 11, dim: int = 64) -> str:
     """DuckDB mirror of xs_adc: the same code assignment as _pq_sql, then
     the same query-to-centroid lookup-table literals (computed by the
@@ -1569,6 +1651,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in r5 (never driver-checked)
     "XS-adc": xs_adc,
     "XT-bpe-tokenize": xt_bpe_tokenize,
+    "XA-pack-split": xa_pack_split,
+    "XT-topics": xt_topics,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1614,6 +1698,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XS-pq": _pq_sql(),
     "XS-adc": _adc_sql(),
     "XT-bpe-tokenize": _bpe_tokenize_sql(),
+    "XA-pack-split": _pack_split_sql(),
+    "XT-topics": _topics_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

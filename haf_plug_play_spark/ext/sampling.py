@@ -110,6 +110,52 @@ def pack_chunks(
     )
 
 
+def pack_split_segments(
+    df: DataFrame,
+    strata_cols: list[str],
+    token_col: str,
+    budget: int,
+    order_col: str | list[str],
+) -> DataFrame:
+    """Token-granular sequence packing — the GPT-style packer where the
+    concatenated token stream is cut into EXACT ``budget``-token chunks
+    and a document may SPAN a chunk boundary: one output row per
+    (document, chunk) segment, with ``seg_start``/``seg_end`` giving the
+    half-open token range OF THE DOCUMENT that lands in that chunk.
+    ``pack_chunks`` is the whole-document variant (a doc belongs to the
+    chunk it starts in); this one guarantees every chunk except each
+    stratum's last holds exactly ``budget`` tokens — what a pretraining
+    dataloader actually consumes.
+
+    Shape: the same single per-stratum window as ``pack_chunks`` for the
+    running offset, then a per-row ``sequence`` over the chunk ids the
+    document spans — row expansion is (doc tokens / budget)-bounded and
+    needs no second shuffle. Deterministic: pure function of
+    (stratum, order_col). Zero-token documents produce no segments.
+    """
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = W.partitionBy(*strata_cols).orderBy(*order_cols)
+    run = F.sum(token_col).over(w.rowsBetween(W.unboundedPreceding, 0))
+    off = (run - F.col(token_col)).cast("long")
+    n = F.col(token_col).cast("long")
+    # materialize the window offset BEFORE the explode: window expressions
+    # cannot appear inside generator arguments
+    staged = df.withColumn("_off", off).filter(n > 0)
+    first = F.floor(F.col("_off") / budget)
+    last = F.floor((F.col("_off") + n - F.lit(1)) / budget)
+    out = staged.withColumn("chunk_id", F.explode(F.sequence(first, last)))
+    seg_start = F.greatest(
+        F.lit(0).cast("long"), F.col("chunk_id") * budget - F.col("_off")
+    )
+    seg_end = F.least(n, (F.col("chunk_id") + 1) * budget - F.col("_off"))
+    return (
+        out.withColumn("seg_start", seg_start)
+        .withColumn("seg_end", seg_end)
+        .withColumn("seg_len", (seg_end - seg_start))
+        .drop("_off")
+    )
+
+
 def weighted_mix(
     df: DataFrame,
     stratum_col: str,

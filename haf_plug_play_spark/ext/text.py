@@ -451,3 +451,54 @@ def top_ngrams(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "ngram", "n_occurrences", "n_docs")
     )
+
+
+# Keyword taxonomy for topic tagging — the domain-classification pass a
+# curation pipeline uses to steer the training mixture (tiny anchor sets on
+# purpose, same rationale as LANG_STOPWORDS: both engines must evaluate
+# them identically). Priority order = lexicographic, the tie-break.
+TOPIC_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "perf": ("fast", "slow", "big", "small", "hash"),
+    "query": ("query", "scan", "filter", "join", "sort"),
+    "storage": ("table", "row", "column", "part", "batch"),
+    "stream": ("stream", "window", "order", "group", "merge"),
+}
+TOPIC_PRIORITY = tuple(sorted(TOPIC_KEYWORDS))
+
+
+def topic_tag(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keyword-taxonomy topic tagging: score each document against every
+    topic's anchor-keyword set (DISTINCT keywords present, the same
+    intersect shape as language ID) and label it with the best topic —
+    first-match-wins in TOPIC_PRIORITY order, so ties break
+    lexicographically and a document hitting nothing is 'other'. One
+    per-row codegen projection, zero shuffles — the corpus-steering
+    classification pass of a curation pipeline, SQL-mirrored as the same
+    CASE chain for the oracle.
+
+    Output: (id, topic, n_hits) where n_hits is the winning topic's
+    distinct-keyword count (0 for 'other').
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    hits = {
+        t: F.size(
+            F.array_intersect(words, F.array(*[F.lit(w) for w in TOPIC_KEYWORDS[t]]))
+        ).cast("long")
+        for t in TOPIC_PRIORITY
+    }
+    # first-match-wins CASE: topic i wins when it hits and no LATER topic
+    # strictly beats it (earlier topics already failed their own WHEN)
+    expr = F.lit("other")
+    for i in range(len(TOPIC_PRIORITY) - 1, -1, -1):
+        t = TOPIC_PRIORITY[i]
+        cond = hits[t] > 0
+        for later in TOPIC_PRIORITY[i + 1 :]:
+            cond = cond & (hits[t] >= hits[later])
+        expr = F.when(cond, F.lit(t)).otherwise(expr)
+    return df.select(
+        F.col(id_col),
+        expr.alias("topic"),
+        F.greatest(*hits.values()).alias("n_hits"),
+    ).orderBy(id_col)

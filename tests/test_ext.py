@@ -804,3 +804,36 @@ def test_trained_pq_codebooks_cut_recon_error(spark):
         similarity.pq_codes(emb, codebooks=cbs).agg(F.sum("recon_err")).first()[0]
     )
     assert trained < 0.5 * seeded, (trained, seeded)
+
+
+def test_pack_split_segments_invariants(spark):
+    """The token-granular packer's contract: per stratum, every chunk
+    except the last holds EXACTLY the budget; each document's segments
+    are a contiguous partition of [0, n_tok); whole-doc membership agrees
+    with pack_chunks for docs that don't straddle a boundary."""
+    from collections import defaultdict
+
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    rows = EXT_QUERIES["XA-pack-split"](spark, SF_ORACLE).collect()
+    by_chunk = defaultdict(int)
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_chunk[(r.source, r.chunk_id)] += r.seg_len
+        by_doc[r.doc_id].append(r)
+    last = {
+        s: max(c for (src, c) in by_chunk if src == s)
+        for s in {src for (src, _) in by_chunk}
+    }
+    for (src, c), tok in by_chunk.items():
+        if c != last[src]:
+            assert tok == 256, (src, c, tok)
+        else:
+            assert 0 < tok <= 256
+    for doc, segs in by_doc.items():
+        segs.sort(key=lambda r: r.chunk_id)
+        assert segs[0].seg_start == 0
+        assert segs[-1].seg_end == segs[0].n_tok
+        for a, b in zip(segs, segs[1:]):
+            assert a.seg_end == b.seg_start  # contiguous, no gap/overlap
+            assert b.chunk_id == a.chunk_id + 1

@@ -387,3 +387,22 @@ def test_unigram_lm_broadcasts_total(spark):
     plan = _plan(EXT_QUERIES["XT-unigram-lm"](spark, SF_ORACLE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_adc_reads_codes_only_take_ordered(spark):
+    """ADC search must stay compressed-domain: top-k plans as
+    TakeOrderedAndProject (no global sort) and the ranking stage is
+    shuffle-free past the codes projection — the whole point of PQ is
+    never touching the wide vector column during the scan."""
+    plan = _plan(EXT_QUERIES["XS-adc"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
+
+
+def test_bpe_tokenize_shuffle_free(spark):
+    """Tokenizer application is per-row expression work: no shuffle of
+    any kind in the plan (the orderBy is the presentation sort the
+    oracle comparison needs; everything upstream is a projection)."""
+    plan = _plan(EXT_QUERIES["XT-bpe-tokenize"](spark, SF_ORACLE))
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
