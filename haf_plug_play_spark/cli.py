@@ -103,6 +103,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--rate", type=float, default=1.0, help="Bernoulli sample rate")
     cu.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
     cu.add_argument("--seed", type=int, default=7)
+    cu.add_argument(
+        "--near-dup", type=float, default=None, metavar="JACCARD",
+        help="also MinHash-near-dedup exact-dedup survivors at this "
+        "Jaccard threshold (adds bounded clustering jobs)",
+    )
 
     vo = sub.add_parser(
         "vocab",
@@ -217,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
             sample_rate=args.rate,
             budget=args.budget,
             seed=args.seed,
+            near_dup_threshold=args.near_dup,
         )
         print(json.dumps(summary))
     elif args.cmd == "explain":

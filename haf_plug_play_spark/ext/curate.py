@@ -33,6 +33,7 @@ def curate_documents(
     seed: int = 7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    near_dup_threshold: float | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation funnel and return (curated DataFrame, stage counts).
 
@@ -57,7 +58,36 @@ def curate_documents(
     scored = xt.with_quality(flagged, text_col).withColumn(
         "lang", xt.lang_pred(F.col(text_col))
     )
-    gate = F.col("_keep_dedup") & (F.col("q_score") >= min_score)
+    keep = F.col("_keep_dedup")
+    if near_dup_threshold is not None:
+        # opt-in MinHash+LSH near-dup stage (the CCNet order: exact dedup
+        # first, fuzzy dedup on its survivors): LSH pairs → connected
+        # components → canonical keeper, joined back as a flag so the
+        # funnel still counts every stage in the one aggregation pass.
+        # This stage runs its own bounded jobs (the CC iterations) —
+        # the default funnel's two-job contract applies when it is off.
+        from haf_plug_play_spark.ext import dedup as xdedup
+
+        survivors0 = flagged.filter(F.col("_keep_dedup")).select(id_col, text_col)
+        pairs = xdedup.minhash_lsh_pairs(
+            survivors0, id_col=id_col, text_col=text_col,
+            threshold=near_dup_threshold,
+        )
+        nd_keep = (
+            xdedup.dedup_decision(survivors0, pairs, id_col=id_col)
+            .filter(F.col("keep"))
+            .select(F.col(id_col), F.lit(True).alias("_keep_nd"))
+        )
+        scored = (
+            scored.join(nd_keep, id_col, "left")
+            .withColumn(
+                "_keep_near",
+                keep & F.coalesce(F.col("_keep_nd"), F.lit(False)),
+            )
+            .drop("_keep_nd")
+        )
+        keep = F.col("_keep_near")
+    gate = keep & (F.col("q_score") >= min_score)
     if langs:
         gate = gate & F.col("lang").isin(list(langs))
     sample = gate & (
@@ -67,16 +97,21 @@ def curate_documents(
     )
     scored = scored.withColumn("_gate", gate).withColumn("_sample", sample)
 
-    row = scored.agg(
+    aggs = [
         F.count("*").alias("input"),
         F.sum(F.col("_keep_dedup").cast("long")).alias("deduped"),
         F.sum(F.col("_gate").cast("long")).alias("gated"),
         F.sum(F.col("_sample").cast("long")).alias("curated"),
-    ).first()
-    funnel = {k: int(row[k]) for k in ("input", "deduped", "gated", "curated")}
+    ]
+    stages = ["input", "deduped", "gated", "curated"]
+    if near_dup_threshold is not None:
+        aggs.insert(2, F.sum(F.col("_keep_near").cast("long")).alias("near_deduped"))
+        stages.insert(2, "near_deduped")
+    row = scored.agg(*aggs).first()
+    funnel = {k: int(row[k]) for k in stages}
 
     survivors = scored.filter(F.col("_sample")).drop(
-        "_keep_dedup", "_gate", "_sample"
+        "_keep_dedup", "_keep_near", "_gate", "_sample"
     )
     split = sampling.split_assign(
         survivors, id_col, splits or DEFAULT_SPLITS, seed=seed

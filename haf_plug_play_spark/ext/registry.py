@@ -1360,11 +1360,13 @@ _BPE_FIXTURE_MERGES = [
 
 def xt_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply a fixed BPE merge list to the corpus (ext/bpe.py:apply_bpe):
-    per-word greedy left-to-right merge folds, flattened to one token
-    stream per document — all per-row expressions, zero shuffle. The
-    oracle mirrors the fold with a space-joined replace() chain (both are
-    greedy leftmost non-overlapping, and a merged tail can never re-match
-    its own rule), certifying the tokenizer application end-to-end."""
+    per-word greedy left-to-right merges, flattened to one token stream
+    per document — all per-row expressions, zero shuffle. Both the
+    engine's fast path and the oracle use the DOUBLE-space replace()-chain
+    construction proven equal to the greedy fold (ext/bpe.py:apply_bpe —
+    each match consumes one boundary space per side, so the delimiter
+    regenerates and adjacent occurrences keep matching), certifying the
+    tokenizer application end-to-end."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     out = bpe_mod.apply_bpe(docs, _BPE_FIXTURE_MERGES)
     return out.select(
@@ -1491,17 +1493,19 @@ def _adc_sql(k: int = 20, m: int = 8, ksub: int = 16, seed: int = 11, dim: int =
 
 
 def _bpe_tokenize_sql() -> str:
-    """DuckDB mirror of xt_bpe_tokenize: initial symbols as a space-joined
-    char string (sentinel appended to the word-final char), each merge a
-    literal replace() — greedy leftmost non-overlapping, equivalent to the
-    engine's accumulator fold (see xt_bpe_tokenize docstring)."""
+    """DuckDB mirror of xt_bpe_tokenize: initial symbols as a DOUBLE-space
+    joined char string (sentinel appended to the word-final char), each
+    merge a literal replace() — the double delimiter regenerates after
+    every match, making the greedy leftmost pass exactly the accumulator
+    fold (see ext/bpe.py:apply_bpe)."""
+    spaced = "regexp_replace(w, '(.)', '\\1  ', 'gs')"
     inner = (
-        "' ' || regexp_replace(regexp_replace(w, '(.)', '\\1 ', 'gs'), "
-        "' $', chr(9601) || ' ')"
+        f"' ' || substr({spaced}, 1, length({spaced}) - 2) || "
+        "chr(9601) || ' '"
     )
     for r in _BPE_FIXTURE_MERGES:
         left, right = r["left"], r["right"]
-        inner = f"replace({inner}, ' {left} {right} ', ' {left}{right} ')"
+        inner = f"replace({inner}, ' {left}  {right} ', ' {left}{right} ')"
     return (
         "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
         "x -> x <> '') AS ws FROM documents), "

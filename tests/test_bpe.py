@@ -85,3 +85,23 @@ def test_bpe_tokenize_round_trip(spark):
         assert joined == text.replace(" ", "")
         n_chars = len(text.replace(" ", ""))
         assert out[i].n_tokens < n_chars  # merges compressed something
+
+
+def test_apply_bpe_replace_path_equals_fold(spark):
+    """The codegen replace-chain tokenizer must equal the literal
+    accumulator fold exactly — tokens and counts — on a corpus that
+    exercises repeated pairs, overlapping candidates, and 1-char words."""
+    docs = spark.createDataFrame(
+        [
+            (0, "banana bandana banana aaa a"),
+            (1, "aaaa ab ba aab abab"),
+            (2, "low lower lowest newest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe.learn_bpe_merges(docs, n_merges=8)
+    fold = {r.doc_id: (r.tokens, r.n_tokens)
+            for r in bpe.apply_bpe(docs, merges, method="fold").collect()}
+    repl = {r.doc_id: (r.tokens, r.n_tokens)
+            for r in bpe.apply_bpe(docs, merges, method="replace").collect()}
+    assert fold == repl

@@ -254,3 +254,39 @@ def test_cli_explain_prints_plan(spark, capsys):
     assert "TakeOrderedAndProject" in out  # the top-k plan contract
     rc = cli.main(["explain", "NOPE"])
     assert rc == 2
+
+
+def test_curate_near_dup_stage(spark, tmp_path):
+    """Opt-in MinHash near-dedup inside the funnel: planted fuzzy copies
+    (one word changed — exact dedup can't see them) must be dropped, the
+    canonical keeper must be the lowest id in each cluster, and the
+    funnel must report the extra stage while the default path's funnel
+    keys stay unchanged."""
+    from haf_plug_play_spark.ext.curate import curate_documents
+
+    import hashlib
+
+    def salad(i: int, n: int = 30) -> list[str]:
+        # deterministic distinct word salad per doc — no cross-doc overlap
+        return [
+            hashlib.md5(f"{i}-{k}".encode()).hexdigest()[:8] for k in range(n)
+        ]
+
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(salad(i))))
+    # fuzzy copies of docs 0-4: one word changed -> high Jaccard, not exact
+    for i in range(5):
+        w = salad(i)
+        w[15] = "changed"
+        rows.append((100 + i, " ".join(w)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    _, f0 = curate_documents(docs, min_score=-100.0)
+    assert "near_deduped" not in f0 and f0["deduped"] == 25  # all exact-distinct
+
+    curated, f = curate_documents(docs, min_score=-100.0, near_dup_threshold=0.5)
+    assert list(f) == ["input", "deduped", "near_deduped", "gated", "curated"]
+    assert f["deduped"] == 25 and f["near_deduped"] == 20
+    kept = {r.doc_id for r in curated.collect()}
+    assert set(range(20)) == kept  # originals kept, fuzzy copies dropped
