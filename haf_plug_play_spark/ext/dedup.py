@@ -780,6 +780,53 @@ def eval_overlap(
     )
 
 
+def semantic_decontam(
+    emb: DataFrame,
+    eval_filter,
+    threshold: float = 0.6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    counterpart of ``eval_overlap``: flag corpus vectors whose MAX cosine
+    similarity to ANY eval-set vector clears ``threshold``, catching the
+    paraphrased/translated contamination n-gram overlap misses (the
+    embedding-similarity decontamination protocol described in public
+    dataset cards, e.g. the phi/FineWeb lineage).
+
+    Scale shape: eval sets are KBs-MBs against a 100 TB corpus, so the
+    eval side is BROADCAST and the corpus streams through one map-side
+    cross join — n_corpus × n_eval dot products, each a sequential fold
+    (same oracle-parity order as cosine_topk), no shuffle of the corpus
+    until the per-doc max aggregation (map-side combinable). Output:
+    (id, max_cos, contaminated), eval members excluded from the probed
+    side, ordered by id.
+    """
+    from haf_plug_play_spark.ext.similarity import dot
+
+    v = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        eval_filter.alias("_is_eval"),
+    ).select("*", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
+    ev = F.broadcast(
+        v.filter(F.col("_is_eval")).select(
+            F.col("_v").alias("_ev"), F.col("_n").alias("_en")
+        )
+    )
+    corpus = v.filter(~F.col("_is_eval"))
+    scored = corpus.crossJoin(ev).groupBy(id_col).agg(
+        F.max(
+            dot(F.col("_v"), F.col("_ev")) / (F.col("_n") * F.col("_en"))
+        ).alias("_mc")
+    )
+    return scored.select(
+        F.col(id_col),
+        F.round(F.col("_mc"), 6).alias("max_cos"),
+        (F.round(F.col("_mc"), 6) >= F.lit(threshold)).alias("contaminated"),
+    ).orderBy(id_col)
+
+
 def incremental_minhash_pairs(
     new_docs: DataFrame,
     corpus: DataFrame,

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from haf_plug_play_spark.ext import bpe as bpe_mod
 from haf_plug_play_spark.ext import dedup, similarity, text as xt
+from haf_plug_play_spark.ext import sampling as sampling_mod
 from haf_plug_play_spark.ext.hashing import MERSENNE_P, hash_params, md5_int_sql
 from haf_plug_play_spark.sources.tables import load_table
 
@@ -1409,6 +1410,66 @@ def xt_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xt.topic_tag(docs)
 
 
+def xd_sem_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (ext/dedup.py:semantic_decontam): max cosine of every corpus vector
+    against a broadcast eval subset (vec_id % 100 == 0) — catches the
+    paraphrase contamination XT-decontam's n-gram overlap misses."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return dedup.semantic_decontam(
+        emb, (F.col("vec_id") % 100) == 0, threshold=0.6
+    )
+
+
+def xa_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ext/sampling.py:dsir_weights): hashed
+    unigram+bigram log-likelihood ratios of the 'src0' target subset vs
+    the full corpus — the pretraining-mixture steering signal."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return sampling_mod.dsir_weights(docs, F.col("source") == "src0")
+
+
+_SEM_DECONTAM_SQL = (
+    "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+    "vec_id % 100 = 0 AS is_eval FROM embeddings), "
+    "n AS (SELECT vec_id, v, is_eval, sqrt(list_dot_product(v, v)) AS nn FROM v), "
+    "ev AS (SELECT v AS evec, nn AS en FROM n WHERE is_eval), "
+    "sc AS (SELECT c.vec_id, max(list_dot_product(c.v, evec) / (c.nn * en)) AS mc "
+    "FROM n c CROSS JOIN ev WHERE NOT c.is_eval GROUP BY 1) "
+    "SELECT vec_id, round(mc, 6) AS max_cos, "
+    "round(mc, 6) >= 0.6 AS contaminated FROM sc ORDER BY vec_id"
+)
+
+
+def _dsir_sql(n_buckets: int = 128, smoothing: float = 1.0) -> str:
+    """DuckDB mirror of xa_dsir: identical md5 buckets, identical smoothed
+    log-ratio arithmetic; the engine's zip_with bigrams (a <2-word doc
+    yields none) mirror as a bounded list comprehension."""
+    sb = smoothing * n_buckets
+    return (
+        "WITH w AS (SELECT doc_id, source = 'src0' AS is_tgt, "
+        "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws "
+        "FROM documents), "
+        "f AS (SELECT doc_id, is_tgt, unnest(ws) AS f FROM w "
+        "UNION ALL SELECT doc_id, is_tgt, "
+        "unnest([array_to_string(ws[i:i+1], ' ') "
+        "FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]) AS f FROM w), "
+        f"fb AS (SELECT doc_id, is_tgt, {md5_int_sql('f')} % {n_buckets} AS b "
+        "FROM f), "
+        "raw AS (SELECT b, count(*) AS q FROM fb GROUP BY 1), "
+        "tg AS (SELECT b, count(*) AS t FROM fb WHERE is_tgt GROUP BY 1), "
+        "tab AS (SELECT raw.b, q, coalesce(t, 0) AS t FROM raw "
+        "LEFT JOIN tg USING (b)), "
+        "tot AS (SELECT sum(q) AS qq, sum(t) AS tt FROM tab), "
+        f"ratio AS (SELECT b, ln((t + {smoothing!r}) / (tt + {sb!r})) - "
+        f"ln((q + {smoothing!r}) / (qq + {sb!r})) AS lr "
+        "FROM tab CROSS JOIN tot) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+        "round(sum(lr), 6) AS log_weight FROM fb JOIN ratio USING (b) "
+        "GROUP BY 1 ORDER BY doc_id"
+    )
+
+
 _NTOK_SQL = "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)"
 
 
@@ -1657,6 +1718,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-bpe-tokenize": xt_bpe_tokenize,
     "XA-pack-split": xa_pack_split,
     "XT-topics": xt_topics,
+    "XD-sem-decontam": xd_sem_decontam,
+    "XA-dsir": xa_dsir,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1704,6 +1767,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-bpe-tokenize": _bpe_tokenize_sql(),
     "XA-pack-split": _pack_split_sql(),
     "XT-topics": _topics_sql(),
+    "XD-sem-decontam": _SEM_DECONTAM_SQL,
+    "XA-dsir": _dsir_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -156,6 +156,88 @@ def pack_split_segments(
     )
 
 
+def dsir_weights(
+    docs: DataFrame,
+    target_filter,
+    n_buckets: int = 128,
+    smoothing: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, public
+    method): score every document by how target-like its hashed n-gram
+    features are. Features are word unigram + bigram OCCURRENCES hashed
+    into ``n_buckets`` (the portable md5 scheme); the log importance
+    weight is Σ ln(p_bucket / q_bucket) over the document's feature
+    stream, where p is the smoothed bucket distribution of the TARGET
+    subset (``target_filter``) and q of the full corpus — the standard
+    pretraining-mixture steering signal.
+
+    Scale shape: the feature stream is one explode; both bucket
+    distributions are ``n_buckets``-bounded map-side-combinable
+    aggregations, joined back to the stream as a BROADCAST log-ratio
+    table; the per-doc weight is one keyed aggregation. Parity caveat
+    (same family as unigram_lm_scores): the per-doc Σ of double
+    log-ratios is shuffle-reassociated on both engines, so 6-dp oracle
+    agreement assumes no document's sum sits within fp noise of a
+    rounding boundary.
+
+    Output: (id, n_feats, log_weight 6dp) ordered by id; documents with
+    no words produce no row on either engine.
+    """
+    from haf_plug_play_spark.ext.hashing import md5_int
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+    )
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = docs.select(
+        F.col(id_col),
+        target_filter.alias("_tgt"),
+        F.explode(F.concat(words, bigrams)).alias("_f"),
+    ).withColumn("_b", md5_int(F.col("_f")) % n_buckets)
+
+    raw = feats.groupBy("_b").agg(F.count("*").alias("_q"))
+    # distinct agg alias: raw and tgt share feats' lineage, and reusing
+    # "_t" for both the agg and the coalesced output trips Spark's
+    # self-join ambiguity detection
+    tgt = feats.filter(F.col("_tgt")).groupBy("_b").agg(F.count("*").alias("_tc"))
+    # bucket ratio table: n_buckets-bounded; totals via its own aggregate
+    # cross-joined back (no driver scalar)
+    table = raw.join(tgt, "_b", "left").select(
+        "_b", "_q", F.coalesce("_tc", F.lit(0)).alias("_t")
+    )
+    # totals get distinct names: Spark resolves case-insensitively, so a
+    # "_T" column would be ambiguous with "_t" after the cross join
+    totals = table.agg(
+        F.sum("_q").alias("_qtot"), F.sum("_t").alias("_ttot")
+    )
+    s = float(smoothing)
+    ratio = table.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_t") + s) / (F.col("_ttot") + s * n_buckets))
+            - F.log((F.col("_q") + s) / (F.col("_qtot") + s * n_buckets))
+        ).alias("_lr"),
+    )
+    out = (
+        feats.join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("_lr"), 6).alias("log_weight"),
+        )
+    )
+    return out.select(
+        F.col(id_col), F.col("n_feats").cast("long").alias("n_feats"), "log_weight"
+    ).orderBy(id_col)
+
+
 def weighted_mix(
     df: DataFrame,
     stratum_col: str,

@@ -837,3 +837,27 @@ def test_pack_split_segments_invariants(spark):
         for a, b in zip(segs, segs[1:]):
             assert a.seg_end == b.seg_start  # contiguous, no gap/overlap
             assert b.chunk_id == a.chunk_id + 1
+
+
+def test_semantic_decontam_planted_copy(spark):
+    """A corpus vector that IS an eval vector (paraphrase limit case) must
+    flag with max_cos 1.0; orthogonal vectors must not flag; eval members
+    are excluded from the probed side."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # eval member (id % 2 == 0 -> eval)
+        (2, [0.0, 1.0, 0.0, 0.0]),   # eval member
+        (1, [2.0, 0.0, 0.0, 0.0]),   # scaled copy of eval 0 -> cos 1
+        (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both evals
+        (5, [1.0, 1.0, 0.0, 0.0]),   # 45 deg to both -> cos ~0.7071
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in dedup.semantic_decontam(
+            emb, (F.col("vec_id") % 2) == 0, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {1, 3, 5}  # eval members excluded
+    assert out[1].max_cos == 1.0 and out[1].contaminated
+    assert out[3].max_cos == 0.0 and not out[3].contaminated
+    assert abs(out[5].max_cos - 0.707107) < 1e-6 and not out[5].contaminated
