@@ -258,29 +258,39 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     return with_h.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    bits: int = 32, max_hamming: int = 3,
+def hamming_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming.
+    """Near-duplicate pairs with hamming(hash) ≤ max_hamming over ANY
+    integer fingerprint column (simhash, image pHash, …).
 
     Banded: fingerprints split into max_hamming+1 bit-chunks; any pair
-    within distance d agrees on ≥1 chunk (pigeonhole), so candidates are a
-    chunk-keyed equi-join, never an all-pairs cross."""
+    within distance d agrees on ≥1 chunk (pigeonhole), so candidates are
+    a chunk-keyed equi-join, never an all-pairs cross. ``bits`` must
+    split evenly into the chunks — otherwise the top bits would escape
+    every chunk and the pigeonhole guarantee would silently break."""
     chunks = max_hamming + 1
+    if bits % chunks:
+        raise ValueError(
+            f"bits={bits} not divisible by max_hamming+1={chunks}: "
+            "uncovered top bits would break the pigeonhole guarantee"
+        )
     width = bits // chunks
-    sh = simhash(df, id_col, text_col, bits)
     chunk_cols = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * width)
+            F.shiftright(F.col(hash_col), c * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("key"),
         )
         for c in range(chunks)
     ]
-    buckets = sh.select(
-        F.col(id_col).alias("_id"), F.col("simhash"),
+    buckets = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
         F.explode(F.array(*chunk_cols)).alias("bk"),
     )
     x, y = buckets.alias("x"), buckets.alias("y")
@@ -288,16 +298,27 @@ def simhash_pairs(
         x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x._id") < F.col("y._id")))
         .select(
             F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"),
-            F.col("x.simhash").alias("sh_a"), F.col("y.simhash").alias("sh_b"),
+            F.col("x._h").alias("h_a"), F.col("y._h").alias("h_b"),
         )
         .distinct()
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with hamming(simhash) ≤ max_hamming — the
+    pigeonhole chunk banding lives in ``hamming_pairs`` (shared with the
+    image pHash path, ext/multimodal.py:phash_images)."""
+    sh = simhash(df, id_col, text_col, bits)
+    return hamming_pairs(sh, id_col, "simhash", bits, max_hamming)
 
 
 def embedding_cosine_pairs_exact(

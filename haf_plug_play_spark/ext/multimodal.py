@@ -426,3 +426,72 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
     ensure_package_shipped(media.sparkSession)
     return media.select("media_id", "content").mapInPandas(_stats, AUDIO_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, phash long"
+
+
+def phash_images(media: DataFrame) -> DataFrame:
+    """DCT perceptual hash per image (pHash, public method): 2-D DCT-II of
+    the grayscale pixel grid (orthonormal DCT as two matrix multiplies —
+    pure NumPy, no scipy), keep the top-left 8×8 low-frequency block, and
+    set bit j iff coefficient j clears the block's median (DC coefficient
+    excluded from both the bits and the median) — a 63-bit fingerprint
+    that survives resizing, re-encoding, and small edits, which byte-level
+    dedup cannot.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` pass, no shuffle; the
+    output feeds ``ext/dedup.py:hamming_pairs`` (the simhash pigeonhole
+    banding, 63 bits = 7 chunks × 9 bits at max_hamming=6) for image
+    near-dup pairs without an all-pairs cross."""
+
+    def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        dcts: dict = {}
+
+        def dct_mat(n: int):
+            if n not in dcts:
+                i = np.arange(n)
+                d = np.sqrt(2.0 / n) * np.cos(
+                    np.pi * (i[None, :] + 0.5) * i[:, None] / n
+                )
+                d[0] /= np.sqrt(2.0)
+                dcts[n] = d
+            return dcts[n]
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = _decode_image(mid, bytes(content)).astype(np.float64)
+                h, w = px.shape
+                if h < 8 or w < 8:
+                    raise ValueError(
+                        f"phash needs >=8x8 pixels, got {h}x{w} "
+                        f"(media_id={mid})"
+                    )
+                c = (dct_mat(h) @ px @ dct_mat(w).T)[:8, :8].ravel()[1:]
+                med = np.median(c)
+                bits = 0
+                for j, v in enumerate(c):
+                    if v > med:
+                        bits |= 1 << j
+                rows.append((mid, bits))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(_ph, PHASH_SCHEMA)
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs: pHash fingerprints → pigeonhole-banded
+    hamming join (ext/dedup.py:hamming_pairs). 63 bits / 7 chunks at the
+    default max_hamming=6 — every pair within distance 6 is guaranteed a
+    shared chunk, candidates stay a chunk-keyed equi-join."""
+    from haf_plug_play_spark.ext.dedup import hamming_pairs
+
+    return hamming_pairs(
+        phash_images(media), "media_id", "phash", bits=63, max_hamming=max_hamming
+    )

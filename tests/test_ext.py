@@ -861,3 +861,38 @@ def test_semantic_decontam_planted_copy(spark):
     assert out[1].max_cos == 1.0 and out[1].contaminated
     assert out[3].max_cos == 0.0 and not out[3].contaminated
     assert abs(out[5].max_cos - 0.707107) < 1e-6 and not out[5].contaminated
+
+
+def test_phash_image_near_dup(spark):
+    """pHash (DCT perceptual hash) over the deterministic fake images:
+    byte-identical copies hash identically, small pixel perturbations
+    stay within the hamming budget (≤8; 63 bits = 9 chunks × 7 at
+    max_hamming=8), distinct images stay far (cross distances ≥ 26), and phash_pairs surfaces exactly the
+    planted copies through the pigeonhole banding. Image 0 is excluded:
+    its near-flat DCT spectrum puts many coefficients on the median — the
+    documented pHash weakness on flat images."""
+    rows = []
+    for mid in range(1, 9):
+        buf = multimodal.make_fake_image(mid, 16, 16)
+        rows.append((mid, buf))
+        rows.append((200 + mid, buf))  # byte-identical copy
+        b = bytearray(buf)
+        for k in (20, 100, 200):  # 3 of 256 pixels nudged by +3
+            b[16 + k] = min(255, b[16 + k] + 3)
+        rows.append((100 + mid, bytes(b)))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    h = {r.media_id: r.phash for r in multimodal.phash_images(media).collect()}
+    for mid in range(1, 9):
+        assert h[mid] == h[200 + mid]
+        assert bin(h[mid] ^ h[100 + mid]).count("1") <= 8
+    for a in range(1, 9):
+        for b_ in range(a + 1, 9):
+            assert bin(h[a] ^ h[b_]).count("1") > 8  # distinct images far
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in multimodal.phash_pairs(media, max_hamming=8).collect()
+    }
+    for mid in range(1, 9):
+        assert (mid, 200 + mid) in pairs  # identical
+        assert (mid, 100 + mid) in pairs  # perturbed
+    assert all(a % 100 == b % 100 for a, b in pairs)  # no cross-image pair
