@@ -430,6 +430,38 @@ def audio_stats(media: DataFrame) -> DataFrame:
 
 PHASH_SCHEMA = "media_id long, phash long"
 
+_DCT_CACHE: dict = {}
+
+
+def _dct_mat(n: int):
+    """Orthonormal DCT-II matrix (cached per size)."""
+    import numpy as np
+
+    if n not in _DCT_CACHE:
+        i = np.arange(n)
+        d = np.sqrt(2.0 / n) * np.cos(np.pi * (i[None, :] + 0.5) * i[:, None] / n)
+        d[0] /= np.sqrt(2.0)
+        _DCT_CACHE[n] = d
+    return _DCT_CACHE[n]
+
+
+def _phash_bits(mid, buf: bytes) -> int:
+    """63-bit DCT perceptual hash of one image payload (shared by the
+    per-image and per-video-frame paths)."""
+    import numpy as np
+
+    px = _decode_image(mid, buf).astype(np.float64)
+    h, w = px.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"phash needs >=8x8 pixels, got {h}x{w} (media_id={mid})")
+    c = (_dct_mat(h) @ px @ _dct_mat(w).T)[:8, :8].ravel()[1:]
+    med = np.median(c)
+    bits = 0
+    for j, v in enumerate(c):
+        if v > med:
+            bits |= 1 << j
+    return bits
+
 
 def phash_images(media: DataFrame) -> DataFrame:
     """DCT perceptual hash per image (pHash, public method): 2-D DCT-II of
@@ -446,37 +478,10 @@ def phash_images(media: DataFrame) -> DataFrame:
     near-dup pairs without an all-pairs cross."""
 
     def _ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        dcts: dict = {}
-
-        def dct_mat(n: int):
-            if n not in dcts:
-                i = np.arange(n)
-                d = np.sqrt(2.0 / n) * np.cos(
-                    np.pi * (i[None, :] + 0.5) * i[:, None] / n
-                )
-                d[0] /= np.sqrt(2.0)
-                dcts[n] = d
-            return dcts[n]
-
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                px = _decode_image(mid, bytes(content)).astype(np.float64)
-                h, w = px.shape
-                if h < 8 or w < 8:
-                    raise ValueError(
-                        f"phash needs >=8x8 pixels, got {h}x{w} "
-                        f"(media_id={mid})"
-                    )
-                c = (dct_mat(h) @ px @ dct_mat(w).T)[:8, :8].ravel()[1:]
-                med = np.median(c)
-                bits = 0
-                for j, v in enumerate(c):
-                    if v > med:
-                        bits |= 1 << j
-                rows.append((mid, bits))
+                rows.append((mid, _phash_bits(mid, bytes(content))))
             yield pd.DataFrame(rows, columns=["media_id", "phash"])
 
     from haf_plug_play_spark.shipping import ensure_package_shipped
@@ -494,4 +499,152 @@ def phash_pairs(media: DataFrame, max_hamming: int = 6) -> DataFrame:
 
     return hamming_pairs(
         phash_images(media), "media_id", "phash", bits=63, max_hamming=max_hamming
+    )
+
+
+def _decode_audio(mid, buf: bytes):
+    """(rate, float64 waveform) from the FAKEAUD PCM container; loud fail
+    elsewhere (the declared codec boundary, same as images)."""
+    import numpy as np
+
+    if buf[:8] != b"FAKEAUD\x00":
+        raise NotImplementedError(
+            f"audio decode for this container not available "
+            f"(media_id={mid}, magic={buf[:8]!r})"
+        )
+    rate, n = struct.unpack("<II", buf[8:16])
+    return rate, np.frombuffer(buf[16 : 16 + 2 * n], dtype="<i2").astype(np.float64)
+
+
+AUDIO_FP_SCHEMA = "media_id long, afp long"
+
+
+def audio_fingerprint(
+    media: DataFrame, n_frames: int = 9, n_bands: int = 7
+) -> DataFrame:
+    """Spectral audio fingerprint (the chromaprint/Shazam family of
+    public methods, reduced to its robust core): split the waveform into
+    ``n_frames`` windows, take ``n_bands`` log-spaced FFT-magnitude band
+    energies per window, and set a bit iff the band's energy clears the
+    window's median — 9×7 = 63 bits, scale-invariant (gain cancels in
+    the median comparison) and stable under small additive noise, so
+    re-encoded/re-leveled copies of a clip fingerprint near-identically
+    while different content diverges.
+
+    One Arrow-batched mapInPandas pass, no shuffle; pairs come from the
+    shared pigeonhole banding (``audio_pairs``)."""
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _, x = _decode_audio(mid, bytes(content))
+                step = max(1, len(x) // n_frames)
+                bits = 0
+                for f in range(n_frames):
+                    win = x[f * step : (f + 1) * step]
+                    mag = np.abs(np.fft.rfft(win))[1:]  # drop DC
+                    edges = np.unique(
+                        np.geomspace(1, len(mag), n_bands + 1).astype(int)
+                    )
+                    e = np.add.reduceat(mag, edges[:-1])[:n_bands]
+                    med = np.median(e)
+                    for b, v in enumerate(e):
+                        if v > med:
+                            bits |= 1 << (f * n_bands + b)
+                rows.append((mid, bits))
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(_fp, AUDIO_FP_SCHEMA)
+
+
+def audio_pairs(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Audio near-duplicate pairs over the spectral fingerprint — the
+    same pigeonhole hamming join as text simhash and image pHash
+    (ext/dedup.py:hamming_pairs; 63 bits = 9 chunks x 7 at the default)."""
+    from haf_plug_play_spark.ext.dedup import hamming_pairs
+
+    return hamming_pairs(
+        audio_fingerprint(media), "media_id", "afp", bits=63, max_hamming=max_hamming
+    )
+
+
+# ------------------------------------------------------------- video
+
+def make_fake_video(media_id: int, n_frames: int = 6, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic fake video: FAKEVID magic + frame count + length-
+    prefixed FAKEIMG frames (frame j of video v = fake image v*1000+j) —
+    the video twin of the image/audio containers; real MP4 demux is the
+    same declared codec boundary."""
+    frames = [
+        make_fake_image(media_id * 1000 + j, width, height) for j in range(n_frames)
+    ]
+    out = [b"FAKEVID\x00", struct.pack("<I", n_frames)]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+VIDEO_FP_SCHEMA = "media_id long, frame_idx int, phash long"
+
+
+def video_frame_phashes(media: DataFrame) -> DataFrame:
+    """Per-frame perceptual hashes of a video: demux the FAKEVID
+    container (loud codec boundary elsewhere) and pHash every frame —
+    the fingerprint table video dedup runs on. One mapper pass; row
+    expansion is the frame count."""
+
+    def _vf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                if buf[:8] != b"FAKEVID\x00":
+                    raise NotImplementedError(
+                        f"video demux for this container not available "
+                        f"(media_id={mid}, magic={buf[:8]!r})"
+                    )
+                (n,) = struct.unpack("<I", buf[8:12])
+                off = 12
+                for j in range(n):
+                    (ln,) = struct.unpack("<I", buf[off : off + 4])
+                    off += 4
+                    rows.append((mid, j, _phash_bits(mid, buf[off : off + ln])))
+                    off += ln
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "phash"])
+
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(_vf, VIDEO_FP_SCHEMA)
+
+
+def video_near_dup_pairs(media: DataFrame, min_shared: int = 3) -> DataFrame:
+    """Video near-duplicate pairs by frame-fingerprint overlap: videos
+    sharing ≥ ``min_shared`` distinct frame pHashes pair up — the
+    re-upload/clip-detection shape (a trimmed or re-containered copy
+    keeps most frame hashes). Candidates come from an inverted index on
+    the frame hash (equi-join, never an all-pairs cross); the overlap
+    count is one keyed aggregation. Output: (id_a, id_b, shared_frames)."""
+    fp = video_frame_phashes(media).select(
+        F.col("media_id"), F.col("phash")
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.phash") == F.col("b.phash"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
     )

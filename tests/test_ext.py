@@ -896,3 +896,97 @@ def test_phash_image_near_dup(spark):
         assert (mid, 200 + mid) in pairs  # identical
         assert (mid, 100 + mid) in pairs  # perturbed
     assert all(a % 100 == b % 100 for a, b in pairs)  # no cross-image pair
+
+
+def _rich_clip(seed: int, n: int = 1600, rate: int = 16000) -> bytes:
+    """Multi-component FAKEAUD clip (5 seeded sines) — rich enough
+    spectrum for stable fingerprints, unlike a pure tone."""
+    import struct
+
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for _ in range(5):
+        x += rng.uniform(2000, 6000) * np.sin(
+            2 * np.pi * rng.uniform(100, 4000) * t + rng.uniform(0, 6)
+        )
+    pcm = np.clip(x, -32768, 32767).astype("<i2")
+    return b"FAKEAUD\x00" + struct.pack("<II", rate, n) + pcm.tobytes()
+
+
+def test_audio_fingerprint_near_dup(spark):
+    """Spectral audio fingerprints: additive-noise copies stay within the
+    hamming budget, re-leveled (0.5x gain) copies fingerprint IDENTICALLY
+    (the median comparison cancels gain), distinct clips stay far (seeds
+    chosen with cross distance >= 14 via the NumPy mirror), and
+    audio_pairs surfaces exactly the planted copies."""
+    seeds = [0, 1, 2, 5, 15, 21, 46, 52]
+    rows = []
+    for i, s in enumerate(seeds):
+        buf = _rich_clip(s)
+        rows.append((i, buf))
+        x = np.frombuffer(buf[16:], dtype="<i2").astype(np.int32)
+        rng = np.random.default_rng(1000 + s)
+        noisy = np.clip(x + rng.integers(-150, 151, len(x)), -32768, 32767)
+        rows.append((100 + i, buf[:16] + noisy.astype("<i2").tobytes()))
+        rows.append((200 + i, buf[:16] + (x * 0.5).astype("<i2").tobytes()))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    h = {r.media_id: r.afp for r in multimodal.audio_fingerprint(media).collect()}
+    for i in range(8):
+        assert bin(h[i] ^ h[100 + i]).count("1") <= 8
+        assert h[i] == h[200 + i]  # gain invariance, exactly
+    for a in range(8):
+        for b in range(a + 1, 8):
+            assert bin(h[a] ^ h[b]).count("1") > 8
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in multimodal.audio_pairs(media, max_hamming=8).collect()
+    }
+    for i in range(8):
+        assert (i, 100 + i) in pairs and (i, 200 + i) in pairs
+    assert all(a % 100 == b % 100 for a, b in pairs)
+
+
+def test_video_near_dup_by_frame_overlap(spark):
+    """Video dedup by frame-fingerprint overlap: a trimmed re-containered
+    copy (4 of 6 frames shared) pairs with its source; an unrelated video
+    does not; the demux loud-fails on unknown containers."""
+    import struct
+
+    import pytest as _pytest
+
+    va = multimodal.make_fake_video(1, 6)
+
+    def frames_of(buf):
+        (n,) = struct.unpack("<I", buf[8:12])
+        off, out = 12, []
+        for _ in range(n):
+            (ln,) = struct.unpack("<I", buf[off : off + 4])
+            off += 4
+            out.append(buf[off : off + ln])
+            off += ln
+        return out
+
+    fa = frames_of(va)
+    fb = fa[2:] + [
+        multimodal.make_fake_image(999001, 16, 16),
+        multimodal.make_fake_image(999002, 16, 16),
+    ]
+    vb = (
+        b"FAKEVID\x00"
+        + struct.pack("<I", len(fb))
+        + b"".join(struct.pack("<I", len(f)) + f for f in fb)
+    )
+    vc = multimodal.make_fake_video(7, 6)
+    vids = spark.createDataFrame(
+        [(1, va), (2, vb), (3, vc)], "media_id long, content binary"
+    )
+    got = [
+        (r.id_a, r.id_b, r.shared_frames)
+        for r in multimodal.video_near_dup_pairs(vids, min_shared=3).collect()
+    ]
+    assert got == [(1, 2, 4)]
+
+    bad = spark.createDataFrame([(0, b"MP4BOXxx")], "media_id long, content binary")
+    with _pytest.raises(Exception, match="video demux"):
+        multimodal.video_frame_phashes(bad).collect()
