@@ -1441,13 +1441,12 @@ _SEM_DECONTAM_SQL = (
 )
 
 
-def _dsir_sql(n_buckets: int = 128, smoothing: float = 1.0) -> str:
-    """DuckDB mirror of xa_dsir: identical md5 buckets, identical smoothed
-    log-ratio arithmetic; the engine's zip_with bigrams (a <2-word doc
-    yields none) mirror as a bounded list comprehension."""
+def _dsir_ctes(n_buckets: int = 128, smoothing: float = 1.0) -> str:
+    """The DSIR CTE chain up to ``dw(doc_id, n_feats, log_weight)`` —
+    shared by the XA-dsir oracle and the pipeline-5 composition."""
     sb = smoothing * n_buckets
     return (
-        "WITH w AS (SELECT doc_id, source = 'src0' AS is_tgt, "
+        "w AS (SELECT doc_id, source = 'src0' AS is_tgt, "
         "list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws "
         "FROM documents), "
         "f AS (SELECT doc_id, is_tgt, unnest(ws) AS f FROM w "
@@ -1463,10 +1462,70 @@ def _dsir_sql(n_buckets: int = 128, smoothing: float = 1.0) -> str:
         "tot AS (SELECT sum(q) AS qq, sum(t) AS tt FROM tab), "
         f"ratio AS (SELECT b, ln((t + {smoothing!r}) / (tt + {sb!r})) - "
         f"ln((q + {smoothing!r}) / (qq + {sb!r})) AS lr "
-        "FROM tab CROSS JOIN tot) "
-        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+        "FROM tab CROSS JOIN tot), "
+        "dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
         "round(sum(lr), 6) AS log_weight FROM fb JOIN ratio USING (b) "
-        "GROUP BY 1 ORDER BY doc_id"
+        "GROUP BY 1)"
+    )
+
+
+def _dsir_sql(n_buckets: int = 128, smoothing: float = 1.0) -> str:
+    """DuckDB mirror of xa_dsir: identical md5 buckets, identical smoothed
+    log-ratio arithmetic; the engine's zip_with bigrams (a <2-word doc
+    yields none) mirror as a bounded list comprehension."""
+    return (
+        f"WITH {_dsir_ctes(n_buckets, smoothing)} "
+        "SELECT doc_id, n_feats, log_weight FROM dw ORDER BY doc_id"
+    )
+
+
+def xp_pipeline5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth composed pipeline — DSIR-steered curation over the r5
+    operators: score every document's target-likeness (dsir_weights,
+    'src0' as target) → keep the target-like slice (log_weight > 0) →
+    tag each survivor's topic (topic_tag) → token-granular pack per
+    topic (pack_split_segments, exact 512-token chunks, docs split
+    across boundaries). One Catalyst plan: the DSIR stage's bounded
+    bucket broadcasts, a semi-join on the kept ids, the codegen topic
+    CASE, one per-topic window + bounded sequence explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = sampling_mod.dsir_weights(docs, F.col("source") == "src0")
+    kept = docs.join(
+        w.filter(F.col("log_weight") > 0).select("doc_id"), "doc_id", "left_semi"
+    )
+    base = kept.select(
+        "doc_id", xt.n_tokens_ws(F.col("text")).alias("n_tok")
+    )
+    staged = xt.topic_tag(kept).join(base, "doc_id")
+    segs = sampling_mod.pack_split_segments(
+        staged, ["topic"], "n_tok", budget=512, order_col="doc_id"
+    )
+    return segs.select(
+        "doc_id", "topic", "n_tok", "chunk_id", "seg_start", "seg_end", "seg_len"
+    ).orderBy("doc_id", "chunk_id")
+
+
+def _pipeline5_sql(budget: int = 512) -> str:
+    case, _ = _topic_case_sql()
+    return (
+        f"WITH {_dsir_ctes()}, "
+        "kept AS (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN dw USING (doc_id) WHERE dw.log_weight > 0), "
+        f"tg2 AS (SELECT doc_id, {case} AS topic, {_NTOK_SQL} AS n_tok "
+        "FROM kept), "
+        "r AS (SELECT doc_id, topic, n_tok, "
+        "CAST(sum(n_tok) OVER (PARTITION BY topic ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS off FROM tg2), "
+        "c AS (SELECT doc_id, topic, n_tok, off, "
+        f"unnest(range(CAST(floor(off / {budget}) AS BIGINT), "
+        f"CAST(floor((off + n_tok - 1) / {budget}) AS BIGINT) + 1)) AS chunk_id "
+        "FROM r WHERE n_tok > 0) "
+        "SELECT doc_id, topic, n_tok, chunk_id, "
+        f"greatest(CAST(0 AS BIGINT), chunk_id * {budget} - off) AS seg_start, "
+        f"least(n_tok, (chunk_id + 1) * {budget} - off) AS seg_end, "
+        f"least(n_tok, (chunk_id + 1) * {budget} - off) - "
+        f"greatest(CAST(0 AS BIGINT), chunk_id * {budget} - off) AS seg_len "
+        "FROM c ORDER BY doc_id, chunk_id"
     )
 
 
@@ -1494,10 +1553,9 @@ def _pack_split_sql(budget: int = 256) -> str:
     )
 
 
-def _topics_sql() -> str:
-    """DuckDB mirror of topic_tag: the same intersect hit counts and the
-    same first-match-wins CASE chain (see topic_tag's docstring for the
-    argmax equivalence)."""
+def _topic_case_sql() -> tuple[str, str]:
+    """(CASE-chain argmax, greatest-hits) SQL pair mirroring topic_tag —
+    shared by the XT-topics oracle and the pipeline-5 composition."""
     hits = {
         t: (
             "len(list_intersect(string_split(lower(text), ' '), "
@@ -1513,6 +1571,14 @@ def _topics_sql() -> str:
         whens.append(f"WHEN {' AND '.join(conds)} THEN '{t}'")
     case = f"CASE {' '.join(whens)} ELSE 'other' END"
     greatest = f"greatest({', '.join(hits[t] for t in xt.TOPIC_PRIORITY)})"
+    return case, greatest
+
+
+def _topics_sql() -> str:
+    """DuckDB mirror of topic_tag: the same intersect hit counts and the
+    same first-match-wins CASE chain (see topic_tag's docstring for the
+    argmax equivalence)."""
+    case, greatest = _topic_case_sql()
     return (
         f"SELECT doc_id, {case} AS topic, "
         f"CAST({greatest} AS BIGINT) AS n_hits FROM documents ORDER BY doc_id"
@@ -1720,6 +1786,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-topics": xt_topics,
     "XD-sem-decontam": xd_sem_decontam,
     "XA-dsir": xa_dsir,
+    "XP-pipeline5": xp_pipeline5,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1769,6 +1836,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-topics": _topics_sql(),
     "XD-sem-decontam": _SEM_DECONTAM_SQL,
     "XA-dsir": _dsir_sql(),
+    "XP-pipeline5": _pipeline5_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"
