@@ -406,3 +406,42 @@ def test_bpe_tokenize_shuffle_free(spark):
     plan = _plan(EXT_QUERIES["XT-bpe-tokenize"](spark, SF_ORACLE))
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pack_split_single_window_shuffle(spark):
+    """Token-granular packing costs ONE per-stratum window shuffle; the
+    segment fan-out is a generator over the window output, never a second
+    exchange or a join."""
+    plan = _plan(EXT_QUERIES["XA-pack-split"](spark, SF_ORACLE))
+    # exactly one hash exchange (the per-stratum window); the remaining
+    # exchange is the presentation orderBy's rangepartitioning
+    assert plan.count("hashpartitioning(") == 1
+    assert "Generate" in plan  # the bounded sequence explode
+    assert "Join" not in plan
+
+
+def test_topics_projection_only(spark):
+    """Topic tagging is a pure codegen projection — no shuffle, no join,
+    same plan contract as language ID."""
+    plan = _plan(EXT_QUERIES["XT-topics"](spark, SF_ORACLE))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_sem_decontam_broadcasts_eval_side(spark):
+    """Embedding decontamination must broadcast the eval vectors and keep
+    the corpus map-side: a BroadcastNestedLoopJoin/cross with broadcast,
+    never a SortMergeJoin shuffling the corpus."""
+    plan = _plan(EXT_QUERIES["XD-sem-decontam"](spark, SF_ORACLE))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """DSIR's log-ratio table (bucket-bounded) must reach the feature
+    stream as a broadcast join — the corpus-sized stream itself is never
+    shuffled for the weight lookup (its only exchanges are the bounded
+    bucket aggregations and the per-doc sum)."""
+    plan = _plan(EXT_QUERIES["XA-dsir"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
