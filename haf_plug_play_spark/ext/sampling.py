@@ -202,15 +202,14 @@ def dsir_weights(
         F.explode(F.concat(words, bigrams)).alias("_f"),
     ).withColumn("_b", md5_int(F.col("_f")) % n_buckets)
 
-    raw = feats.groupBy("_b").agg(F.count("*").alias("_q"))
-    # distinct agg alias: raw and tgt share feats' lineage, and reusing
-    # "_t" for both the agg and the coalesced output trips Spark's
-    # self-join ambiguity detection
-    tgt = feats.filter(F.col("_tgt")).groupBy("_b").agg(F.count("*").alias("_tc"))
-    # bucket ratio table: n_buckets-bounded; totals via its own aggregate
-    # cross-joined back (no driver scalar)
-    table = raw.join(tgt, "_b", "left").select(
-        "_b", "_q", F.coalesce("_tc", F.lit(0)).alias("_t")
+    # BOTH bucket distributions from ONE conditional aggregation over the
+    # feature stream (the target count is a summed flag) — the two-agg
+    # formulation re-evaluated the explode+md5 subtree twice. The table
+    # is n_buckets-bounded; totals via its own aggregate cross-joined
+    # back (no driver scalar).
+    table = feats.groupBy("_b").agg(
+        F.count("*").alias("_q"),
+        F.sum(F.col("_tgt").cast("long")).alias("_t"),
     )
     # totals get distinct names: Spark resolves case-insensitively, so a
     # "_T" column would be ambiguous with "_t" after the cross join
