@@ -198,7 +198,10 @@ def dsir_weights(
     )
     feats = docs.select(
         F.col(id_col),
-        target_filter.alias("_tgt"),
+        # NULL predicate values (e.g. a NULL lang column) mean NOT target
+        # — without the coalesce, a bucket touched only by NULL-flag rows
+        # would sum to NULL and silently drop its log-ratio terms
+        F.coalesce(target_filter, F.lit(False)).alias("_tgt"),
         F.explode(F.concat(words, bigrams)).alias("_f"),
     ).withColumn("_b", md5_int(F.col("_f")) % n_buckets)
 

@@ -990,3 +990,32 @@ def test_video_near_dup_by_frame_overlap(spark):
     bad = spark.createDataFrame([(0, b"MP4BOXxx")], "media_id long, content binary")
     with _pytest.raises(Exception, match="video demux"):
         multimodal.video_frame_phashes(bad).collect()
+
+
+def test_dsir_null_predicate_means_not_target(spark):
+    """A NULL target predicate value (e.g. a NULL lang column) must mean
+    NOT-target, exactly like a False — no NULL may leak into the bucket
+    sums and silently drop log-ratio terms (sum over an all-NULL-flag
+    bucket is NULL without the coalesce)."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "alpha beta gamma delta"),
+            (1, None, "zebra xylophone quagga jackal"),
+            (2, "de", "alpha beta gamma delta"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in sampling.dsir_weights(docs, F.col("lang") == "en").collect()
+    }
+    want = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in sampling.dsir_weights(
+            docs, F.coalesce(F.col("lang") == "en", F.lit(False))
+        ).collect()
+    }
+    assert got == want
+    assert all(w is not None for _, w in got.values()), got
