@@ -91,7 +91,7 @@ def curate_documents(
     if langs:
         gate = gate & F.col("lang").isin(list(langs))
     sample = gate & (
-        sampling._uniform(F.col(id_col), seed) < F.lit(sample_rate)
+        sampling.bernoulli_flag(F.col(id_col), sample_rate, seed)
         if sample_rate < 1.0
         else F.lit(True)
     )

@@ -828,7 +828,11 @@ def semantic_decontam(
     v = emb.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        eval_filter.alias("_is_eval"),
+        # NULL predicate values mean NOT eval (same contract as
+        # dsir_weights' target_filter) — without the coalesce a NULL-flag
+        # row would vanish from BOTH sides (~NULL is NULL) and silently
+        # never be scored
+        F.coalesce(eval_filter, F.lit(False)).alias("_is_eval"),
     ).select("*", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
     ev = F.broadcast(
         v.filter(F.col("_is_eval")).select(
@@ -841,11 +845,22 @@ def semantic_decontam(
             dot(F.col("_v"), F.col("_ev")) / (F.col("_n") * F.col("_en"))
         ).alias("_mc")
     )
-    return scored.select(
-        F.col(id_col),
-        F.round(F.col("_mc"), 6).alias("max_cos"),
-        (F.round(F.col("_mc"), 6) >= F.lit(threshold)).alias("contaminated"),
-    ).orderBy(id_col)
+    # left join back onto the corpus ids: with an EMPTY eval set the cross
+    # join yields nothing, and silently returning zero rows would read as
+    # "no corpus" — instead every corpus row appears with max_cos NULL /
+    # contaminated False, signaling "never scored" rather than vanishing
+    return (
+        corpus.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(F.col("_mc"), 6).alias("max_cos"),
+            F.coalesce(
+                F.round(F.col("_mc"), 6) >= F.lit(threshold), F.lit(False)
+            ).alias("contaminated"),
+        )
+        .orderBy(id_col)
+    )
 
 
 def incremental_minhash_pairs(

@@ -513,6 +513,11 @@ def _decode_audio(mid, buf: bytes):
             f"(media_id={mid}, magic={buf[:8]!r})"
         )
     rate, n = struct.unpack("<II", buf[8:16])
+    if len(buf) < 16 + 2 * n:
+        raise ValueError(
+            f"truncated audio payload: header declares {n} samples but "
+            f"only {(len(buf) - 16) // 2} present (media_id={mid})"
+        )
     return rate, np.frombuffer(buf[16 : 16 + 2 * n], dtype="<i2").astype(np.float64)
 
 
@@ -541,6 +546,16 @@ def audio_fingerprint(
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 _, x = _decode_audio(mid, bytes(content))
+                # every window needs enough samples for n_bands rfft bins
+                # — fail loudly like the other decoder boundaries instead
+                # of an opaque geomspace/rfft error deep in an executor
+                if len(x) < n_frames * 2 * (n_bands + 1):
+                    raise ValueError(
+                        f"audio clip too short to fingerprint: {len(x)} "
+                        f"samples < {n_frames * 2 * (n_bands + 1)} needed "
+                        f"for {n_frames} frames x {n_bands} bands "
+                        f"(media_id={mid})"
+                    )
                 step = max(1, len(x) // n_frames)
                 bits = 0
                 for f in range(n_frames):

@@ -52,6 +52,14 @@ def uniform_sql(key_expr: str, seed: int) -> str:
     )
 
 
+def bernoulli_flag(key: Column, rate: float, seed: int = 7) -> Column:
+    """THE Bernoulli-membership predicate — uniform(key, seed) < rate.
+    Single definition shared by ``hash_bernoulli`` (as a filter) and the
+    curate funnel (as a flag column), so sample membership can never
+    silently diverge between consumers."""
+    return _uniform(key, seed) < F.lit(rate)
+
+
 def hash_bernoulli(
     df: DataFrame, key_col: str, rate: float, seed: int = 7
 ) -> DataFrame:
@@ -59,7 +67,7 @@ def hash_bernoulli(
     sampling. Membership depends only on the key, so reruns, retries, and
     repartitions select the identical subset, and two tables sampled with
     the same key/seed stay row-aligned (joinable samples)."""
-    return df.filter(_uniform(F.col(key_col), seed) < F.lit(rate))
+    return df.filter(bernoulli_flag(F.col(key_col), rate, seed))
 
 
 def stratified_quota(
@@ -191,9 +199,13 @@ def dsir_weights(
         F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
     )
     n = F.size(words)
+    # greatest(..., 0): an empty document gives n = 0 and Spark rejects a
+    # negative slice length at runtime — the oracle's greatest(len-1, 0)
+    # guard, mirrored (a no-word doc yields no features on either engine)
+    blen = F.greatest(n - F.lit(1), F.lit(0))
     bigrams = F.zip_with(
-        F.slice(words, 1, n - 1),
-        F.slice(words, 2, n - 1),
+        F.slice(words, 1, blen),
+        F.slice(words, 2, blen),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     feats = docs.select(

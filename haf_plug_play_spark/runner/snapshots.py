@@ -122,6 +122,15 @@ def _commit(
     require_cas: bool = False,
 ) -> dict:
     fs = fs or LocalFS()
+    # capability check FIRST: it depends only on the fs and the flag, and
+    # failing after the parquet write would burn a full table write and
+    # leave orphans behind on every attempt
+    if require_cas and not getattr(fs, "supports_cas", False):
+        raise NotImplementedError(
+            f"require_cas=True but {type(fs).__name__} cannot "
+            "compare-and-swap (supports_cas is false) — use a CAS-capable "
+            "store or accept single-writer semantics"
+        )
     fs.makedirs(os.path.join(table_dir, _MANIFESTS))
     # read the pointer BYTES once: they are both the parent manifest to
     # build on and the compare-and-swap expectation at the commit point —
@@ -195,13 +204,8 @@ def _commit(
             fs.delete(os.path.join(table_dir, _MANIFESTS, mname))
             fs.delete(data_dir)
             raise
-    elif require_cas:
-        raise NotImplementedError(
-            f"require_cas=True but {type(fs).__name__} cannot "
-            "compare-and-swap (supports_cas is false) — use a CAS-capable "
-            "store or accept single-writer semantics"
-        )
     else:
+        # require_cas was already validated before the data write
         fs.write_bytes_atomic(ptr, mname.encode("utf-8"))
     return manifest
 

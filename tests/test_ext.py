@@ -1019,3 +1019,47 @@ def test_dsir_null_predicate_means_not_target(spark):
     }
     assert got == want
     assert all(w is not None for _, w in got.values()), got
+
+
+def test_dsir_empty_document_does_not_crash(spark):
+    """An empty or whitespace-only document must yield no features — not
+    a negative-slice-length SparkRuntimeException from the bigram
+    construction (mirrors the oracle's greatest(len-1, 0) guard)."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "alpha beta"), (2, "  ")], "doc_id long, text string"
+    )
+    rows = sampling.dsir_weights(docs, F.col("doc_id") == 1).collect()
+    assert sorted(r.doc_id for r in rows) == [1]
+
+
+def test_semantic_decontam_empty_eval_set_keeps_corpus_rows(spark):
+    """An eval filter matching nothing must NOT silently empty the
+    output: every corpus row appears with max_cos NULL / contaminated
+    False, signaling 'never scored' rather than vanishing."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    out = dedup.semantic_decontam(emb, F.lit(False), threshold=0.5).collect()
+    assert [(r.vec_id, r.max_cos, r.contaminated) for r in out] == [
+        (0, None, False),
+        (1, None, False),
+    ]
+
+
+def test_audio_fingerprint_short_clip_fails_loudly(spark):
+    """A too-short clip must raise the named domain error, not an opaque
+    geomspace/rfft traceback; a truncated payload fails at decode."""
+    import pytest as _pytest
+    import struct as _struct
+
+    short = b"FAKEAUD\x00" + _struct.pack("<II", 16000, 10) + b"\0" * 20
+    media = spark.createDataFrame([(0, short)], "media_id long, content binary")
+    with _pytest.raises(Exception, match="too short to fingerprint"):
+        multimodal.audio_fingerprint(media).collect()
+
+    trunc = b"FAKEAUD\x00" + _struct.pack("<II", 16000, 1600) + b"\0" * 100
+    media2 = spark.createDataFrame([(1, trunc)], "media_id long, content binary")
+    with _pytest.raises(Exception, match="truncated audio payload"):
+        multimodal.audio_fingerprint(media2).collect()

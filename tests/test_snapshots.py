@@ -275,3 +275,6 @@ def test_hadoopfs_cas_probe_and_require_cas(spark, tmp_path):
         sn.commit_snapshot(
             spark, df, f"file://{tmp_path}/t", hfs, require_cas=True
         )
+    # the capability check fires BEFORE any write: no table dir, no
+    # orphan parquet burned per refused attempt
+    assert not (tmp_path / "t").exists()
