@@ -840,27 +840,23 @@ def semantic_decontam(
         )
     )
     corpus = v.filter(~F.col("_is_eval"))
-    scored = corpus.crossJoin(ev).groupBy(id_col).agg(
+    # LEFT broadcast join (not an inner cross): with an EMPTY eval set an
+    # inner cross yields zero rows — "no corpus" to a caller — while the
+    # left join keeps every corpus row once with a NULL eval side, so the
+    # single aggregation emits max_cos NULL / contaminated False,
+    # signaling "never scored" without any corpus-sized join-back.
+    scored = corpus.join(ev, F.lit(True), "left").groupBy(id_col).agg(
         F.max(
             dot(F.col("_v"), F.col("_ev")) / (F.col("_n") * F.col("_en"))
         ).alias("_mc")
     )
-    # left join back onto the corpus ids: with an EMPTY eval set the cross
-    # join yields nothing, and silently returning zero rows would read as
-    # "no corpus" — instead every corpus row appears with max_cos NULL /
-    # contaminated False, signaling "never scored" rather than vanishing
-    return (
-        corpus.select(id_col)
-        .join(scored, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.round(F.col("_mc"), 6).alias("max_cos"),
-            F.coalesce(
-                F.round(F.col("_mc"), 6) >= F.lit(threshold), F.lit(False)
-            ).alias("contaminated"),
-        )
-        .orderBy(id_col)
-    )
+    return scored.select(
+        F.col(id_col),
+        F.round(F.col("_mc"), 6).alias("max_cos"),
+        F.coalesce(
+            F.round(F.col("_mc"), 6) >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
+    ).orderBy(id_col)
 
 
 def incremental_minhash_pairs(

@@ -1435,11 +1435,10 @@ _SEM_DECONTAM_SQL = (
     "n AS (SELECT vec_id, v, is_eval, sqrt(list_dot_product(v, v)) AS nn FROM v), "
     "ev AS (SELECT v AS evec, nn AS en FROM n WHERE is_eval), "
     "sc AS (SELECT c.vec_id, max(list_dot_product(c.v, evec) / (c.nn * en)) AS mc "
-    "FROM n c CROSS JOIN ev WHERE NOT c.is_eval GROUP BY 1), "
-    "ids AS (SELECT vec_id FROM n WHERE NOT is_eval) "
-    "SELECT ids.vec_id, round(mc, 6) AS max_cos, "
+    "FROM n c LEFT JOIN ev ON TRUE WHERE NOT c.is_eval GROUP BY 1) "
+    "SELECT vec_id, round(mc, 6) AS max_cos, "
     "coalesce(round(mc, 6) >= 0.6, FALSE) AS contaminated "
-    "FROM ids LEFT JOIN sc USING (vec_id) ORDER BY vec_id"
+    "FROM sc ORDER BY vec_id"
 )
 
 
