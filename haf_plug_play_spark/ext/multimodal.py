@@ -564,6 +564,19 @@ def audio_fingerprint(
                     edges = np.unique(
                         np.geomspace(1, len(mag), n_bands + 1).astype(int)
                     )
+                    if len(edges) < n_bands + 1:
+                        # geomspace integer edges collapse when len(mag) is
+                        # only slightly above n_bands (e.g. 8 bins, 7 bands
+                        # → 6 edges), which would leave the top band bits
+                        # permanently zero right at the length boundary the
+                        # loud-fail guard admits. Linear spacing guarantees
+                        # n_bands+1 distinct edges whenever
+                        # len(mag) >= n_bands + 1 — which the minimum-length
+                        # guard above ensures (step >= 2*(n_bands+1) ⇒
+                        # len(mag) = step//2 >= n_bands+1).
+                        edges = np.unique(
+                            np.linspace(1, len(mag), n_bands + 1).astype(int)
+                        )
                     e = np.add.reduceat(mag, edges[:-1])[:n_bands]
                     med = np.median(e)
                     for b, v in enumerate(e):
@@ -640,26 +653,56 @@ def video_frame_phashes(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_vf, VIDEO_FP_SCHEMA)
 
 
-def video_near_dup_pairs(media: DataFrame, min_shared: int = 3) -> DataFrame:
+def video_near_dup_pairs(
+    media: DataFrame, min_shared: int = 3, max_df: int = 100
+) -> DataFrame:
     """Video near-duplicate pairs by frame-fingerprint overlap: videos
     sharing ≥ ``min_shared`` distinct frame pHashes pair up — the
     re-upload/clip-detection shape (a trimmed or re-containered copy
-    keeps most frame hashes). Candidates come from an inverted index on
-    the frame hash (equi-join, never an all-pairs cross); the overlap
-    count is one keyed aggregation. Output: (id_a, id_b, shared_frames)."""
+    keeps most frame hashes). Output: (id_a, id_b, shared_frames).
+
+    Scale contract (the same capped-index + full-set-verify shape as the
+    n-gram Jaccard path, ext/dedup.py): CANDIDATES come from an inverted
+    index on the frame hash with hashes appearing in more than ``max_df``
+    videos dropped — black/flat frames and shared intros are exactly where
+    pHash is least discriminative, and an uncapped self-join on one such
+    hash is O(n²) candidate rows. The ``shared_frames`` COUNT is then
+    exact over the FULL per-video hash sets (hot hashes included), joined
+    per candidate pair — so capping bounds the pair space without
+    distorting surviving scores. Documented recall trade: a pair whose
+    overlap consists ONLY of >max_df hashes is missed (it shares nothing
+    discriminative)."""
     fp = video_frame_phashes(media).select(
         F.col("media_id"), F.col("phash")
     ).distinct()
+    hot = (
+        fp.groupBy("phash")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("phash")
+    )
+    idx = fp.join(hot, "phash", "left_anti")
+    ia, ib = idx.alias("ia"), idx.alias("ib")
+    cand = (
+        ia.join(
+            ib,
+            (F.col("ia.phash") == F.col("ib.phash"))
+            & (F.col("ia.media_id") < F.col("ib.media_id")),
+        )
+        .select(
+            F.col("ia.media_id").alias("id_a"), F.col("ib.media_id").alias("id_b")
+        )
+        .distinct()
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
-        a.join(
+        cand.join(a, F.col("id_a") == F.col("a.media_id"))
+        .join(
             b,
-            (F.col("a.phash") == F.col("b.phash"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+            (F.col("id_b") == F.col("b.media_id"))
+            & (F.col("a.phash") == F.col("b.phash")),
         )
-        .groupBy(
-            F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b")
-        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_frames"))
         .filter(F.col("shared_frames") >= min_shared)
     )

@@ -59,47 +59,95 @@ _MANIFESTS = "manifests"
 _DATA = "data"
 
 
+def _manifest_names(table_dir: str, fs) -> list[str]:
+    """Manifest file names, from a bounded listing of ``manifests/`` (one
+    small JSON per commit — not the data dirs)."""
+    return [
+        name
+        for name in fs.listdir(os.path.join(table_dir, _MANIFESTS))
+        if name.startswith("manifest-") and name.endswith(".json")
+    ]
+
+
+def _manifest_id(name: str) -> int:
+    return int(name.split("-")[1])
+
+
 def _manifest_ids(table_dir: str, fs) -> dict[int, str]:
-    """snapshot_id → manifest file name, from a bounded listing of
-    ``manifests/`` (one small JSON per commit — not the data dirs)."""
-    out: dict[int, str] = {}
-    for name in fs.listdir(os.path.join(table_dir, _MANIFESTS)):
-        if name.startswith("manifest-") and name.endswith(".json"):
-            out[int(name.split("-")[1])] = name
-    return out
+    """snapshot_id → manifest file name. Used ONLY where id collisions are
+    harmless — next-id allocation (max over the key set) and test
+    introspection. Lineage resolution must NOT go through this map: racing
+    writers intentionally pick the same next id, so a loser that crashed
+    between its manifest write and its post-CAS cleanup leaves an orphan
+    SHARING the winner's id, and a dict keyed by id silently keeps
+    whichever file the listing yields last (see _committed_chain_named)."""
+    return {_manifest_id(n): n for n in _manifest_names(table_dir, fs)}
 
 
 def _load_manifest(table_dir: str, fs, name: str) -> dict:
     return json.loads(fs.read_bytes(os.path.join(table_dir, _MANIFESTS, name)))
 
 
-def current_manifest(table_dir: str, fs) -> dict | None:
-    """The committed manifest, or None for a table with no commit yet."""
+def _current_name(table_dir: str, fs) -> str | None:
     ptr = os.path.join(table_dir, _CURRENT)
     if not fs.exists(ptr):
         return None
-    name = fs.read_bytes(ptr).decode("utf-8").strip()
-    return _load_manifest(table_dir, fs, name)
+    return fs.read_bytes(ptr).decode("utf-8").strip()
+
+
+def current_manifest(table_dir: str, fs) -> dict | None:
+    """The committed manifest, or None for a table with no commit yet."""
+    name = _current_name(table_dir, fs)
+    return _load_manifest(table_dir, fs, name) if name is not None else None
+
+
+def _committed_chain_named(table_dir: str, fs) -> list[tuple[str, dict]]:
+    """(manifest file name, manifest) pairs on the COMMITTED lineage,
+    newest first. Lineage resolves by manifest NAME (``parent_manifest``,
+    unique by uuid tag), never by snapshot id: a crashed CAS loser's
+    orphan manifest can share a committed id, and an id-keyed lookup
+    could silently serve the loser's data as history — and let vacuum
+    reclaim the committed data dir it shadowed. Manifests from before the
+    ``parent_manifest`` field fall back to the id map, LOUDLY refusing an
+    ambiguous (duplicated) id instead of guessing."""
+    name = _current_name(table_dir, fs)
+    chain: list[tuple[str, dict]] = []
+    by_id: dict[int, list[str]] | None = None
+    while name is not None:
+        m = _load_manifest(table_dir, fs, name)
+        chain.append((name, m))
+        pname = m.get("parent_manifest")
+        if pname is None and m.get("parent") is not None:
+            if by_id is None:
+                by_id = {}
+                for n in _manifest_names(table_dir, fs):
+                    by_id.setdefault(_manifest_id(n), []).append(n)
+            cands = by_id.get(m["parent"], [])
+            if len(cands) > 1:
+                raise RuntimeError(
+                    f"ambiguous parent snapshot id {m['parent']} in "
+                    f"{table_dir}: {sorted(cands)} — an orphan manifest "
+                    "shares a committed id and this manifest predates "
+                    "name-based lineage; remove the orphan "
+                    "(vacuum delete_orphans=True) to restore the chain"
+                )
+            pname = cands[0] if cands else None
+        # a vacuumed-away parent ends the retained chain
+        if pname is not None and not fs.exists(
+            os.path.join(table_dir, _MANIFESTS, pname)
+        ):
+            pname = None
+        name = pname
+    return chain
 
 
 def committed_chain(table_dir: str, fs) -> list[dict]:
-    """Manifests on the COMMITTED lineage, newest first: walk parent ids
-    from ``_current``. A manifest that exists but is not on this chain is
-    an uncommitted leftover (a commit that crashed before its pointer
-    swap) — it is not history and neither time travel nor retention treat
-    it as such."""
-    known = _manifest_ids(table_dir, fs)
-    cur = current_manifest(table_dir, fs)
-    chain: list[dict] = []
-    while cur is not None:
-        chain.append(cur)
-        parent = cur.get("parent")
-        cur = (
-            _load_manifest(table_dir, fs, known[parent])
-            if parent is not None and parent in known
-            else None
-        )
-    return chain
+    """Manifests on the COMMITTED lineage, newest first: walk parent
+    manifest names from ``_current``. A manifest that exists but is not on
+    this chain is an uncommitted leftover (a commit that crashed before
+    its pointer swap, or a CAS loser that crashed before cleanup) — it is
+    not history and neither time travel nor retention treat it as such."""
+    return [m for _, m in _committed_chain_named(table_dir, fs)]
 
 
 def _data_dirs(manifest: dict) -> list[str]:
@@ -172,6 +220,12 @@ def _commit(
         "snapshot_id": snap_id,
         "data_dirs": dirs,
         "parent": cur["snapshot_id"] if cur else None,
+        # lineage resolves by this NAME, not the id: a crashed CAS loser
+        # can leave an orphan manifest sharing the winner's id, and only
+        # the unique file name disambiguates (see _committed_chain_named)
+        "parent_manifest": (
+            expected.decode("utf-8").strip() if expected is not None else None
+        ),
         "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
         "committed_utc": datetime.now(timezone.utc).isoformat(),
     }
@@ -315,21 +369,24 @@ def vacuum(
     are only removed with ``delete_orphans=True``, which the single writer
     passes when it knows no commit is in flight."""
     fs = fs or LocalFS()
-    known = _manifest_ids(table_dir, fs)
-    if not known:
+    names = _manifest_names(table_dir, fs)
+    if not names:
         return {"kept": [], "deleted_manifests": [], "deleted_dirs": []}
-    chain = committed_chain(table_dir, fs)  # newest first
+    chain = _committed_chain_named(table_dir, fs)  # newest first
     keep = chain[: max(1, keep_last)]
-    keep_ids = sorted(m["snapshot_id"] for m in keep)
+    keep_ids = sorted(m["snapshot_id"] for _, m in keep)
+    keep_names = {n for n, _ in keep}
     # append manifests SHARE data dirs with their parents — a dir is only
     # reclaimable when no kept manifest lists it
-    keep_dirs = {d for m in keep for d in _data_dirs(m)}
-    chain_ids = {m["snapshot_id"] for m in chain}
+    keep_dirs = {d for _, m in keep for d in _data_dirs(m)}
+    # membership by manifest NAME, not id: an orphan sharing a committed
+    # id must still be recognizable as an orphan (and reclaimable)
+    chain_names = {n for n, _ in chain}
     deleted_manifests, deleted_dirs = [], []
-    for sid, name in sorted(known.items()):
-        if sid in keep_ids:
+    for name in sorted(names):
+        if name in keep_names:
             continue
-        if sid not in chain_ids and not delete_orphans:
+        if name not in chain_names and not delete_orphans:
             continue  # uncommitted leftover: opt-in only
         for ddir in _data_dirs(_load_manifest(table_dir, fs, name)):
             if ddir not in keep_dirs and ddir not in deleted_dirs:
@@ -340,7 +397,7 @@ def vacuum(
     if delete_orphans:
         kept_manifest_dirs = {
             d
-            for s, n in _manifest_ids(table_dir, fs).items()
+            for n in _manifest_names(table_dir, fs)
             for d in _data_dirs(_load_manifest(table_dir, fs, n))
         }
         for name in fs.listdir(os.path.join(table_dir, _DATA)):

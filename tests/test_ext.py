@@ -947,6 +947,83 @@ def test_audio_fingerprint_near_dup(spark):
     assert all(a % 100 == b % 100 for a, b in pairs)
 
 
+def test_audio_fingerprint_min_length_fills_all_bands(spark):
+    """At the minimum accepted clip length (n_frames*2*(n_bands+1)
+    samples), the per-window spectrum has only n_bands+1 magnitude bins
+    and integer geomspace edges collapse (<n_bands+1 distinct) — the
+    linear-spacing fallback must keep all n_bands bands live, so the top
+    band bits are reachable instead of permanently zero."""
+    import struct
+
+    n_frames, n_bands = 9, 7
+    n_min = n_frames * 2 * (n_bands + 1)  # 144: the guard's exact boundary
+
+    def noise_clip(seed: int) -> bytes:  # flat spectrum: all bands live
+        pcm = (
+            np.random.default_rng(seed)
+            .integers(-20000, 20000, n_min)
+            .astype("<i2")
+        )
+        return b"FAKEAUD\x00" + struct.pack("<II", 16000, n_min) + pcm.tobytes()
+
+    rows = [(s, noise_clip(s)) for s in range(6)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    fps = [r.afp for r in multimodal.audio_fingerprint(media).collect()]
+    assert len(fps) == 6  # boundary length is accepted, not rejected
+    set_bits = {b for fp in fps for b in range(63) if fp >> b & 1}
+    # bits in the top two band positions of some frame must be settable
+    # (the collapsed-geomspace bug zeroed every bit with b % n_bands >= 5)
+    assert any(b % n_bands == n_bands - 1 for b in set_bits)
+    assert any(b % n_bands == n_bands - 2 for b in set_bits)
+    # one sample below the boundary still fails loudly
+    import pytest as _pytest
+
+    short = spark.createDataFrame(
+        [(0, _rich_clip(1, n=n_min - 1))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception, match="too short to fingerprint"):
+        multimodal.audio_fingerprint(short).collect()
+
+
+def test_video_hot_frame_df_cap_bounds_candidates(spark):
+    """A frame hash shared by many videos (flat frames / common intros)
+    must not drive O(n²) candidates: hashes with df > max_df are dropped
+    from the candidate index, while surviving pairs' shared_frames stay
+    EXACT over the full hash sets (hot frame included)."""
+    import struct
+
+    def video_of(frame_ids):
+        frames = [multimodal.make_fake_image(i, 16, 16) for i in frame_ids]
+        return (
+            b"FAKEVID\x00"
+            + struct.pack("<I", len(frames))
+            + b"".join(struct.pack("<I", len(f)) + f for f in frames)
+        )
+
+    HOT = 555  # the intro frame every video carries
+    rows = [
+        (1, video_of([HOT, 10, 11, 12, 13])),
+        (2, video_of([HOT, 10, 11, 12, 20])),  # near-dup of 1 (3 + hot)
+        (3, video_of([HOT, 30, 31, 32, 33])),  # shares ONLY the hot frame
+        (4, video_of([HOT, 40, 41, 42, 43])),
+        (5, video_of([HOT, 50, 51, 52, 53])),
+        (6, video_of([HOT, 60, 61, 62, 63])),
+    ]
+    vids = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        (r.id_a, r.id_b): r.shared_frames
+        for r in multimodal.video_near_dup_pairs(
+            vids, min_shared=1, max_df=3
+        ).collect()
+    }
+    # the hot frame (df=6 > 3) generates no candidates by itself: even at
+    # min_shared=1 the only pair is the one sharing discriminative frames
+    assert set(got) == {(1, 2)}
+    # ...but its shared count is exact over the FULL sets: 3 capped-in
+    # frames + the hot frame = 4
+    assert got[(1, 2)] == 4
+
+
 def test_video_near_dup_by_frame_overlap(spark):
     """Video dedup by frame-fingerprint overlap: a trimmed re-containered
     copy (4 of 6 frames shared) pairs with its source; an unrelated video

@@ -249,6 +249,61 @@ def test_concurrent_commit_one_wins_loser_raises(spark, tmp_path):
     assert set(LocalFS().listdir(os.path.join(table, "data"))) == chain_dirs
 
 
+def test_orphan_manifest_sharing_committed_id_is_not_history(spark, tmp_path):
+    """A CAS loser that crashed between its manifest write and its cleanup
+    leaves an orphan manifest SHARING the winner's snapshot id (racing
+    writers pick the same next id by construction). Lineage must resolve
+    by manifest NAME: the orphan is never served as history, time travel
+    to the shared id returns the committed snapshot, and opt-in vacuum
+    reclaims the orphan without touching committed data."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    fs = LocalFS()
+    sn.commit_snapshot(spark, _df(spark, 1), t, fs)
+    name1 = sn._manifest_ids(t, fs)[1]
+    sn.commit_snapshot(spark, _df(spark, 2), t, fs)
+
+    # forge the crashed loser: same id (2) as the winner, own data dir,
+    # name sorting AFTER the winner's so an id-keyed dict would keep it
+    orphan_dir = "data/snap-00000002-ffffffff"
+    _df(spark, 99).write.parquet(os.path.join(t, orphan_dir))
+    orphan = {
+        "snapshot_id": 2,
+        "data_dirs": [orphan_dir],
+        "parent": 1,
+        "parent_manifest": name1,
+        "schema": [["id", "bigint"], ["v", "int"]],
+        "committed_utc": "2026-01-01T00:00:00+00:00",
+    }
+    fs.write_bytes_atomic(
+        os.path.join(t, "manifests", "manifest-00000002-ffffffff.json"),
+        json.dumps(orphan).encode("utf-8"),
+    )
+
+    m3 = sn.commit_snapshot(spark, _df(spark, 3), t, fs)
+    assert m3["snapshot_id"] == 3 and m3["parent"] == 2
+    # the chain walks the winner's manifest, never the orphan
+    chain = sn.committed_chain(t, fs)
+    assert [m["snapshot_id"] for m in chain] == [3, 2, 1]
+    assert all(m["data_dirs"] != [orphan_dir] for m in chain)
+    # time travel to the shared id serves the COMMITTED snapshot
+    assert (
+        sn.read_snapshot(spark, t, fs, snapshot_id=2)
+        .agg({"v": "max"}).collect()[0][0] == 2
+    )
+    # safe-by-default vacuum keeps everything committed AND leaves the
+    # orphan alone; opt-in vacuum reclaims exactly the orphan
+    rep = sn.vacuum(t, fs, keep_last=10)
+    assert rep["deleted_manifests"] == [] and rep["deleted_dirs"] == []
+    rep = sn.vacuum(t, fs, keep_last=10, delete_orphans=True)
+    assert rep["deleted_manifests"] == ["manifest-00000002-ffffffff.json"]
+    assert rep["deleted_dirs"] == [orphan_dir]
+    for sid in (1, 2, 3):
+        got = sn.read_snapshot(spark, t, fs, snapshot_id=sid)
+        assert got.agg({"v": "max"}).collect()[0][0] == sid
+
+
 def test_cas_swap_primitive(tmp_path):
     from haf_plug_play_spark.runner.fs import ConcurrentWriteError
 
