@@ -1342,6 +1342,99 @@ def xs_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_adc_topk(codes, _QUERY_VEC, cbs, k=20)
 
 
+def xs_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse probe + PQ/ADC rerank in one query
+    (ext/similarity.py:ivfadc_topk) — the FAISS IVFADC production ANN
+    shape: probe 3 of 8 cells, rank survivors by asymmetric distance over
+    residual PQ codes (per-cell LUT literals, zero shuffle), exact-rerank
+    the top-50 shortlist. Seeded quantizers keep it a pure function of the
+    seeds for the oracle; the trained path is recall-gated in
+    tests/test_scale_smoke.py."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return similarity.ivfadc_topk(emb, _QUERY_VEC, k=10, shortlist=50)
+
+
+def _ivfadc_sql(
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    coarse_seed: int = 7,
+    m: int = 8,
+    ksub: int = 16,
+    pq_seed: int = 11,
+) -> str:
+    """DuckDB mirror of xs_ivfadc: the _ivf_sql cell assignment, residual
+    via an elementwise list_transform against the probed cell's centroid
+    literal, the _pq_sql code assignment over residual slices, per-cell
+    ADC LUT literals (computed by the identical driver-side Python sums),
+    the same rounded-ADC shortlist, and the _cosine_sql exact rerank."""
+    dim = len(query_vec)
+    sub = dim // m
+    cents = similarity._seed_centroids(dim, n_centroids, coarse_seed)
+    cbs = [
+        similarity._seed_unit_centroids(sub, ksub, pq_seed + j) for j in range(m)
+    ]
+    scores = ", ".join(
+        f"({sum(c * c for c in cent)!r} - 2.0 * list_dot_product(v, {_vec_sql(cent)}))"
+        for cent in cents
+    )
+    qd = [
+        sum(c * c for c in cent) - 2.0 * sum(a * b for a, b in zip(query_vec, cent))
+        for cent in cents
+    ]
+    probes = [i + 1 for i in sorted(range(len(cents)), key=lambda i: (qd[i], i))[:n_probe]]
+    cvec_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN cell = {p} THEN CAST({_vec_sql(cents[p - 1])} AS DOUBLE[])"
+            for p in probes
+        )
+        + " END"
+    )
+    code_cols = []
+    for j in range(m):
+        subv = f"r[{j * sub + 1}:{(j + 1) * sub}]"
+        sc = ", ".join(
+            f"({sum(c * c for c in cent)!r} - 2.0 * "
+            f"list_dot_product({subv}, {_vec_sql(cent)}))"
+            for cent in cbs[j]
+        )
+        code_cols.append(
+            f"CAST(list_position([{sc}], list_min([{sc}])) AS INT) AS code_{j}"
+        )
+    adc_terms = []
+    for j in range(m):
+        cases = []
+        for p in probes:
+            qr = [a - b for a, b in zip(query_vec, cents[p - 1])]
+            qj = qr[j * sub : (j + 1) * sub]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(qj, cent)) for cent in cbs[j]
+            ]
+            cases.append(
+                f"WHEN cell = {p} THEN CAST({_vec_sql(lut)} AS DOUBLE[])[code_{j}]"
+            )
+        adc_terms.append(f"(CASE {' '.join(cases)} END)")
+    adc = " + ".join(adc_terms)
+    return (
+        f"WITH s AS (SELECT vec_id, {_VD} AS v FROM embeddings), "
+        f"a AS (SELECT vec_id, v, CAST(list_position([{scores}], "
+        f"list_min([{scores}])) AS INT) AS cell FROM s), "
+        f"p AS (SELECT vec_id, v, cell, {cvec_case} AS cv FROM a "
+        f"WHERE cell IN ({', '.join(str(p) for p in probes)})), "
+        f"r AS (SELECT vec_id, v, cell, "
+        f"list_transform(range(1, {dim + 1}), i -> v[i] - cv[i]) AS r FROM p), "
+        f"c AS (SELECT vec_id, v, cell, {', '.join(code_cols)} FROM r), "
+        f"d AS (SELECT vec_id, v, cell, round({adc}, 6) AS adc_dist FROM c), "
+        f"sl AS (SELECT vec_id, v, cell, adc_dist FROM d "
+        f"ORDER BY adc_dist, vec_id LIMIT {shortlist}) "
+        f"SELECT vec_id, cell, adc_dist, {_cosine_sql('v', query_vec)} AS cosine "
+        f"FROM sl ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
 # Fixed BPE merge rules — the tokenizer-model artifact for the oracle-gated
 # tokenization query: the first 8 rules learn_bpe_merges learns from the
 # sf0.01 documents corpus, hardcoded so the query is a pure function of its
@@ -1788,6 +1881,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-sem-decontam": xd_sem_decontam,
     "XA-dsir": xa_dsir,
     "XP-pipeline5": xp_pipeline5,
+    # new in r6 (never driver-checked)
+    "XS-ivfadc": xs_ivfadc,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1838,6 +1933,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-sem-decontam": _SEM_DECONTAM_SQL,
     "XA-dsir": _dsir_sql(),
     "XP-pipeline5": _pipeline5_sql(),
+    "XS-ivfadc": _ivfadc_sql(_QUERY_VEC, 10),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -487,6 +487,149 @@ def pq_adc_topk(
     )
 
 
+def ivfadc_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    coarse_seed: int = 7,
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 8,
+    ksub: int = 16,
+    pq_seed: int = 11,
+) -> DataFrame:
+    """IVF coarse probe + PQ/ADC rerank in ONE query — the FAISS IVFADC
+    design (Jégou et al., PAMI 2011 §V: inverted file + asymmetric
+    distance over RESIDUAL codes), the most-used large-scale ANN shape:
+
+    1. every vector is assigned to its nearest coarse centroid (a
+       projection — no shuffle, the XS-ivf machinery);
+    2. only the ``n_probe`` cells nearest the query survive the scan
+       (candidate volume ≈ n_probe/n_centroids of the corpus at ANY
+       size — partition pruning in vector space);
+    3. survivors are PQ-encoded on their residual v − c(cell) (per-row
+       expressions; residual coding is what makes a SHARED codebook tight
+       across cells — each cell's residual distribution is centered);
+    4. ADC ranks them reading only the codes: the query's per-cell lookup
+       tables (‖q − c(cell) − centroid‖² per subspace entry, m×ksub×
+       n_probe floats) are baked in as array LITERALS selected by a
+       codegen CASE on the cell id — zero shuffle, zero Python;
+    5. the top-``shortlist`` by ADC get ONE exact cosine rerank (bounded:
+       50 rows), and the top-``k`` of that is the answer.
+
+    Defaults are the seeded quantizers, so the whole query is a pure
+    function of (data, seeds) and a DuckDB oracle reproduces it bit-for-
+    bit (XS-ivfadc); pass ``ivf_centroids(...)`` + residual-trained
+    ``train_pq_codebooks(...)`` for the production recall path, gated in
+    tests/test_scale_smoke.py on the 20k corpus.
+    """
+    dim = len(query_vec)
+    cents = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(dim, n_centroids, coarse_seed)
+    )
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    cbs = (
+        codebooks
+        if codebooks is not None
+        else [_seed_unit_centroids(sub, ksub, pq_seed + j) for j in range(m)]
+    )
+    # probe cells: nearest to the query by the same dropped-constant
+    # euclidean score the per-row assignment uses (driver-side Python,
+    # identical arithmetic to the oracle generator)
+    qd = [
+        sum(c * c for c in cent) - 2.0 * sum(a * b for a, b in zip(query_vec, cent))
+        for cent in cents
+    ]
+    probes = [i + 1 for i in sorted(range(len(cents)), key=lambda i: (qd[i], i))[:n_probe]]
+    v = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn(
+            "_c", nearest_centroid(F.col("_v"), cents).cast("int")
+        )
+        .filter(F.col("_c").isin(probes))
+    )
+    # residual v − c(cell): the cell is data-dependent but bounded to the
+    # probed set, so the centroid arrives as a CASE over n_probe literals
+    cvec = None
+    for p in probes:
+        arr = F.array(*[F.lit(float(x)) for x in cents[p - 1]])
+        cvec = (
+            F.when(F.col("_c") == p, arr)
+            if cvec is None
+            else cvec.when(F.col("_c") == p, arr)
+        )
+    staged = v.select(
+        id_col, "_v", "_c",
+        F.zip_with(F.col("_v"), cvec, lambda x, y: x - y).alias("_r"),
+    )
+    # per-subspace score arrays as NAMED columns (the pq_codes re-eval
+    # staging), then first-min codes
+    score_cols = [F.col(id_col), F.col("_v"), F.col("_c")]
+    for j, cents_j in enumerate(cbs):
+        subv = F.slice(F.col("_r"), j * sub + 1, sub)
+        scores = F.array(
+            *[
+                F.lit(sum(c * c for c in cent))
+                - F.lit(2.0) * dot(subv, F.array(*[F.lit(float(c)) for c in cent]))
+                for cent in cents_j
+            ]
+        )
+        score_cols.append(scores.alias(f"_s{j}"))
+    coded = staged.select(*score_cols).select(
+        id_col, "_v", "_c",
+        *[
+            F.array_position(F.col(f"_s{j}"), F.array_min(F.col(f"_s{j}")))
+            .cast("int")
+            .alias(f"_code{j}")
+            for j in range(m)
+        ],
+    )
+    # ADC: per-cell LUT literals (query residual vs each codebook entry),
+    # selected by cell, indexed by code — m element_at lookups per row
+    adc = F.lit(0.0)
+    for j in range(m):
+        lut_by_cell = None
+        for p in probes:
+            qr = [a - b for a, b in zip(query_vec, cents[p - 1])]
+            qj = qr[j * sub : (j + 1) * sub]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(qj, cent))
+                for cent in cbs[j]
+            ]
+            arr = F.array(*[F.lit(float(x)) for x in lut])
+            lut_by_cell = (
+                F.when(F.col("_c") == p, arr)
+                if lut_by_cell is None
+                else lut_by_cell.when(F.col("_c") == p, arr)
+            )
+        adc = adc + F.element_at(lut_by_cell, F.col(f"_code{j}"))
+    ranked = coded.select(
+        F.col(id_col),
+        F.col("_v"),
+        F.col("_c").alias("cell"),
+        F.round(adc, 6).alias("adc_dist"),
+    )
+    # bounded shortlist (TakeOrderedAndProject), then ONE exact rerank
+    short = ranked.orderBy("adc_dist", id_col).limit(shortlist)
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = F.round(dot(F.col("_v"), q) / (norm(F.col("_v")) * F.lit(qn)), 6)
+    return (
+        short.select(id_col, "cell", "adc_dist", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 def pq_codes(
     emb: DataFrame,
     m: int = 8,

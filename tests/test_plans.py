@@ -399,6 +399,19 @@ def test_adc_reads_codes_only_take_ordered(spark):
     assert "SortMergeJoin" not in plan and "Exchange hashpartitioning" not in plan
 
 
+def test_ivfadc_projection_only_until_shortlist(spark):
+    """IVFADC must stay a pruned projection pipeline: cell assignment,
+    residual, codes, and ADC are all per-row expressions over the probed
+    cells (no join, no hash exchange), the shortlist plans as
+    TakeOrderedAndProject, and the exact rerank touches only the bounded
+    shortlist. The only exchange allowed is the single-partition one the
+    bounded LIMIT itself introduces."""
+    plan = _plan(EXT_QUERIES["XS-ivfadc"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
 def test_bpe_tokenize_shuffle_free(spark):
     """Tokenizer application is per-row expression work: no shuffle of
     any kind in the plan (the orderBy is the presentation sort the

@@ -443,6 +443,64 @@ def test_bpe_merges_at_scale(spark, corpus):
     assert set(got[0]["left"] + got[0]["right"]) <= stop_chars
 
 
+def test_ivfadc_trained_recall_at_scale(spark):
+    """The composed IVFADC query (ivfadc_topk) in its production
+    configuration — TRAINED coarse centroids (Lloyd via ivf_centroids)
+    plus PQ codebooks trained on the coarse RESIDUALS (the Jégou IVFADC
+    construction: residual distributions are centered, so one shared
+    codebook stays tight across cells) — must recover the exact cosine
+    top-10 from the planted cluster on the 20k x 32-dim corpus.
+
+    The cluster is planted AT THE QUERY'S SCALE (q + small noise), where
+    L2 and cosine orderings agree — the regime IVFADC is built for (the
+    ADC stage ranks by L2 over residual codes; a cluster at 10x the
+    query's norm is cosine-near but L2-FAR and is correctly excluded by
+    an L2 shortlist, so it would test the metric mismatch, not recall)."""
+    import numpy as np
+
+    from haf_plug_play_spark.ext import similarity
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(20_000, 32)).astype(np.float64)
+    q = rng.normal(size=32)
+    q /= np.linalg.norm(q)
+    for i in range(20):
+        base[i] = q + rng.normal(scale=0.05, size=32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    emb = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    qv = [float(x) for x in q]
+    exact = [r.vec_id for r in similarity.cosine_topk(emb, qv, k=10).collect()]
+
+    cents = similarity.ivf_centroids(emb, k=16, iters=3, seed=7, dim=32)
+    # residuals vs the trained coarse assignment (NumPy mirror of
+    # nearest_centroid: argmin c·c − 2 v·c, first-min ties)
+    C = np.asarray(cents)
+    assign = np.argmin((C * C).sum(1)[None, :] - 2.0 * (base @ C.T), axis=1)
+    res_rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(base - C[assign])
+    ]
+    res = (
+        spark.createDataFrame(res_rows, "vec_id long, embedding array<double>")
+        .repartition(32)
+        .localCheckpoint()
+    )
+    cbs = similarity.train_pq_codebooks(res, m=8, ksub=16, iters=4, dim=32)
+
+    got = {
+        r.vec_id
+        for r in similarity.ivfadc_topk(
+            emb, qv, k=10, shortlist=200,
+            centroids=cents, n_centroids=16, n_probe=4,
+            codebooks=cbs, m=8, ksub=16,
+        ).collect()
+    }
+    assert len(set(exact) & got) >= 8, sorted(got)
+
+
 def test_pq_adc_shortlist_recall_at_scale(spark):
     """Trained PQ + ADC on the 20k x 32-dim corpus, in the regime PQ is
     actually used (8-bit codes: m=8, ksub=256, as in FAISS defaults):
