@@ -125,6 +125,194 @@ class LocalFS:
             os.close(fd)  # closing drops the flock
 
 
+class PreconditionFailed(RuntimeError):
+    """A conditional write's precondition did not hold (the store-side
+    412): If-None-Match:* hit an existing object, or If-Match hit a
+    different ETag. The object-store twin of a failed compare-and-swap."""
+
+
+class EmulatedObjectStore:
+    """A file-backed object store speaking the CONDITIONAL-WRITE protocol
+    real stores expose publicly — S3 ``PUT`` with ``If-None-Match: *`` /
+    ``If-Match: <etag>`` (412 PreconditionFailed on mismatch), GCS
+    ``x-goog-if-generation-match``, ABFS ETag ``If-Match`` — so the CAS
+    snapshot commit has a tested non-local story. Emulated over the local
+    tree exactly the way HadoopFS is exercised over ``file://``: keys are
+    paths, the ETag is the content MD5 (S3's single-part ETag,
+    documented), and the compare step of a conditional put runs under a
+    sidecar flock to mirror the store-side atomicity of a conditional
+    write. A thin boto3/google-cloud-storage adapter satisfies this same
+    five-method surface unchanged (get/head/put/delete/list_keys).
+    """
+
+    _SIDECARS = (".lock", ".tmp")
+
+    def _etag(self, data: bytes) -> str:
+        import hashlib
+
+        return hashlib.md5(data).hexdigest()
+
+    def head(self, key: str) -> dict | None:
+        if not os.path.isfile(key):
+            return None
+        with open(key, "rb") as f:
+            data = f.read()
+        return {"etag": self._etag(data), "size": len(data)}
+
+    def get(self, key: str) -> tuple[bytes, str] | None:
+        if not os.path.isfile(key):
+            return None
+        with open(key, "rb") as f:
+            data = f.read()
+        return data, self._etag(data)
+
+    def put(
+        self,
+        key: str,
+        data: bytes,
+        *,
+        if_match: str | None = None,
+        if_none_match_star: bool = False,
+    ) -> None:
+        """Atomic PUT; with a precondition, the compare+write pair is
+        atomic store-side (flock emulates what S3/GCS do internally)."""
+        import fcntl
+
+        os.makedirs(os.path.dirname(key) or ".", exist_ok=True)
+
+        def _write() -> None:
+            fd, tmp = tempfile.mkstemp(dir=os.path.dirname(key) or ".", suffix=".tmp")
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            os.replace(tmp, key)
+
+        if if_match is None and not if_none_match_star:
+            _write()
+            return
+        lock_fd = os.open(key + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            cur = self.head(key)
+            if if_none_match_star and cur is not None:
+                raise PreconditionFailed(f"If-None-Match:* but {key} exists")
+            if if_match is not None and (cur is None or cur["etag"] != if_match):
+                raise PreconditionFailed(
+                    f"If-Match {if_match} but {key} has "
+                    f"{cur['etag'] if cur else 'no object'}"
+                )
+            _write()
+        finally:
+            os.close(lock_fd)
+
+    def delete(self, key: str) -> None:
+        if os.path.isfile(key):
+            os.remove(key)
+
+    def list_keys(self, prefix: str) -> list[str]:
+        """Every object key under ``prefix`` (recursive — the
+        ListObjectsV2 shape). Sidecar lock/tmp artifacts are not objects."""
+        out: list[str] = []
+        if os.path.isfile(prefix):
+            return [prefix]
+        for root, _dirs, files in os.walk(prefix):
+            for name in files:
+                if not name.endswith(self._SIDECARS):
+                    out.append(os.path.join(root, name))
+        return sorted(out)
+
+
+class ObjectStoreFS:
+    """The FS seam over a conditional-write object store — the remote CAS
+    story ``HadoopFS.supports_cas = False`` declares missing. Directories
+    are virtual prefixes (``makedirs`` is a no-op, ``listdir`` derives
+    children from object keys); ``rename`` does not exist on an object
+    store and raises rather than emulating copy+delete (the snapshot
+    commit protocol never renames — that is its point; the rename-pair
+    maintenance protocol must keep using a table format or HDFS layer on
+    object stores, as SCALE.md documents).
+
+    ``swap_if_current`` is the real thing: read the pointer (body + ETag),
+    require the body to equal the caller's expectation, then conditionally
+    PUT with ``If-Match`` on the ETag just read (``If-None-Match: *`` for
+    first-commit) — any interleaved commit changes the ETag and the store
+    itself refuses the write. Store-side 412 → ``ConcurrentWriteError``.
+    """
+
+    supports_cas = True
+
+    def __init__(self, store: EmulatedObjectStore) -> None:
+        self._s = store
+
+    def exists(self, path: str) -> bool:
+        return self._s.head(path) is not None or self.isdir(path)
+
+    def isdir(self, path: str) -> bool:
+        return bool(self._s.list_keys(path.rstrip("/") + "/"))
+
+    def listdir(self, path: str) -> list[str]:
+        prefix = path.rstrip("/") + "/"
+        children = {
+            k[len(prefix):].split("/", 1)[0]
+            for k in self._s.list_keys(prefix)
+        }
+        return sorted(children)
+
+    def makedirs(self, path: str) -> None:
+        pass  # prefixes are virtual
+
+    def rename(self, src: str, dst: str) -> None:
+        raise NotImplementedError(
+            "object stores cannot rename; the snapshot commit protocol "
+            "(runner/snapshots.py) never renames — use it, or front the "
+            "table with a table format for rename-pair protocols"
+        )
+
+    def delete(self, path: str) -> None:
+        self._s.delete(path)
+        for key in self._s.list_keys(path.rstrip("/") + "/"):
+            self._s.delete(key)
+
+    def getsize(self, path: str) -> int:
+        head = self._s.head(path)
+        if head is None:
+            raise FileNotFoundError(path)
+        return head["size"]
+
+    def read_bytes(self, path: str) -> bytes:
+        got = self._s.get(path)
+        if got is None:
+            raise FileNotFoundError(path)
+        return got[0]
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        self._s.put(path, data)  # a single-object PUT is atomic
+
+    def swap_if_current(
+        self, path: str, expected: bytes | None, data: bytes
+    ) -> None:
+        cur = self._s.get(path)
+        try:
+            if expected is None:
+                if cur is not None:
+                    raise ConcurrentWriteError(
+                        f"CAS failed on {path}: expected no object, found one"
+                    )
+                self._s.put(path, data, if_none_match_star=True)
+            else:
+                if cur is None or cur[0] != expected:
+                    raise ConcurrentWriteError(
+                        f"CAS failed on {path}: pointer changed since read "
+                        "— another writer committed first"
+                    )
+                self._s.put(path, data, if_match=cur[1])
+        except PreconditionFailed as exc:
+            # the store itself refused: a writer interleaved between our
+            # read and the conditional PUT
+            raise ConcurrentWriteError(
+                f"CAS failed on {path}: {exc} — another writer committed first"
+            ) from exc
+
+
 class HadoopFS:
     """Hadoop FileSystem API via the live Spark JVM (py4j).
 

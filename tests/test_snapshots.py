@@ -10,12 +10,22 @@ import os
 import pytest
 
 from haf_plug_play_spark.runner import snapshots as sn
-from haf_plug_play_spark.runner.fs import HadoopFS, LocalFS
+from haf_plug_play_spark.runner.fs import (
+    EmulatedObjectStore,
+    HadoopFS,
+    LocalFS,
+    ObjectStoreFS,
+    PreconditionFailed,
+)
 
 
-@pytest.fixture(params=["local", "hadoop"])
+@pytest.fixture(params=["local", "hadoop", "object"])
 def fs(request, spark):
-    return LocalFS() if request.param == "local" else HadoopFS(spark)
+    if request.param == "local":
+        return LocalFS()
+    if request.param == "object":
+        return ObjectStoreFS(EmulatedObjectStore())
+    return HadoopFS(spark)
 
 
 def _df(spark, version: int, rows: int = 100):
@@ -318,6 +328,113 @@ def test_cas_swap_primitive(tmp_path):
         fs.swap_if_current(p, b"stale", b"b")
     fs.swap_if_current(p, b"a", b"b")
     assert fs.read_bytes(p) == b"b"
+
+
+def test_emulated_store_conditional_put(tmp_path):
+    """The store-level conditional-write protocol itself: If-None-Match:*
+    refuses an existing object; If-Match refuses a stale ETag — the public
+    S3/GCS semantics the CAS snapshot commit rides on remotely."""
+    s = EmulatedObjectStore()
+    k = str(tmp_path / "k")
+    s.put(k, b"v1", if_none_match_star=True)
+    with pytest.raises(PreconditionFailed, match="If-None-Match"):
+        s.put(k, b"v2", if_none_match_star=True)
+    etag = s.get(k)[1]
+    s.put(k, b"v2", if_match=etag)
+    assert s.get(k)[0] == b"v2"
+    with pytest.raises(PreconditionFailed, match="If-Match"):
+        s.put(k, b"v3", if_match=etag)  # stale: content changed since read
+    assert s.get(k)[0] == b"v2"
+
+
+def test_object_store_swap_primitive(tmp_path):
+    from haf_plug_play_spark.runner.fs import ConcurrentWriteError
+
+    fs = ObjectStoreFS(EmulatedObjectStore())
+    p = str(tmp_path / "ptr")
+    fs.swap_if_current(p, None, b"a")
+    assert fs.read_bytes(p) == b"a"
+    with pytest.raises(ConcurrentWriteError):
+        fs.swap_if_current(p, None, b"b")
+    with pytest.raises(ConcurrentWriteError):
+        fs.swap_if_current(p, b"stale", b"b")
+    fs.swap_if_current(p, b"a", b"b")
+    assert fs.read_bytes(p) == b"b"
+
+
+def test_object_store_swap_closes_read_put_window(tmp_path):
+    """A writer that lands BETWEEN our pointer read and our conditional
+    PUT must be detected BY THE STORE (If-Match on the ETag just read →
+    412), not by the client's body compare — this is the window a plain
+    read-check-write cannot close and the whole reason conditional PUT
+    exists."""
+    from haf_plug_play_spark.runner.fs import ConcurrentWriteError
+
+    class StaleReadStore(EmulatedObjectStore):
+        def __init__(self):
+            self.fired = False
+
+        def get(self, key):
+            got = super().get(key)
+            if got is not None and not self.fired:
+                self.fired = True
+                # competitor commits right after our read
+                super().put(key, b"competitor")
+            return got
+
+    store = StaleReadStore()
+    fs = ObjectStoreFS(store)
+    p = str(tmp_path / "ptr")
+    store.put(p, b"a")  # unconditional seed (no get involved)
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        fs.swap_if_current(p, b"a", b"mine")
+    assert store.fired
+    # the competitor's write won; ours never landed
+    assert EmulatedObjectStore().get(p)[0] == b"competitor"
+
+
+def test_concurrent_commit_through_object_store(spark, tmp_path):
+    """The two-writer snapshot race, end-to-end through the conditional-
+    PUT store: exactly one commits, the loser raises and self-cleans —
+    the remote twin of test_concurrent_commit_one_wins_loser_raises."""
+    from haf_plug_play_spark.runner.fs import ConcurrentWriteError
+
+    store = EmulatedObjectStore()
+    table = str(tmp_path / "tbl")
+    sn.commit_snapshot(
+        spark, spark.range(5).withColumnRenamed("id", "v"), table,
+        ObjectStoreFS(store),
+    )
+    winner_df = spark.range(100, 103).withColumnRenamed("id", "v")
+    loser_df = spark.range(200, 209).withColumnRenamed("id", "v")
+
+    class Racing(ObjectStoreFS):
+        def __init__(self):
+            super().__init__(store)
+            self._fired = False
+
+        def write_bytes_atomic(self, path, data):
+            if not self._fired and "/manifests/manifest-" in path:
+                self._fired = True
+                sn.commit_snapshot(spark, winner_df, table, ObjectStoreFS(store))
+            super().write_bytes_atomic(path, data)
+
+    with pytest.raises(ConcurrentWriteError):
+        sn.commit_snapshot(spark, loser_df, table, Racing())
+
+    ofs = ObjectStoreFS(store)
+    got = sorted(r.v for r in sn.read_snapshot(spark, table, ofs).collect())
+    assert got == [100, 101, 102]
+    chain = sn.committed_chain(table, ofs)
+    chain_ids = {m["snapshot_id"] for m in chain}
+    assert set(sn._manifest_ids(table, ofs)) == chain_ids
+    chain_dirs = {d.split("/", 1)[1] for m in chain for d in sn._data_dirs(m)}
+    assert set(ofs.listdir(os.path.join(table, "data"))) == chain_dirs
+    # require_cas is satisfiable remotely now: a further commit under it
+    sn.commit_snapshot(
+        spark, spark.range(2).withColumnRenamed("id", "v"), table,
+        ofs, require_cas=True,
+    )
 
 
 def test_hadoopfs_cas_probe_and_require_cas(spark, tmp_path):
