@@ -8,6 +8,9 @@ extension operators from haf_plug_play_spark.
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,54 +26,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate checks the FIRST 50 declared queries, so
-# declaration order is an evidence-rotation policy: queries that already
-# banked a driver-green CORRECTNESS row in EVERY round they were sampled
-# (r1-r3 for the canonical names below, r3 for the text/dedup extension
-# family) rotate to the back, making room inside the 50-slot window for
-# ops that have never had a driver row (the r4 additions) plus the ones
-# whose last row is from r2. Every query — front or back — passes the
-# identical DuckDB-oracle comparison in pytest every round
-# (tests/test_canonical.py, test_advanced.py, test_ext.py).
-_ROTATED_BACK = [
-    # canonical, driver-green r1+r2+r3
-    "QS3-catalog", "QF1-inlist", "QF5-temporal-flag", "QF7-branch",
-    "QP3-elem-at", "QX5-hex", "QX9-interval", "QE3-toklen",
-    "QX1-json", "QX2-unnest", "QO2-latestk", "QE1-dedup", "QT7-first-wins", "QO3-replay-order", "QJ2-inner-single", "QS1-scan-range", "QS2-head-probe", "QW1-window",
-    # extension, driver-green r1+r2+r3 (or r3 for tfidf/winnow)
-    "XT-langid", "XT-quality", "XT-tokens", "XT-fingerprint", "XT-rollfp",
-    "XT-tfidf", "XT-winnow", "XD-exact-census", "XD-ngram-jaccard",
-    "XD-minhash-sig", "XD-minhash-pairs", "XD-simhash",
-    # canonical/advanced, driver-green r3 — rotated back in r4 so every
-    # never-driver-checked r4 operator (and the r2-green similarity
-    # family) fits inside the 50-slot window; positions 40-50 of the
-    # declaration order still re-check the head of this list
-    "QF8-semi", "QJ1-left-composite", "QJ4-theta", "QJ5-anti",
-    "QA1-topk", "QA2-cntdistinct", "QE2-textstats", "QW2-sessions",
-    "QA3-lineitem-agg", "QG1-rollup", "QA4-quantile", "QP1-pivot",
-    "QAS-asof", "QU1-setops", "QAD-approx-distinct", "QR1-range-join",
-    "QW3-time-rollup", "QST-stream-window", "QO6-topk-group", "QG2-cube",
-    # advanced + extension, driver-green r4 (CORRECTNESS_r04.json, 50/50) —
-    # rotated back in r5 so the last four never-driver-checked operators
-    # (XD-spans, XD-containment, XT-ngrams, XS-pq) plus the r2-green
-    # similarity family lead the window; positions 12-50 re-check r1-r3
-    # greens from the head of this list.
-    "QV1-audit", "QG3-grouping-sets", "QJ8-salted", "QSB-stream-static",
-    "QW4-sliding", "QW5-session-window", "QAD2-approx-quantile",
-    "QSS-stream-dedup", "QSJ-stream-join", "QX6-map", "QSA-stream-stateful",
-    "QA5-stats", "QH1-histogram", "QU2-unpivot", "QW6-ntile",
-    "QSW-stream-session", "QA6-stringagg", "QW7-gapfill", "QJ7-full-outer",
-    "QX7-struct", "QW8-rolling", "XD-cluster", "XP-pipeline2",
-    "XA-sample-hash", "XA-sample-strat", "XA-pack-chunks", "XA-weighted-mix",
-    "XT-gopher", "XT-repetition", "XT-pii-scrub", "XD-seg-dedup",
-    "XD-semantic", "XT-strip-html", "XA-corpus-stats", "XP-pipeline3",
-    "XS-knn", "XA-shuffle", "XA-split", "XT-decontam", "XA-prune",
-    "XL-zorder", "XT-chunk", "XP-pipeline4", "XD-incremental", "XS-quant",
-    "XK-cms", "XD-bloom", "XS-kmeans", "XT-unigram-lm", "XA-temperature",
+# declaration order is an evidence-rotation policy. The standing rule
+# (adopted round 6, per the round-5 adjudication): the window belongs to
+# the queries with the WEAKEST driver evidence —
+#
+#   tier 0: never driver-checked (no green CORRECTNESS row in any round),
+#           and any query whose MOST RECENT driver row failed;
+#   tier 1: implementation or oracle SQL changed since the query's last
+#           driver row ("changed since last checked" counts as unchecked —
+#           maintained by hand in _CHANGED_SINCE_LAST_ROW each round);
+#   tier 2: everything else, STALEST FIRST (ascending last-green round).
+#
+# The ordering is computed from the banked CORRECTNESS_r*.json files at
+# import time, so each round's results rotate the next round's window
+# automatically instead of via a hand-grown list. Every query — front or
+# back — passes the identical DuckDB-oracle comparison in pytest every
+# round (tests/test_canonical.py, test_advanced.py, test_ext.py).
+_CHANGED_SINCE_LAST_ROW = [
+    # r5 changes that postdate these queries' last driver rows (r4):
+    # QV1-audit HALF_UP rounding, XD-bloom NULL-key COALESCE, and the
+    # XD-sem-decontam broadcast-join rework (5268b5e) landed after its
+    # r5 row was recorded.
+    "QV1-audit",
+    "XD-bloom",
+    "XD-sem-decontam",
 ]
 
 
+def _last_green_round() -> dict[str, int]:
+    """query id → most recent round with a passing driver CORRECTNESS row.
+    A row passes when no field explicitly failed (rows-only checks carry
+    no hash_match; None/missing is not a failure). A query whose latest
+    row FAILED is dropped from the map entirely, landing it in tier 0."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+            with open(path, encoding="utf-8") as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("err") is None and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    # failed latest row → excluded → tier 0 (an earlier green alone does
+    # not bank evidence for the current implementation)
+    return {name: rnd for name, (rnd, ok) in latest.items() if ok}
+
+
+def _evidence_order(names: list[str]) -> list[str]:
+    last = _last_green_round()
+    changed = set(_CHANGED_SINCE_LAST_ROW)
+
+    def prio(pair: tuple[int, str]) -> tuple[int, int, int]:
+        i, name = pair
+        if name not in last:
+            return (0, 0, i)
+        if name in changed:
+            return (1, 0, i)
+        return (2, last[name], i)
+
+    return [name for _, name in sorted(enumerate(names), key=prio)]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered by
+    driver-evidence age (see the rotation rule above)."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     q.update(CANONICAL_QUERIES)
     try:
@@ -85,8 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(EXT_QUERIES)
     except ImportError:
         pass
-    back = [k for k in _ROTATED_BACK if k in q]
-    return {k: q[k] for k in list(q) if k not in back} | {k: q[k] for k in back}
+    return {name: q[name] for name in _evidence_order(list(q))}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -16,21 +16,44 @@ import sys
 import time
 
 
-def run_queries(spark, queries, sf_dir: str) -> tuple[dict, dict]:
+def run_queries(
+    spark,
+    queries,
+    sf_dir: str,
+    repeat_under: float = 2.0,
+    n_runs: int = 3,
+) -> tuple[dict, dict]:
     """Time each query independently. Fault isolation: one raising query
     must never zero the whole round's perf signal (the r2 failure mode) —
     the reference serves each API request as an independent query too
     (server/plug_endpoints/podping.py:13-37). Errors are recorded per-query
-    as class + first message line, and the JSON line always prints."""
+    as class + first message line, and the JSON line always prints.
+
+    MIN-OF-N for micro-queries: on a contended box the per-run spread
+    (measured 15-40% across driver rounds) exceeds the signal of queries
+    whose single run is under ``repeat_under`` seconds, manufacturing
+    phantom regressions. Those re-run up to ``n_runs`` times and report
+    the MINIMUM — the standard noise floor estimator; min (not mean)
+    because scheduling noise is strictly additive. Queries at or above
+    the threshold stay single-run: their signal dominates the spread and
+    re-running the heavy tail would triple the suite's wall clock."""
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def one_run(fn) -> float:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.toPandas()  # Arrow-batched materialization (2-3x py4j collect)
+        return time.perf_counter() - t0
+
     for name in sorted(queries):
         fn = queries[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            df.toPandas()  # Arrow-batched materialization (2-3x py4j collect)
-            timings[name] = round(time.perf_counter() - t0, 4)
+            t = one_run(fn)
+            if t < repeat_under:
+                for _ in range(n_runs - 1):
+                    t = min(t, one_run(fn))
+            timings[name] = round(t, 4)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)

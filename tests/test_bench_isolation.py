@@ -27,6 +27,31 @@ def test_one_broken_query_cannot_zero_the_bench(spark):
     assert "second line" not in errors["a-bomb"]
 
 
+def test_min_of_n_repeats_micro_queries_only(spark):
+    """Sub-threshold queries re-run n_runs times (min-of-N kills the
+    contended-box spread); queries at/above the threshold run once (the
+    heavy tail must not triple the suite's wall clock)."""
+    import bench
+
+    calls = {"q": 0}
+
+    def counted(spark_, sf_dir):
+        calls["q"] += 1
+        return spark_.range(3)
+
+    # threshold below any real run time → single run
+    timings, errors = bench.run_queries(
+        spark, {"q": counted}, "/unused", repeat_under=0.0, n_runs=3
+    )
+    assert not errors and calls["q"] == 1 and "q" in timings
+    # threshold above any real run time → exactly n_runs runs, min reported
+    calls["q"] = 0
+    timings, errors = bench.run_queries(
+        spark, {"q": counted}, "/unused", repeat_under=1e9, n_runs=3
+    )
+    assert not errors and calls["q"] == 3 and timings["q"] >= 0
+
+
 def test_headline_nulled_when_canonical_query_errors():
     """A partial canonical sum under the full metric name reads as a fake
     speedup — the headline must go None + canonical_incomplete instead."""
