@@ -177,6 +177,8 @@ def learn_bpe_merges(
     text_col: str = "text",
     method: str = "auto",
     max_collect_words: int = 2_000_000,
+    max_batch: int = 64,
+    _stats: dict | None = None,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merge rules from the corpus. Returns the
     ordered rule list [{rank, left, right, pair_count}] — the tokenizer
@@ -187,10 +189,26 @@ def learn_bpe_merges(
     histogram is vocabulary-sized, so this is the common case even at
     100 TB of text) and learns all merges in memory with incremental
     pair updates; otherwise — or with ``method='distributed'`` — it
-    falls back to one Spark job per merge over the checkpointed
-    histogram. The two paths are golden-tested equal (tests/test_bpe.py);
-    the driver path turns the 32k-vocab "32k sequential jobs" cadence
-    into one collect + an in-memory loop."""
+    runs BATCHED rounds over the checkpointed histogram: one pair-count
+    job per round, accepting up to ``max_batch`` merges per round. The
+    paths are golden-tested equal (tests/test_bpe.py).
+
+    Batched rounds are EXACT, not approximate, by a conservative
+    acceptance rule: scan the round's (count desc, left, right)-sorted
+    pair list, accepting pairs while each is symbol-disjoint from every
+    pair accepted this round, STOPPING at the first conflict; then keep
+    only accepted pairs whose count is STRICTLY above the stop point's.
+    Proof shape: disjoint merges leave each other's counts untouched,
+    and any pair CREATED by applying an accepted merge (a,b) — (ab,x) or
+    (x,ab) — has count bounded by the pre-merge count of (b,x) / (x,a),
+    which shares a symbol with (a,b) and therefore sits at or below the
+    stop point in the total order. So every accepted pair outranks every
+    pair the sequential algorithm could see before it, ties included
+    (the strict-> filter handles a created pair tying the stop count and
+    winning the lexicographic tie-break). The global max is always safe,
+    so a round never accepts fewer than one merge — worst case degrades
+    to the old job-per-merge cadence, typical vocabularies cut job count
+    ~max_batch-fold (_stats['rounds'] records it)."""
     hist = word_histogram(docs, text_col)
     if method not in ("auto", "driver", "distributed"):
         raise ValueError(f"unknown method {method!r}")
@@ -199,7 +217,8 @@ def learn_bpe_merges(
             rows = [(r.word, r.n) for r in hist.collect()]
             return _learn_merges_driver(rows, n_merges)
     merges: list[dict] = []
-    for rank in range(1, n_merges + 1):
+    rounds = 0
+    while len(merges) < n_merges:
         syms = _initial_symbols(F.col("word"))
         for m in merges:
             syms = _apply_merge(syms, m["left"], m["right"])
@@ -217,21 +236,42 @@ def learn_bpe_merges(
         top = (
             pairs.groupBy("p.left", "p.right")
             .agg(F.sum("n").alias("pair_count"))
+            .filter(F.col("pair_count") > 0)
             .orderBy(F.desc("pair_count"), "left", "right")
-            .limit(1)
+            .limit(max_batch)
             .collect()
         )
+        rounds += 1
         if not top:
             break
-        r = top[0]
-        merges.append(
-            {
-                "rank": rank,
-                "left": r.left,
-                "right": r.right,
-                "pair_count": r.pair_count,
-            }
-        )
+        batch = [top[0]]
+        used = {top[0].left, top[0].right}
+        cut = None
+        for r in top[1:]:
+            if r.left in used or r.right in used:
+                cut = r.pair_count  # first conflict in total order: stop
+                break
+            batch.append(r)
+            used.update((r.left, r.right))
+        if cut is None and len(top) == max_batch:
+            # the window may hide a conflicting pair tying the tail count
+            # just past its edge — treat the window edge as the stop point
+            cut = top[-1].pair_count
+        if cut is not None:
+            # strict >: a created pair can TIE the stop count and win the
+            # lexicographic tie-break, so ties with it are not safe
+            batch = [r for r in batch if r.pair_count > cut] or [top[0]]
+        for r in batch[: n_merges - len(merges)]:
+            merges.append(
+                {
+                    "rank": len(merges) + 1,
+                    "left": r.left,
+                    "right": r.right,
+                    "pair_count": r.pair_count,
+                }
+            )
+    if _stats is not None:
+        _stats["rounds"] = rounds
     return merges
 
 

@@ -69,6 +69,52 @@ def test_bpe_matches_reference_implementation(spark):
     assert got32 == expected
 
 
+def test_bpe_batched_rounds_exact_and_fewer_jobs(spark):
+    """The beyond-cap distributed path runs BATCHED rounds: with
+    symbol-disjoint frequent pairs, one pair-count job yields many
+    merges (rounds << merges), and the result stays EXACTLY the
+    sequential reference. The conflict-heavy corpus in
+    test_bpe_matches_reference_implementation guards exactness when the
+    conservative acceptance rule must stop early; this corpus proves
+    the batch actually batches."""
+    # ten 2-letter words over disjoint alphabets, strictly decreasing
+    # frequency: all top pairs are pairwise symbol-disjoint
+    words = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op", "qr", "st"]
+    texts = [" ".join([w] * (100 - 5 * i)) for i, w in enumerate(words)]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    counts: Counter = Counter()
+    for t in texts:
+        counts.update(t.split())
+    expected = _python_bpe(dict(counts), n_merges=10)
+    stats: dict = {}
+    got = bpe.learn_bpe_merges(
+        docs, n_merges=10, method="distributed", _stats=stats
+    )
+    assert got == expected
+    assert stats["rounds"] == 1  # ten disjoint merges, ONE pair-count job
+
+    # conflict-heavy corpus: still exact, rounds bounded by merges
+    texts2 = [
+        "low lower lowest low low",
+        "new newer newest new new new",
+    ]
+    docs2 = spark.createDataFrame(
+        list(enumerate(texts2)), "doc_id long, text string"
+    )
+    counts2: Counter = Counter()
+    for t in texts2:
+        counts2.update(t.split())
+    expected2 = _python_bpe(dict(counts2), n_merges=8)
+    stats2: dict = {}
+    got2 = bpe.learn_bpe_merges(
+        docs2, n_merges=8, method="distributed", _stats=stats2
+    )
+    assert got2 == expected2
+    assert stats2["rounds"] <= 8
+
+
 def test_bpe_tokenize_round_trip(spark):
     """apply_bpe with the learned merges: concatenating a word's tokens
     (minus the sentinel) must reconstruct the word, and learned merges
