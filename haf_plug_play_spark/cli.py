@@ -108,6 +108,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="also MinHash-near-dedup exact-dedup survivors at this "
         "Jaccard threshold (adds bounded clustering jobs)",
     )
+    cu.add_argument(
+        "--decontam-eval", default=None, metavar="PATH",
+        help="also drop documents whose n-gram shingles overlap this "
+        "eval corpus (broadcast n-gram decontamination, ext/dedup.py:"
+        "eval_overlap)",
+    )
+    cu.add_argument(
+        "--decontam-min-frac", type=float, default=0.5,
+        help="distinct-shingle overlap fraction that counts as "
+        "contaminated (with --decontam-eval)",
+    )
+    cu.add_argument(
+        "--dsir-target", default=None, metavar="SQL_EXPR",
+        help="also keep only documents whose DSIR log importance weight "
+        "against this target subset (a SQL boolean over the input "
+        "columns, e.g. \"source = 'src0'\") exceeds --dsir-tau",
+    )
+    cu.add_argument(
+        "--dsir-tau", type=float, default=0.0,
+        help="DSIR log-weight keep threshold (with --dsir-target)",
+    )
 
     vo = sub.add_parser(
         "vocab",
@@ -223,6 +244,10 @@ def main(argv: list[str] | None = None) -> int:
             budget=args.budget,
             seed=args.seed,
             near_dup_threshold=args.near_dup,
+            decontam_eval_path=args.decontam_eval,
+            decontam_min_frac=args.decontam_min_frac,
+            dsir_target_expr=args.dsir_target,
+            dsir_tau=args.dsir_tau,
         )
         print(json.dumps(summary))
     elif args.cmd == "explain":

@@ -34,6 +34,10 @@ def curate_documents(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_dup_threshold: float | None = None,
+    decontam_eval: DataFrame | None = None,
+    decontam_min_frac: float = 0.5,
+    dsir_target=None,
+    dsir_tau: float = 0.0,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation funnel and return (curated DataFrame, stage counts).
 
@@ -45,6 +49,23 @@ def curate_documents(
     functions of the row), and the funnel is one ``sum(flag)`` pass. The
     previous design ran four separate ``.count()`` actions over prefix
     plans — four corpus scans at 100 TB just for counters; this is one.
+
+    Opt-in stages (each stays a FLAG column so the one-aggregation funnel
+    contract holds; each adds its own bounded upstream jobs/joins):
+
+    - ``near_dup_threshold``: MinHash+LSH fuzzy dedup of exact-dedup
+      survivors (the CCNet order).
+    - ``decontam_eval``: n-gram benchmark decontamination
+      (ext/dedup.py:eval_overlap — the GPT-3 appx. C protocol); documents
+      whose distinct-shingle overlap with the eval corpus reaches
+      ``decontam_min_frac`` are dropped. The eval side broadcasts; the
+      per-doc flag joins back on the already-keyed id.
+    - ``dsir_target``: DSIR importance gate
+      (ext/sampling.py:dsir_weights) — keep documents with
+      ``log_weight > dsir_tau`` against the target predicate (a boolean
+      Column over the input's columns). A document with no features
+      (empty text) is never target-like and is dropped, matching
+      dsir_weights' no-row semantics.
     """
     # exact dedup as a FLAG, not a filter: the keeper (lowest id) per
     # normalized-text fingerprint via a fingerprint-partitioned window —
@@ -87,6 +108,39 @@ def curate_documents(
             .drop("_keep_nd")
         )
         keep = F.col("_keep_near")
+    if decontam_eval is not None:
+        from haf_plug_play_spark.ext import dedup as xdedup
+
+        contam = xdedup.eval_overlap(
+            docs.select(id_col, text_col), decontam_eval,
+            id_col=id_col, text_col=text_col, min_frac=decontam_min_frac,
+        ).select(F.col(id_col), F.col("contaminated").alias("_contam"))
+        scored = (
+            scored.join(contam, id_col, "left")
+            .withColumn(
+                "_keep_clean",
+                keep & ~F.coalesce(F.col("_contam"), F.lit(False)),
+            )
+            .drop("_contam")
+        )
+        keep = F.col("_keep_clean")
+    if dsir_target is not None:
+        w = sampling.dsir_weights(
+            docs, dsir_target, id_col=id_col, text_col=text_col
+        ).select(F.col(id_col), F.col("log_weight"))
+        scored = (
+            scored.join(w, id_col, "left")
+            .withColumn(
+                "_keep_dsir",
+                # NULL log_weight = no features = not target-like
+                keep
+                & F.coalesce(
+                    F.col("log_weight") > F.lit(float(dsir_tau)), F.lit(False)
+                ),
+            )
+            .drop("log_weight")
+        )
+        keep = F.col("_keep_dsir")
     gate = keep & (F.col("q_score") >= min_score)
     if langs:
         gate = gate & F.col("lang").isin(list(langs))
@@ -97,21 +151,24 @@ def curate_documents(
     )
     scored = scored.withColumn("_gate", gate).withColumn("_sample", sample)
 
-    aggs = [
-        F.count("*").alias("input"),
-        F.sum(F.col("_keep_dedup").cast("long")).alias("deduped"),
-        F.sum(F.col("_gate").cast("long")).alias("gated"),
-        F.sum(F.col("_sample").cast("long")).alias("curated"),
-    ]
-    stages = ["input", "deduped", "gated", "curated"]
+    flag_stages = [("deduped", "_keep_dedup")]
     if near_dup_threshold is not None:
-        aggs.insert(2, F.sum(F.col("_keep_near").cast("long")).alias("near_deduped"))
-        stages.insert(2, "near_deduped")
+        flag_stages.append(("near_deduped", "_keep_near"))
+    if decontam_eval is not None:
+        flag_stages.append(("decontaminated", "_keep_clean"))
+    if dsir_target is not None:
+        flag_stages.append(("dsir_kept", "_keep_dsir"))
+    flag_stages += [("gated", "_gate"), ("curated", "_sample")]
+    aggs = [F.count("*").alias("input")] + [
+        F.sum(F.col(col).cast("long")).alias(name) for name, col in flag_stages
+    ]
+    stages = ["input"] + [name for name, _ in flag_stages]
     row = scored.agg(*aggs).first()
     funnel = {k: int(row[k]) for k in stages}
 
     survivors = scored.filter(F.col("_sample")).drop(
-        "_keep_dedup", "_keep_near", "_gate", "_sample"
+        "_keep_dedup", "_keep_near", "_keep_clean", "_keep_dsir",
+        "_gate", "_sample",
     )
     split = sampling.split_assign(
         survivors, id_col, splits or DEFAULT_SPLITS, seed=seed
@@ -134,14 +191,25 @@ def run_curate(
     out_path: str,
     in_format: str | None = None,
     out_format: str = "parquet",
+    decontam_eval_path: str | None = None,
+    dsir_target_expr: str | None = None,
     **kwargs,
 ) -> dict:
     """CLI body: read the documents corpus (parquet/JSONL/CSV —
     sources/corpus.py), curate, write partitioned by split
-    (parquet or JSONL), and return the JSON-able summary."""
+    (parquet or JSONL), and return the JSON-able summary.
+
+    ``decontam_eval_path`` reads a documents-shaped eval corpus for the
+    opt-in decontamination stage; ``dsir_target_expr`` is a SQL boolean
+    expression over the input's columns (e.g. ``"source = 'src0'"``)
+    naming the DSIR target subset."""
     from haf_plug_play_spark.sources.corpus import read_corpus, write_corpus
 
     docs = read_corpus(spark, in_path, in_format)
+    if decontam_eval_path:
+        kwargs["decontam_eval"] = read_corpus(spark, decontam_eval_path, None)
+    if dsir_target_expr:
+        kwargs["dsir_target"] = F.expr(dsir_target_expr)
     curated, funnel = curate_documents(docs, **kwargs)
     write_corpus(curated, out_path, out_format, partition_by=["split"])
     # summarize from the files just written — a cheap scan of the

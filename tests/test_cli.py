@@ -290,3 +290,75 @@ def test_curate_near_dup_stage(spark, tmp_path):
     assert f["deduped"] == 25 and f["near_deduped"] == 20
     kept = {r.doc_id for r in curated.collect()}
     assert set(range(20)) == kept  # originals kept, fuzzy copies dropped
+
+
+def test_curate_decontam_and_dsir_stages(spark, tmp_path, capsys):
+    """Opt-in decontamination + DSIR gates inside the funnel: a doc whose
+    shingles overlap the eval corpus is dropped; only docs whose hashed
+    n-gram features are target-like (log_weight > tau against the
+    --dsir-target subset) survive the DSIR gate; the funnel reports both
+    stages in order and the flag pass stays one aggregation. Then the
+    same stages through the CLI flags with a deterministic rerun."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext.curate import curate_documents
+
+    # two vocabularies: src0 talks about reactors, src1 about gardens —
+    # DSIR against src0 must keep reactor-speak and drop garden-speak
+    reactor = "neutron flux moderator coolant turbine reactor core control"
+    garden = "tulip compost trellis pergola loam seedling mulch arbor"
+    rows = [
+        (0, reactor + " alpha", "en", "src0"),
+        (1, reactor + " beta", "en", "src0"),
+        (2, reactor + " gamma", "en", "src1"),  # reactor-speak, wrong source
+        (3, garden + " delta", "en", "src1"),
+        (4, garden + " epsilon", "en", "src1"),
+        (5, "the quick brown fox jumps over the lazy dog benchmark", "en", "src1"),
+        (6, "", "en", "src1"),  # no features: never target-like
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    eval_df = spark.createDataFrame(
+        [(1000, "the quick brown fox jumps over the lazy dog benchmark")],
+        "doc_id long, text string",
+    )
+
+    curated, f = curate_documents(
+        docs,
+        min_score=-100.0,
+        decontam_eval=eval_df,
+        dsir_target=F.col("source") == "src0",
+        dsir_tau=-1.0,
+    )
+    assert list(f) == [
+        "input", "deduped", "decontaminated", "dsir_kept", "gated", "curated",
+    ]
+    assert f["input"] == 7 and f["deduped"] == 7
+    assert f["decontaminated"] == 6  # doc 5 is a verbatim eval doc
+    kept = {r.doc_id for r in curated.collect()}
+    assert 5 not in kept  # contaminated
+    assert 6 not in kept  # featureless: dropped by the DSIR gate
+    assert {0, 1} <= kept  # target docs are target-like
+    assert {3, 4} & kept == set()  # garden-speak scores far below tau
+    assert 2 in kept  # target-LIKE text survives regardless of source
+    assert f["dsir_kept"] == len(kept)
+
+    # the same stages through the CLI flags, deterministic across reruns
+    src = str(tmp_path / "docs")
+    ev = str(tmp_path / "eval")
+    docs.write.parquet(src)
+    eval_df.withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("bench")
+    ).write.parquet(ev)
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    argv = [
+        "curate", "--in", src, "--out", out1, "--min-score", "-100",
+        "--decontam-eval", ev, "--dsir-target", "source = 'src0'",
+        "--dsir-tau", "-1.0",
+    ]
+    got = _run(capsys, argv)
+    assert got["funnel"] == f
+    got2 = _run(capsys, argv[:4] + [out2] + argv[5:])
+    assert got2["funnel"] == f
+    rows1 = sorted((r.doc_id, r.split) for r in spark.read.parquet(out1).collect())
+    rows2 = sorted((r.doc_id, r.split) for r in spark.read.parquet(out2).collect())
+    assert rows1 == rows2 and {d for d, _ in rows1} == kept
