@@ -151,3 +151,139 @@ def test_build_app_requires_fastapi():
 
     with pytest.raises(ImportError):
         build_app({})
+
+def test_streaming_incremental_curation_pipeline(spark, tmp_path):
+    """The daily-crawl end-to-end story: a 3-batch document stream curated
+    under foreachBatch — incremental MinHash dedup against the published
+    corpus, deterministic split assignment, append_snapshot publication —
+    proving (a) each batch's incremental dedup equals the full-corpus run
+    restricted to touched pairs, (b) exactly-once publication under an
+    injected foreachBatch retry, and (c) split assignments never migrate
+    as the corpus grows (split_assign is a pure function of the id)."""
+    import hashlib
+    import os
+    import time
+
+    from pyspark.sql import functions as F  # noqa: F401 (parity with module style)
+
+    from haf_plug_play_spark.ext import dedup as xdedup
+    from haf_plug_play_spark.ext import sampling
+    from haf_plug_play_spark.runner import snapshots as sn
+    from haf_plug_play_spark.runner.fs import LocalFS
+
+    def salad(i: int, n: int = 30) -> list[str]:
+        return [hashlib.md5(f"{i}-{k}".encode()).hexdigest()[:8] for k in range(n)]
+
+    def doc(i: int):
+        return (i, " ".join(salad(i)))
+
+    def near_dup_of(i: int, new_id: int):
+        w = salad(i)
+        w[7] = "changed"
+        return (new_id, " ".join(w))
+
+    batches = [
+        [doc(0), doc(1), doc(2), near_dup_of(2, 3)],  # within-batch: 3 ~ 2
+        [doc(10), near_dup_of(0, 11), doc(12)],  # cross-batch: 11 ~ 0
+        [doc(20), near_dup_of(12, 21), near_dup_of(20, 22)],  # 21 ~ 12, 22 ~ 20
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    # one file per batch with strictly increasing mtimes so the file
+    # source (maxFilesPerTrigger=1) replays them in batch order
+    seen: set = set()
+    t0 = time.time() - 1000
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for name in os.listdir(src):
+            path = os.path.join(src, name)
+            if name.startswith("part-") and name not in seen:
+                os.utime(path, (t0 + b * 10, t0 + b * 10))
+                seen.add(name)
+
+    table = str(tmp_path / "published")
+    fs = LocalFS()
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    results: dict = {"pairs": {}, "splits": {}, "retry": None, "order": []}
+
+    def publish(batch_df, batch_id):
+        rows = batch_df.collect()
+        batch = spark.createDataFrame(rows, schema)
+        results["order"].append(sorted(r.doc_id for r in rows))
+        try:
+            corpus = sn.read_snapshot(spark, table, fs)
+            corpus = spark.createDataFrame(
+                corpus.select("doc_id", "text").collect(), schema
+            )
+        except FileNotFoundError:
+            corpus = spark.createDataFrame([], schema)
+        inc = {
+            (r.id_a, r.id_b)
+            for r in xdedup.incremental_minhash_pairs(batch, corpus).collect()
+        }
+        full = {
+            (r.id_a, r.id_b)
+            for r in xdedup.minhash_lsh_pairs(corpus.unionByName(batch)).collect()
+        }
+        bids = {r.doc_id for r in rows}
+        results["pairs"][batch_id] = (
+            inc,
+            {p for p in full if p[0] in bids or p[1] in bids},
+        )
+        # first-wins curation: a new doc near-duplicating an older id
+        # (published, or a smaller id in this batch) is dropped
+        drop = {b_ for (_a, b_) in inc if b_ in bids}
+        kept = batch.filter(~batch.doc_id.isin(list(drop)))
+        out = sampling.split_assign(kept, "doc_id", splits)
+        m = sn.append_snapshot(
+            spark, out, table, fs, batch_id=batch_id, writer_id="curate"
+        )
+        if batch_id == 1:  # injected at-least-once retry
+            m2 = sn.append_snapshot(
+                spark, out, table, fs, batch_id=batch_id, writer_id="curate"
+            )
+            results["retry"] = (m["snapshot_id"], m2["snapshot_id"])
+        results["splits"][batch_id] = {
+            r.doc_id: r.split for r in out.collect()
+        }
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # the file source replayed the batches in mtime order
+    assert results["order"] == [sorted(i for i, _ in b) for b in batches]
+    # (a) incremental ≡ full-run on touched pairs, every batch — and the
+    # planted dup structure was actually seen
+    for bid, (inc, touched) in results["pairs"].items():
+        assert inc == touched, f"batch {bid}: {inc} != {touched}"
+    assert results["pairs"][0][0] == {(2, 3)}
+    assert results["pairs"][1][0] == {(0, 11)}
+    assert results["pairs"][2][0] == {(12, 21), (20, 22)}
+    # (b) exactly-once: the retry returned the SAME snapshot, the chain
+    # has one commit per batch, and the table holds each kept doc once
+    assert results["retry"][0] == results["retry"][1]
+    chain = sn.committed_chain(table, fs)
+    assert len(chain) == 3
+    final = sn.read_snapshot(spark, table, fs)
+    kept_ids = sorted(r.doc_id for r in final.select("doc_id").collect())
+    assert kept_ids == [0, 1, 2, 10, 12, 20]
+    # (c) append-never-migrates: re-assigning splits over the FINAL corpus
+    # reproduces every batch-time assignment exactly
+    now = {
+        r.doc_id: r.split
+        for r in sampling.split_assign(
+            final.select("doc_id", "text"), "doc_id", splits
+        ).collect()
+    }
+    then = {k: v for d in results["splits"].values() for k, v in d.items()}
+    assert now == then
