@@ -46,11 +46,13 @@ def _spread(df: DataFrame) -> DataFrame:
     # metadata, no RDD conversion / py4j plan materialization per query
     # build. Files >= cores ⇒ the scan already parallelizes (splits >=
     # files); fewer big files than cores is not a shape the small-fixture
-    # branch this guard exists for produces. Non-file-backed plans return
-    # an EMPTY file list (not an error) — only they pay the RDD probe.
+    # branch this guard exists for produces.
     n_in = len(df.inputFiles())
     if n_in == 0:
-        n_in = df.rdd.getNumPartitions()
+        # not a file-backed scan (an in-memory frame): the single-big-file
+        # shape this guard exists for cannot occur, and probing df.rdd
+        # would materialize the plan through py4j on every query build
+        return df
     if n_in < par:
         return df.repartition(par)
     return df
