@@ -502,6 +502,7 @@ def ivfadc_topk(
     m: int = 8,
     ksub: int = 16,
     pq_seed: int = 11,
+    method: str = "np",
 ) -> DataFrame:
     """IVF coarse probe + PQ/ADC rerank in ONE query — the FAISS IVFADC
     design (Jégou et al., PAMI 2011 §V: inverted file + asymmetric
@@ -527,6 +528,17 @@ def ivfadc_topk(
     bit (XS-ivfadc); pass ``ivf_centroids(...)`` + residual-trained
     ``train_pq_codebooks(...)`` for the production recall path, gated in
     tests/test_scale_smoke.py on the 20k corpus.
+
+    ``method='np'`` (default) runs the assign→residual→encode stage as
+    vectorized NumPy under ``mapInPandas`` — BIT-exact with the
+    expression path by the pq_codes construction (each dot keeps the
+    fold's sequential element order, vectorized across rows; argmin is
+    first-min; the residual is one elementwise IEEE subtraction), and
+    certified equal in pytest (test_ivfadc_np_matches_expr). The win is
+    the same as XS-pq's: (n_centroids + m×ksub) interpreted HOF folds
+    per row become elementwise NumPy kernels per Arrow batch. The ADC
+    lookup, shortlist, and exact rerank stay Spark expressions on both
+    paths. ``method='expr'`` keeps the pure-Catalyst projection.
     """
     dim = len(query_vec)
     cents = (
@@ -550,49 +562,111 @@ def ivfadc_topk(
         for cent in cents
     ]
     probes = [i + 1 for i in sorted(range(len(cents)), key=lambda i: (qd[i], i))[:n_probe]]
-    v = (
-        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-        .withColumn(
-            "_c", nearest_centroid(F.col("_v"), cents).cast("int")
-        )
-        .filter(F.col("_c").isin(probes))
+    v0 = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    # residual v − c(cell): the cell is data-dependent but bounded to the
-    # probed set, so the centroid arrives as a CASE over n_probe literals
-    cvec = None
-    for p in probes:
-        arr = F.array(*[F.lit(float(x)) for x in cents[p - 1]])
-        cvec = (
-            F.when(F.col("_c") == p, arr)
-            if cvec is None
-            else cvec.when(F.col("_c") == p, arr)
-        )
-    staged = v.select(
-        id_col, "_v", "_c",
-        F.zip_with(F.col("_v"), cvec, lambda x, y: x - y).alias("_r"),
-    )
-    # per-subspace score arrays as NAMED columns (the pq_codes re-eval
-    # staging), then first-min codes
-    score_cols = [F.col(id_col), F.col("_v"), F.col("_c")]
-    for j, cents_j in enumerate(cbs):
-        subv = F.slice(F.col("_r"), j * sub + 1, sub)
-        scores = F.array(
-            *[
-                F.lit(sum(c * c for c in cent))
-                - F.lit(2.0) * dot(subv, F.array(*[F.lit(float(c)) for c in cent]))
-                for cent in cents_j
+    if method == "np":
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [v0.schema[id_col]]
+            + [
+                T.StructField("_v", T.ArrayType(T.DoubleType()), False),
+                T.StructField("_c", T.IntegerType(), False),
             ]
+            + [T.StructField(f"_code{j}", T.IntegerType(), False) for j in range(m)]
         )
-        score_cols.append(scores.alias(f"_s{j}"))
-    coded = staged.select(*score_cols).select(
-        id_col, "_v", "_c",
-        *[
-            F.array_position(F.col(f"_s{j}"), F.array_min(F.col(f"_s{j}")))
-            .cast("int")
-            .alias(f"_code{j}")
-            for j in range(m)
-        ],
-    )
+        cents_np = [list(c) for c in cents]
+        cbs_np = [[list(c) for c in cb] for cb in cbs]
+        probe_set = list(probes)
+
+        def _encode(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                n = len(pdf)
+                if not n:
+                    continue
+                V = np.asarray([list(x) for x in pdf["_v"]], dtype=np.float64)
+                # coarse scores, fold order preserved (row-vectorized)
+                scores = np.empty((n, len(cents_np)))
+                for kk, cent in enumerate(cents_np):
+                    cc = sum(c * c for c in cent)  # same literal as expr
+                    acc = np.zeros(n)
+                    for i in range(len(cent)):
+                        acc = acc + V[:, i] * cent[i]
+                    scores[:, kk] = cc - 2.0 * acc
+                cell = np.argmin(scores, axis=1) + 1  # first-min, as expr
+                mask = np.isin(cell, probe_set)
+                if not mask.any():
+                    continue
+                V, cell = V[mask], cell[mask]
+                ids = pdf[id_col].to_numpy()[mask]
+                # residual: one elementwise IEEE subtract, same as zip_with
+                R = V - np.asarray(cents_np)[cell - 1]
+                data = {
+                    id_col: ids,
+                    "_v": [list(row) for row in V],
+                    "_c": cell.astype("int32"),
+                }
+                for j, cents_j in enumerate(cbs_np):
+                    Rj = R[:, j * sub : (j + 1) * sub]
+                    sc = np.empty((len(Rj), ksub))
+                    for kk, cent in enumerate(cents_j):
+                        cc = sum(c * c for c in cent)
+                        acc = np.zeros(len(Rj))
+                        for i in range(sub):
+                            acc = acc + Rj[:, i] * cent[i]
+                        sc[:, kk] = cc - 2.0 * acc
+                    data[f"_code{j}"] = (np.argmin(sc, axis=1) + 1).astype(
+                        "int32"
+                    )
+                yield pd.DataFrame(data)
+
+        coded = v0.mapInPandas(_encode, out_schema)
+    else:
+        v = v0.withColumn(
+            "_c", nearest_centroid(F.col("_v"), cents).cast("int")
+        ).filter(F.col("_c").isin(probes))
+        # residual v − c(cell): the cell is data-dependent but bounded to
+        # the probed set, so the centroid arrives as a CASE over n_probe
+        # literals
+        cvec = None
+        for p in probes:
+            arr = F.array(*[F.lit(float(x)) for x in cents[p - 1]])
+            cvec = (
+                F.when(F.col("_c") == p, arr)
+                if cvec is None
+                else cvec.when(F.col("_c") == p, arr)
+            )
+        staged = v.select(
+            id_col, "_v", "_c",
+            F.zip_with(F.col("_v"), cvec, lambda x, y: x - y).alias("_r"),
+        )
+        # per-subspace score arrays as NAMED columns (the pq_codes re-eval
+        # staging), then first-min codes
+        score_cols = [F.col(id_col), F.col("_v"), F.col("_c")]
+        for j, cents_j in enumerate(cbs):
+            subv = F.slice(F.col("_r"), j * sub + 1, sub)
+            scores = F.array(
+                *[
+                    F.lit(sum(c * c for c in cent))
+                    - F.lit(2.0)
+                    * dot(subv, F.array(*[F.lit(float(c)) for c in cent]))
+                    for cent in cents_j
+                ]
+            )
+            score_cols.append(scores.alias(f"_s{j}"))
+        coded = staged.select(*score_cols).select(
+            id_col, "_v", "_c",
+            *[
+                F.array_position(F.col(f"_s{j}"), F.array_min(F.col(f"_s{j}")))
+                .cast("int")
+                .alias(f"_code{j}")
+                for j in range(m)
+            ],
+        )
     # ADC: per-cell LUT literals (query residual vs each codebook entry),
     # selected by cell, indexed by code — m element_at lookups per row
     adc = F.lit(0.0)

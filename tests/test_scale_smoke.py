@@ -501,6 +501,22 @@ def test_ivfadc_trained_recall_at_scale(spark):
     assert len(set(exact) & got) >= 8, sorted(got)
 
 
+def test_ivfadc_np_matches_expr(spark):
+    """The NumPy encode stage must be BIT-exact with the expression path
+    — same fold order, same first-min ties, same residual arithmetic —
+    so the oracle certification of the default path covers both."""
+    from haf_plug_play_spark.ext import similarity
+    from haf_plug_play_spark.ext.registry import _QUERY_VEC
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    a = similarity.ivfadc_topk(emb, _QUERY_VEC, k=50, shortlist=100, method="np")
+    b = similarity.ivfadc_topk(emb, _QUERY_VEC, k=50, shortlist=100, method="expr")
+    ra = [tuple(r) for r in a.collect()]
+    rb = [tuple(r) for r in b.collect()]
+    assert ra == rb and len(ra) == 50
+
+
 def test_pq_adc_shortlist_recall_at_scale(spark):
     """Trained PQ + ADC on the 20k x 32-dim corpus, in the regime PQ is
     actually used (8-bit codes: m=8, ksub=256, as in FAISS defaults):
