@@ -1437,6 +1437,152 @@ def _ivfadc_sql(
     )
 
 
+_BM25_QUERY = ["hash", "join", "scan", "vector", "quantile"]
+
+
+def xr_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 against a fixed bag-of-words query
+    (ext/retrieval.py:bm25_topk) — the lexical-retrieval primitive for
+    sourcing topical corpus slices and hard negatives; term stream
+    filtered to the query's literal set before any aggregation, df/N/
+    avgdl broadcast, TakeOrderedAndProject top-k."""
+    from haf_plug_play_spark.ext import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, _BM25_QUERY, k=10)
+
+
+def _bm25_sql(
+    query_terms: list[str], k: int = 10, k1: float = 1.2, b: float = 0.75
+) -> str:
+    """DuckDB mirror of bm25_topk: exact-integer tf/df/dl, integer-exact
+    avgdl division, the same Lucene-IDF arithmetic with the identical
+    driver-side Python float literals (repr round-trips)."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    num = f"(tf * {k1 + 1.0!r})"
+    den = f"(tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))"
+    idf = "ln(1.0 + (n - df + 0.5) / (df + 0.5))"
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '') AS ws FROM documents), "
+        "lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w), "
+        "stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens), "
+        "terms AS (SELECT doc_id, unnest(ws) AS t FROM w), "
+        f"tf AS (SELECT doc_id, t, count(*) AS tf FROM terms "
+        f"WHERE t IN ({terms}) GROUP BY 1, 2), "
+        "dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY 1), "
+        f"sc AS (SELECT tf.doc_id, {idf} * {num} / {den} AS s "
+        "FROM tf JOIN dfc USING (t) JOIN lens USING (doc_id) CROSS JOIN stats) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, "
+        "round(sum(s), 6) AS bm25 FROM sc GROUP BY 1 "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {k}"
+    )
+
+
+def xt_clf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (ext/classify.py:lr_score): the
+    fastText/CCNet-style linear classifier over hashed unigram+bigram
+    features, mean-pooled — seeded coefficients keep the canonical query
+    a pure function of the seed (the BPE learn-vs-apply split); training
+    is pytest-gated (loss reduction + planted-vocabulary separation)."""
+    from haf_plug_play_spark.ext import classify
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return classify.lr_score(docs, classify.seed_weights())
+
+
+def _clf_quality_sql(
+    n_buckets: int = 128, seed: int = 23, threshold: float = 0.5
+) -> str:
+    """DuckDB mirror of xt_clf_quality: the DSIR featurizer CTEs, the
+    same seeded weight literals indexed 1-based, margin rounded BEFORE
+    the sigmoid so both engines exponentiate the identical argument."""
+    from haf_plug_play_spark.ext import classify
+
+    warr = _vec_sql(classify.seed_weights(n_buckets, seed))
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '') AS ws FROM documents), "
+        "f AS (SELECT doc_id, unnest(ws) AS f FROM w "
+        "UNION ALL SELECT doc_id, "
+        "unnest([array_to_string(ws[i:i+1], ' ') "
+        "FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]) AS f FROM w), "
+        f"fb AS (SELECT doc_id, {md5_int_sql('f')} % {n_buckets} AS b FROM f), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+        f"sum(CAST({warr} AS DOUBLE[])[b + 1]) AS wsum FROM fb GROUP BY 1), "
+        "m AS (SELECT doc_id, n_feats, "
+        "round(0.0 + wsum / n_feats, 6) AS margin FROM agg) "
+        "SELECT doc_id, n_feats, margin, "
+        "round(1.0 / (1.0 + exp(-margin)), 6) AS p_keep, "
+        f"round(1.0 / (1.0 + exp(-margin)), 6) >= {threshold!r} AS keep "
+        "FROM m ORDER BY doc_id"
+    )
+
+
+def xp_pipeline6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth composed pipeline — MODEL-gated curation over the r6
+    operators: classifier quality scores (seeded weights — ext/classify.py
+    lr_score) gate the corpus (keep p ≥ 0.5) → exact-dedup keeper
+    (first-wins per normalized text) → token-budget packing per lang.
+    One Catalyst plan: the classifier is an explode + element_at on the
+    weight literal + keyed agg semi-joined back, dedup is one window,
+    packing one per-stratum window."""
+    from haf_plug_play_spark.ext import classify
+    from pyspark.sql.window import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = (
+        classify.lr_score(docs, classify.seed_weights())
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    fp_w = _W.partitionBy(xt.fingerprint_md5(F.col("text"))).orderBy("doc_id")
+    uniq = (
+        kept.withColumn("_rn", F.row_number().over(fp_w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", xt.n_tokens_ws(F.col("text")).alias("n_tok"))
+    )
+    packed = sampling_mod.pack_chunks(uniq, ["lang"], "n_tok", 1024, "doc_id")
+    return packed.select(
+        "doc_id", "lang", "n_tok", "chunk_offset", "chunk_id"
+    ).orderBy("doc_id")
+
+
+def _pipeline6_sql(budget: int = 1024, threshold: float = 0.5) -> str:
+    """DuckDB mirror of xp_pipeline6: the _clf_quality_sql scoring CTEs,
+    the XP-pipeline keeper window, the XA-pack-chunks running offset."""
+    from haf_plug_play_spark.ext import classify
+
+    warr = _vec_sql(classify.seed_weights())
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '') AS ws FROM documents), "
+        "f AS (SELECT doc_id, unnest(ws) AS f FROM w "
+        "UNION ALL SELECT doc_id, "
+        "unnest([array_to_string(ws[i:i+1], ' ') "
+        "FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]) AS f FROM w), "
+        f"fb AS (SELECT doc_id, {md5_int_sql('f')} % 128 AS b FROM f), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
+        f"sum(CAST({warr} AS DOUBLE[])[b + 1]) AS wsum FROM fb GROUP BY 1), "
+        "m AS (SELECT doc_id, round(0.0 + wsum / n_feats, 6) AS margin FROM agg), "
+        "keptid AS (SELECT doc_id FROM m "
+        f"WHERE round(1.0 / (1.0 + exp(-margin)), 6) >= {threshold!r}), "
+        "kept AS (SELECT d.* FROM documents d JOIN keptid USING (doc_id)), "
+        "uniq AS (SELECT doc_id, lang, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) "
+        "AS n_tok FROM (SELECT *, row_number() OVER "
+        r"(PARTITION BY md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) "
+        "ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1), "
+        "packed AS (SELECT doc_id, lang, n_tok, "
+        "CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS chunk_offset FROM uniq) "
+        "SELECT doc_id, lang, n_tok, chunk_offset, "
+        f"CAST(floor(chunk_offset / {budget}) AS BIGINT) AS chunk_id "
+        "FROM packed ORDER BY doc_id"
+    )
+
+
 # Fixed BPE merge rules — the tokenizer-model artifact for the oracle-gated
 # tokenization query: the first 8 rules learn_bpe_merges learns from the
 # sf0.01 documents corpus, hardcoded so the query is a pure function of its
@@ -1885,6 +2031,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XP-pipeline5": xp_pipeline5,
     # new in r6 (never driver-checked)
     "XS-ivfadc": xs_ivfadc,
+    "XR-bm25": xr_bm25,
+    "XT-clf-quality": xt_clf_quality,
+    "XP-pipeline6": xp_pipeline6,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -1936,6 +2085,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XA-dsir": _dsir_sql(),
     "XP-pipeline5": _pipeline5_sql(),
     "XS-ivfadc": _ivfadc_sql(_QUERY_VEC, 10),
+    "XR-bm25": _bm25_sql(_BM25_QUERY, 10),
+    "XT-clf-quality": _clf_quality_sql(),
+    "XP-pipeline6": _pipeline6_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -1,0 +1,78 @@
+"""Lexical retrieval over the documents corpus — the BM25 ranking the
+dedup/similarity family lacks: term-frequency saturation + document-length
+normalization (Okapi BM25, Robertson & Zaragoza 2009, public method; the
+IDF spelling is Lucene's non-negative variant ln(1 + (N−df+0.5)/(df+0.5))).
+
+Retrieval is a first-class training-data operation: sourcing topical
+subsets from a 100 TB crawl ("find the science-y slice"), building
+hard-negative pairs for embedding training, and query-driven corpus audits
+all reduce to a scored top-k over an inverted term view.
+
+Scale shape: the corpus term stream is FILTERED to the query's literal
+term set before any aggregation (predicate on the exploded word — Catalyst
+pushes it into the generator's output projection, so the keyed tf
+aggregation sees only matching terms, not the corpus vocabulary); df is a
+|Q|-row aggregate joined back by BROADCAST; N and avgdl are one single-row
+aggregate broadcast as a cross join; top-k plans as TakeOrderedAndProject.
+Nothing corpus-sized shuffles except the (doc, query-term) tf pairs —
+bounded by corpus hits on |Q| terms, the inverted-index posting volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 against a bag-of-words query.
+
+    score(D) = Σ_{t∈Q} ln(1 + (N−df_t+0.5)/(df_t+0.5)) ·
+               tf_tD·(k1+1) / (tf_tD + k1·(1−b+b·|D|/avgdl))
+
+    Oracle-parity notes: |D| and df are exact integers; avgdl is an
+    integer-sum/count division (exact on both engines); the per-document
+    Σ over query terms is the one shuffle-reassociated double sum (the
+    DSIR/unigram-LM caveat family — 6-dp rounding absorbs it for any
+    corpus whose sums don't sit on a rounding boundary). Ties break on
+    the id. Output: (id, n_hits, bm25) top-k by (bm25 desc, id).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    lens = docs.select(F.col(id_col), F.size(words).cast("long").alias("_dl"))
+    stats = lens.agg(
+        F.count("*").alias("_n"), F.avg("_dl").alias("_avg")
+    )
+    terms = (
+        docs.select(F.col(id_col), F.explode(words).alias("_w"))
+        .filter(F.col("_w").isin([t.lower() for t in query_terms]))
+    )
+    tf = terms.groupBy(id_col, "_w").agg(F.count("*").alias("_tf"))
+    df = tf.groupBy("_w").agg(F.count("*").alias("_df"))
+    scored = (
+        tf.join(F.broadcast(df), "_w")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    w_score = idf * (
+        F.col("_tf") * F.lit(k1 + 1.0)
+    ) / (
+        F.col("_tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avg"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.sum(w_score), 6).alias("bm25"),
+    )
+    return per_doc.orderBy(F.desc("bm25"), id_col).limit(k)

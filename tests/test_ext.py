@@ -1140,3 +1140,86 @@ def test_audio_fingerprint_short_clip_fails_loudly(spark):
     media2 = spark.createDataFrame([(1, trunc)], "media_id long, content binary")
     with _pytest.raises(Exception, match="truncated audio payload"):
         multimodal.audio_fingerprint(media2).collect()
+
+
+def test_bm25_ranking_behavior(spark):
+    """BM25 semantics beyond the oracle: more matching query terms beat
+    fewer; at equal tf, the shorter document outranks the longer one
+    (length normalization); a document with no query terms is absent."""
+    from haf_plug_play_spark.ext import retrieval
+
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join scan"),  # 3 terms, short
+            (2, "hash join " + filler),  # 2 terms, long
+            (3, "hash " + " ".join(f"x{i}" for i in range(2))),  # 1 term, short
+            (4, "hash " + filler),  # 1 term, long
+            (5, filler),  # no terms
+        ],
+        "doc_id long, text string",
+    )
+    out = retrieval.bm25_topk(docs, ["hash", "join", "scan"], k=10)
+    rows = {r.doc_id: (r.n_hits, r.bm25) for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # doc 5 never scores
+    assert rows[1][0] == 3 and rows[2][0] == 2
+    assert rows[1][1] > rows[2][1] > rows[4][1]  # more terms win
+    assert rows[3][1] > rows[4][1]  # same tf, shorter doc wins
+
+
+def test_classifier_trains_and_separates(spark):
+    """Declarative LR training (ext/classify.py): the trained model must
+    strictly reduce log-loss vs the zero model (which scores p=0.5
+    everywhere) and fully separate two planted vocabularies; the
+    end-to-end classifier_quality_gate keeps reference-like docs only."""
+    import math as _math
+
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext import classify
+
+    reactor = "neutron flux moderator coolant turbine reactor core control rods"
+    garden = "tulip compost trellis pergola loam seedling mulch arbor shade"
+    rows = []
+    for i in range(20):
+        rows.append((i, f"{reactor} item{i % 5}", "src0"))
+        rows.append((100 + i, f"{garden} item{i % 5}", "src1"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    bias, weights = classify.train_lr(
+        docs, F.col("source") == "src0", iters=60, lr=5.0
+    )
+    scored = {
+        r.doc_id: r.p_keep
+        for r in classify.lr_score(docs, weights, bias=bias).collect()
+    }
+    pos = [p for d, p in scored.items() if d < 100]
+    neg = [p for d, p in scored.items() if d >= 100]
+    assert min(pos) > 0.5 > max(neg)  # complete separation
+    # strict log-loss reduction vs the zero model (loss = ln 2)
+    eps = 1e-12
+    loss = -sum(
+        _math.log(max(scored[d], eps)) if d < 100
+        else _math.log(max(1 - scored[d], eps))
+        for d in scored
+    ) / len(scored)
+    assert loss < _math.log(2.0) * 0.5  # 0.167 measured; zero model = ln 2
+
+    # end-to-end gate: the realistic shape — a crawl that is mostly
+    # junk with a few reference-like docs, scored against a reference
+    # corpus. The reference-like minority must survive: its features
+    # carry 10 positive reference occurrences against 4 "crawl" negative
+    # ones, so the trained weights stay positive (the GPT-3 noisy-
+    # negatives setup tolerates positives leaking into the crawl side).
+    crawl = spark.createDataFrame(
+        [(i, f"{reactor} crawlhit{i}") for i in range(4)]
+        + [(100 + i, f"{garden} crawljunk{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(1000 + i, f"{reactor} extra{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    gated = classify.classifier_quality_gate(crawl, ref, iters=40)
+    kept = {r.doc_id for r in gated.collect() if r.keep}
+    assert kept == set(range(4))  # reference-like kept, junk dropped

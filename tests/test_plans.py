@@ -412,6 +412,27 @@ def test_ivfadc_projection_only_until_shortlist(spark):
     assert "Exchange hashpartitioning" not in plan, plan[:2000]
 
 
+def test_bm25_take_ordered_no_cartesian(spark):
+    """BM25's corpus stats (N, avgdl) must ride a broadcast (the cross
+    join of a single-row aggregate — never a CartesianProduct), df joins
+    back by broadcast (|Q|-row side), and the top-k plans as
+    TakeOrderedAndProject. The tf-lens join on the doc id is the one
+    legitimate keyed shuffle (posting lists against corpus lengths)."""
+    plan = _plan(EXT_QUERIES["XR-bm25"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_clf_quality_joinless(spark):
+    """Classifier inference must be join-free: the model is an array
+    LITERAL (element_at per feature), so the plan is explode →
+    projection → one keyed aggregation — nothing corpus-sized moves
+    except the feature stream's own doc-id shuffle."""
+    plan = _plan(EXT_QUERIES["XT-clf-quality"](spark, SF_ORACLE))
+    assert "Join" not in plan, plan[:2000]
+
+
 def test_bpe_tokenize_shuffle_free(spark):
     """Tokenizer application is per-row expression work: no shuffle of
     any kind in the plan (the orderBy is the presentation sort the
