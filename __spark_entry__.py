@@ -42,15 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # automatically instead of via a hand-grown list. Every query — front or
 # back — passes the identical DuckDB-oracle comparison in pytest every
 # round (tests/test_canonical.py, test_advanced.py, test_ext.py).
-_CHANGED_SINCE_LAST_ROW = [
-    # r5 changes that postdate these queries' last driver rows (r4):
-    # QV1-audit HALF_UP rounding, XD-bloom NULL-key COALESCE, and the
-    # XD-sem-decontam broadcast-join rework (5268b5e) landed after its
-    # r5 row was recorded.
-    "QV1-audit",
-    "XD-bloom",
-    "XD-sem-decontam",
-]
+# query id → round whose code changes postdate the query's banked driver
+# rows. Tier 1 applies only while the query's last green row is <= that
+# round, so entries RETIRE THEMSELVES once a fresh row lands — no stale
+# priority list to garden next round.
+_CHANGED_SINCE_LAST_ROW = {
+    # r5 changes recorded after the r5 driver run: QV1-audit HALF_UP
+    # rounding, XD-bloom NULL-key COALESCE, XD-sem-decontam broadcast-
+    # join rework (5268b5e).
+    "QV1-audit": 5,
+    "XD-bloom": 5,
+    "XD-sem-decontam": 5,
+}
 
 
 def _last_green_round() -> dict[str, int]:
@@ -86,13 +89,12 @@ def _last_green_round() -> dict[str, int]:
 
 def _evidence_order(names: list[str]) -> list[str]:
     last = _last_green_round()
-    changed = set(_CHANGED_SINCE_LAST_ROW)
 
     def prio(pair: tuple[int, str]) -> tuple[int, int, int]:
         i, name = pair
         if name not in last:
             return (0, 0, i)
-        if name in changed:
+        if last[name] <= _CHANGED_SINCE_LAST_ROW.get(name, -1):
             return (1, 0, i)
         return (2, last[name], i)
 

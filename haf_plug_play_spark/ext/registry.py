@@ -1519,6 +1519,42 @@ def _clf_quality_sql(
     )
 
 
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+def xa_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture accounting (ext/sampling.py:mixture_report): per-source
+    doc/token counts, actual vs recipe token shares, and the one-epoch
+    Bernoulli rates that realize the target mixture — the bookkeeping
+    pass every weighted-mix run starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling_mod.mixture_report(
+        docs, _MIX_TARGETS, xt.n_tokens_ws(F.col("text"))
+    )
+
+
+def _mix_report_sql(targets: dict[str, float]) -> str:
+    case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{k}' THEN {float(v)!r}" for k, v in sorted(targets.items())
+        )
+        + " ELSE 0.0 END"
+    )
+    return (
+        "WITH t AS (SELECT source, count(*) AS n_docs, "
+        f"CAST(sum({_NTOK_SQL}) AS BIGINT) AS n_tokens "
+        "FROM documents GROUP BY 1), "
+        "s AS (SELECT source, n_docs, n_tokens, "
+        "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share, "
+        f"CAST({case} AS DOUBLE) AS target_share FROM t), "
+        "r AS (SELECT *, target_share / share AS ratio FROM s) "
+        "SELECT source, n_docs, n_tokens, round(share, 6) AS token_share, "
+        "target_share, round(ratio / max(ratio) OVER (), 6) AS sample_rate "
+        "FROM r ORDER BY source"
+    )
+
+
 def xp_pipeline6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sixth composed pipeline — MODEL-gated curation over the r6
     operators: classifier quality scores (seeded weights — ext/classify.py
@@ -2034,6 +2070,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XR-bm25": xr_bm25,
     "XT-clf-quality": xt_clf_quality,
     "XP-pipeline6": xp_pipeline6,
+    "XA-mix-report": xa_mix_report,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2088,6 +2125,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XR-bm25": _bm25_sql(_BM25_QUERY, 10),
     "XT-clf-quality": _clf_quality_sql(),
     "XP-pipeline6": _pipeline6_sql(),
+    "XA-mix-report": _mix_report_sql(_MIX_TARGETS),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -450,3 +450,63 @@ def temperature_mix_sql(
         f"FROM documents JOIN rates ON {stratum_col} = rates.s "
         f"WHERE {u} < rate ORDER BY doc_id"
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    targets: dict[str, float],
+    weight: Column,
+    stratum_col: str = "source",
+) -> DataFrame:
+    """Mixture accounting for a pretraining data recipe: per stratum
+    (source/domain/language), the document and token counts, the ACTUAL
+    token share, the TARGET share from the recipe, and the Bernoulli
+    ``sample_rate`` that realizes the target mixture in one epoch —
+    rate_i = (target_i / share_i) / max_j (target_j / share_j), so the
+    most under-target stratum keeps everything and the rest downsample
+    proportionally (the deterministic companion to ``weighted_mix``'s
+    hand-set rates and ``temperature_mix``'s derived ones).
+
+    Plan shape: ONE map-side-combinable aggregation over the corpus; the
+    share/target/rate algebra runs on the strata-bounded result via
+    unpartitioned windows (a handful of rows). Strata absent from the
+    recipe get target 0 → rate 0 (dropped from the mixture, loudly
+    visible in the report).
+
+    Output: (stratum, n_docs, n_tokens, token_share, target_share,
+    sample_rate) ordered by stratum, shares/rates rounded to 6 dp.
+    """
+    agg = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(weight).cast("long").alias("n_tokens"),
+    )
+    w_all = W.partitionBy()
+    target = F.lit(0.0)
+    for name, t in sorted(targets.items(), reverse=True):
+        target = F.when(F.col(stratum_col) == name, F.lit(float(t))).otherwise(
+            target
+        )
+    staged = agg.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.sum("n_tokens").over(w_all)).alias("_share"),
+        target.alias("target_share"),
+    ).select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        "_share",
+        "target_share",
+        (F.col("target_share") / F.col("_share")).alias("_ratio"),
+    )
+    return staged.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("_share"), 6).alias("token_share"),
+        "target_share",
+        F.round(F.col("_ratio") / F.max("_ratio").over(w_all), 6).alias(
+            "sample_rate"
+        ),
+    ).orderBy(stratum_col)
