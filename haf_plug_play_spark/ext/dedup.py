@@ -1089,3 +1089,106 @@ def ngram_containment_pairs(
         .filter(F.greatest("cont_a", "cont_b") >= threshold)
         .select("id_a", "id_b", "inter", "cont_a", "cont_b")
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """APPLY the exact-substring dedup the span census only reports
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better", the ExactSubstr tool's contract, word-granular): every word
+    covered by a corpus-duplicated span occurrence is CUT from the
+    document — except the canonical FIRST occurrence (min (doc_id, pos)
+    per span hash), so exactly one copy of every duplicated region
+    survives corpus-wide. For a duplicated region longer than the
+    window, the canonical copy's doc holds the canonical occurrence of
+    every one of the region's stride-1 spans, so the whole region
+    survives there and is cut everywhere else — keep-one-copy falls out
+    of per-span canonicals with no region assembly step.
+
+    Plan shape: span hashes ride the XD-spans machinery (per-row let-
+    bound transform, stride 1, truncated tail span); the census is one
+    map-side-combinable aggregation that ALSO carries each hash's
+    canonical occurrence (a min(struct) — no window, no second shuffle);
+    non-canonical duplicate occurrences join back per doc as a bounded
+    sorted start list; the cut itself is a per-row position-indexed
+    filter (word j survives iff no flagged start s has s ≤ j ≤ s+w−1 —
+    O(words × flagged_starts) per row, quadratic only for a document
+    that is itself almost entirely duplicated).
+
+    Hashing is over lowercased words (the corpus-wide convention);
+    emitted words keep their ORIGINAL casing — positions align because
+    lowercasing never touches the delimiter.
+
+    Output: (id, n_words, n_removed, clean_text) ordered by id.
+    """
+    from haf_plug_play_spark.ext.hashing import md5_int
+
+    w = window
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(w - 1), F.lit(1)))
+
+    def build(wsb):
+        return F.transform(
+            idx, lambda i: md5_int(F.concat_ws(" ", F.slice(wsb, i, w)))
+        )
+
+    # let-bind ws (the winnowing trick): inlining would re-split per span
+    hs_expr = F.get(F.transform(F.array(ws), build), 0)
+    spans = df.select(F.col(id_col), hs_expr.alias("__spans")).select(
+        F.col(id_col), F.posexplode("__spans").alias("_p0", "h")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "h")
+    census = spans.groupBy("h").agg(
+        F.count("*").alias("_n"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "_first"
+        ),
+    )
+    flagged = (
+        spans.join(census, "h")
+        .filter(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(id_col) == F.col("_first.d"))
+                & (F.col("pos") == F.col("_first.p"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    wo = F.split(F.col(text_col), " ")
+    staged = (
+        df.select(id_col, text_col)
+        .join(flagged, id_col, "left")
+        .select(
+            F.col(id_col),
+            wo.alias("_wo"),
+            F.coalesce(F.col("_starts"), F.array().cast("array<int>")).alias(
+                "_starts"
+            ),
+        )
+    )
+    kept = F.filter(
+        F.col("_wo"),
+        lambda x, i: ~F.exists(
+            F.col("_starts"),
+            lambda s: (s <= i + 1) & (i + 1 <= s + F.lit(w - 1)),
+        ),
+    )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.size("_wo").cast("long").alias("n_words"),
+            kept.alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            (F.col("n_words") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.array_join("_kept", " ").alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )

@@ -1315,6 +1315,48 @@ def xd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def xd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-copy exact-substring dedup APPLIED
+    (ext/dedup.py:remove_duplicated_spans) over the excerpt-planted
+    corpus: every excerpt's words are covered by spans whose canonical
+    occurrence lives in the parent, so excerpts clean to empty while
+    parents survive intact — the Lee et al. cut, not just the census."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.remove_duplicated_spans(_excerpt_corpus(docs))
+
+
+def _span_removal_sql(w: int = 8) -> str:
+    """DuckDB mirror of xd_span_removal: same md5 span hashes with the
+    truncated-tail convention, canonical = min (doc_id, pos) struct,
+    position-indexed keep filter."""
+    span_h = md5_int_sql(f"array_to_string(ws[i:i+{w - 1}], ' ')")
+    return (
+        f"WITH {_CONT_CORPUS_SQL}, "
+        "d AS (SELECT doc_id, string_split(text, ' ') AS wo, "
+        "string_split(lower(text), ' ') AS ws FROM corpus), "
+        "hs AS (SELECT doc_id, "
+        f"unnest([struct_pack(p := i, h := {span_h}) "
+        f"FOR i IN range(1, greatest(len(ws)-{w - 1}, 1)+1)]) AS sp FROM d), "
+        "s AS (SELECT doc_id, sp.p AS pos, sp.h AS h FROM hs), "
+        "census AS (SELECT h, count(*) AS n, "
+        "min(struct_pack(d := doc_id, p := pos)) AS f FROM s GROUP BY 1), "
+        "rem AS (SELECT s.doc_id, s.pos FROM s JOIN census USING (h) "
+        "WHERE n > 1 AND NOT (s.doc_id = f.d AND s.pos = f.p)), "
+        "st AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM rem "
+        "GROUP BY 1), "
+        "c AS (SELECT d.doc_id, wo, "
+        "coalesce(starts, CAST([] AS BIGINT[])) AS starts "
+        "FROM d LEFT JOIN st USING (doc_id)), "
+        "k AS (SELECT doc_id, wo, [wo[j] FOR j IN range(1, len(wo)+1) "
+        f"IF len(list_filter(starts, s -> s <= j AND j <= s + {w - 1})) = 0] "
+        "AS kept FROM c) "
+        "SELECT doc_id, CAST(len(wo) AS BIGINT) AS n_words, "
+        "CAST(len(wo) - len(kept) AS BIGINT) AS n_removed, "
+        "coalesce(array_to_string(kept, ' '), '') AS clean_text "
+        "FROM k ORDER BY doc_id"
+    )
+
+
 def xt_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 bigrams with corpus + document frequencies
     (ext/text.py:top_ngrams) — the tokenizer-training statistics pass."""
@@ -2071,6 +2113,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-clf-quality": xt_clf_quality,
     "XP-pipeline6": xp_pipeline6,
     "XA-mix-report": xa_mix_report,
+    "XD-span-removal": xd_span_removal,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2126,6 +2169,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-clf-quality": _clf_quality_sql(),
     "XP-pipeline6": _pipeline6_sql(),
     "XA-mix-report": _mix_report_sql(_MIX_TARGETS),
+    "XD-span-removal": _span_removal_sql(8),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

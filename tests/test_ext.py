@@ -1230,3 +1230,30 @@ def test_classifier_trains_and_separates(spark):
     gated = classify.classifier_quality_gate(crawl, ref, iters=40)
     kept = {r.doc_id for r in gated.collect() if r.keep}
     assert kept == set(range(4))  # reference-like kept, junk dropped
+
+
+def test_span_removal_keep_one_copy(spark):
+    """remove_duplicated_spans applies the Lee-et-al cut with exactly-one
+    surviving copy: a 20-word region shared by two docs survives intact
+    in the canonical (lowest-id) doc and is cut to the word from the
+    other; a doc repeating its own 8-word block keeps the first block
+    only; untouched docs round-trip bit-identically."""
+    R = " ".join(f"r{i}" for i in range(20))  # shared region, > window
+    u1 = " ".join(f"u{i}" for i in range(10))
+    u2 = " ".join(f"v{i}" for i in range(10))
+    pre = "p0 p1 p2 p3 p4"
+    S = " ".join(f"s{i}" for i in range(8))  # exactly one window
+    rows = [
+        (1, f"{R} {u1}"),  # canonical holder of R
+        (2, f"{pre} {R} {u2}"),  # loses exactly R
+        (3, " ".join(f"w{i}" for i in range(30))),  # untouched
+        (4, f"{S} {S}"),  # within-doc repeat: second S cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(docs).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == f"{R} {u1}"
+    assert out[2].n_removed == 20 and out[2].clean_text == f"{pre} {u2}"
+    assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]
+    assert out[4].n_removed == 8 and out[4].clean_text == S
+    # corpus-wide: each duplicated word is stored exactly once afterwards
+    assert sum(r.n_removed for r in out.values()) == 28
