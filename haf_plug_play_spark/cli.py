@@ -129,6 +129,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--dsir-tau", type=float, default=0.0,
         help="DSIR log-weight keep threshold (with --dsir-target)",
     )
+    cu.add_argument(
+        "--dedup-spans", type=int, default=None, metavar="WINDOW",
+        help="pre-funnel keep-one-copy exact-substring removal at this "
+        "word window (ext/dedup.py:remove_duplicated_spans); later "
+        "stages see the cleaned text",
+    )
 
     vo = sub.add_parser(
         "vocab",
@@ -248,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
             decontam_min_frac=args.decontam_min_frac,
             dsir_target_expr=args.dsir_target,
             dsir_tau=args.dsir_tau,
+            remove_dup_spans=args.dedup_spans,
         )
         print(json.dumps(summary))
     elif args.cmd == "explain":

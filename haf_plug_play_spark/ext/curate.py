@@ -38,6 +38,7 @@ def curate_documents(
     decontam_min_frac: float = 0.5,
     dsir_target=None,
     dsir_tau: float = 0.0,
+    remove_dup_spans: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation funnel and return (curated DataFrame, stage counts).
 
@@ -66,7 +67,20 @@ def curate_documents(
       Column over the input's columns). A document with no features
       (empty text) is never target-like and is dropped, matching
       dsir_weights' no-row semantics.
+    - ``remove_dup_spans``: a PRE-funnel text rewrite, not a flag —
+      keep-one-copy exact-substring removal at this window
+      (ext/dedup.py:remove_duplicated_spans) runs first and every later
+      stage (fingerprints, quality, packing) sees the cleaned text; a
+      doc cut to nothing simply scores like an empty doc and falls to
+      the quality gate.
     """
+    if remove_dup_spans is not None:
+        from haf_plug_play_spark.ext.dedup import remove_duplicated_spans
+
+        cleaned = remove_duplicated_spans(
+            docs, id_col=id_col, text_col=text_col, window=remove_dup_spans
+        ).select(F.col(id_col), F.col("clean_text").alias(text_col))
+        docs = docs.drop(text_col).join(cleaned, id_col)
     # exact dedup as a FLAG, not a filter: the keeper (lowest id) per
     # normalized-text fingerprint via a fingerprint-partitioned window —
     # one hash shuffle (vs the groupBy+semi-join's two) and every input

@@ -1561,6 +1561,42 @@ def _clf_quality_sql(
     )
 
 
+def xt_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (ext/text.py:bigram_lm_scores) —
+    the fluency-sensitive step up from XT-unigram-lm toward the KenLM
+    perplexity filter: Jelinek-Mercer mixture of corpus-trained MLE
+    bigram and unigram probabilities, mean log-prob per document."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return xt.bigram_lm_scores(docs)
+
+
+def _bigram_lm_sql(lam: float = 0.7) -> str:
+    """DuckDB mirror of bigram_lm_scores: same (prev, word) stream, same
+    MLE tables, the identical interpolation literals (repr round-trip),
+    first token scored by unigram alone."""
+    return (
+        "WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws "
+        "FROM documents), "
+        "tok AS (SELECT doc_id, unnest([struct_pack(wd := ws[i], "
+        "pv := CASE WHEN i > 1 THEN ws[i-1] END) "
+        "FOR i IN range(1, len(ws)+1)]) AS t FROM w), "
+        "s AS (SELECT doc_id, t.wd AS w, t.pv AS pv FROM tok), "
+        "uni AS (SELECT w, count(*) AS cu FROM s GROUP BY 1), "
+        "tot AS (SELECT sum(cu) AS T FROM uni), "
+        "bi AS (SELECT pv, w, count(*) AS cb FROM s "
+        "WHERE pv IS NOT NULL GROUP BY 1, 2), "
+        "sc AS (SELECT doc_id, CASE WHEN s.pv IS NULL "
+        "THEN ln(CAST(uni.cu AS DOUBLE) / T) "
+        f"ELSE ln({float(lam)!r} * (CAST(coalesce(bi.cb, 0) AS DOUBLE) / up.cu) "
+        f"+ {1.0 - lam!r} * (CAST(uni.cu AS DOUBLE) / T)) END AS lp "
+        "FROM s JOIN uni USING (w) "
+        "LEFT JOIN bi ON bi.pv = s.pv AND bi.w = s.w "
+        "LEFT JOIN uni up ON up.w = s.pv CROSS JOIN tot) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "round(avg(lp), 6) AS avg_logp FROM sc GROUP BY 1 ORDER BY doc_id"
+    )
+
+
 _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 
 
@@ -2114,6 +2150,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XP-pipeline6": xp_pipeline6,
     "XA-mix-report": xa_mix_report,
     "XD-span-removal": xd_span_removal,
+    "XT-bigram-lm": xt_bigram_lm,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2170,6 +2207,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XP-pipeline6": _pipeline6_sql(),
     "XA-mix-report": _mix_report_sql(_MIX_TARGETS),
     "XD-span-removal": _span_removal_sql(8),
+    "XT-bigram-lm": _bigram_lm_sql(0.7),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

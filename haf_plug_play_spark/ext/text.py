@@ -412,6 +412,83 @@ def unigram_lm_scores(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram language-model score — the step up from
+    ``unigram_lm_scores`` toward the KenLM-perplexity filter (public
+    Jelinek-Mercer interpolation): each token after the first scores
+    ln(λ·p(wᵢ|wᵢ₋₁) + (1−λ)·p(wᵢ)) with MLE bigram and unigram
+    probabilities trained on the corpus itself; the first token scores
+    by its unigram alone. The unigram mixture floor keeps every in-vocab
+    continuation finite, so a doc full of never-adjacent word pairs
+    scores low without hitting −∞ — exactly the fluency signal the
+    unigram model cannot see (it scores a shuffled document identically
+    to the original; the bigram term does not).
+
+    Plan shape: the (prev, word) stream is one zip+explode; bigram and
+    unigram tables are map-side-combinable hash aggregations re-joined
+    on their own keys; the corpus total rides a broadcast single-row
+    cross join. FP caveat: the per-doc mean reassociates across the
+    shuffle (the unigram-lm caveat family, absorbed by 6-dp rounding).
+
+    Output: (id, n_words, avg_logp) rounded 6 dp, ordered by id.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(words, 1, F.greatest(n - F.lit(1), F.lit(0))),
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                words, prevs,
+                lambda a, b: F.struct(a.alias("w"), b.alias("pv")),
+            )
+        ).alias("t"),
+    ).select(F.col(id_col), F.col("t.w").alias("w"), F.col("t.pv").alias("pv"))
+    uni = tok.groupBy("w").agg(F.count("*").alias("_cu"))
+    total = uni.agg(F.sum("_cu").alias("_t"))
+    bi = (
+        tok.filter(F.col("pv").isNotNull())
+        .groupBy("pv", "w")
+        .agg(F.count("*").alias("_cb"))
+    )
+    up = uni.select(F.col("w").alias("pv"), F.col("_cu").alias("_cp"))
+    scored = (
+        tok.join(uni, "w")
+        .join(bi, ["pv", "w"], "left")
+        .join(up, "pv", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("pv").isNull(), F.log(F.col("_cu") / F.col("_t"))
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(lam)) * (F.coalesce(F.col("_cb"), F.lit(0)) / F.col("_cp"))
+                    + F.lit(1.0 - lam) * (F.col("_cu") / F.col("_t"))
+                )
+            )
+            .alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg("_lp"), 6).alias("avg_logp"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -362,3 +362,28 @@ def test_curate_decontam_and_dsir_stages(spark, tmp_path, capsys):
     rows1 = sorted((r.doc_id, r.split) for r in spark.read.parquet(out1).collect())
     rows2 = sorted((r.doc_id, r.split) for r in spark.read.parquet(out2).collect())
     assert rows1 == rows2 and {d for d, _ in rows1} == kept
+
+
+def test_curate_dedup_spans_stage(spark):
+    """--dedup-spans runs keep-one-copy substring removal BEFORE the
+    funnel: a doc that duplicates another doc's text keeps only its own
+    novel tail, and every later stage (tokens, packing) sees the cleaned
+    text."""
+    import hashlib
+
+    from haf_plug_play_spark.ext.curate import curate_documents
+
+    shared = " ".join(
+        hashlib.md5(f"s-{k}".encode()).hexdigest()[:8] for k in range(30)
+    )
+    tail = " ".join(
+        hashlib.md5(f"t-{k}".encode()).hexdigest()[:8] for k in range(10)
+    )
+    docs = spark.createDataFrame(
+        [(1, shared), (2, f"{shared} {tail}")], "doc_id long, text string"
+    )
+    curated, f = curate_documents(docs, min_score=-100.0, remove_dup_spans=8)
+    got = {r.doc_id: r for r in curated.collect()}
+    assert f["input"] == f["curated"] == 2
+    assert got[1].n_tok == 30 and got[1].text == shared  # canonical intact
+    assert got[2].n_tok == 10 and got[2].text == tail  # duplicate excised

@@ -1257,3 +1257,21 @@ def test_span_removal_keep_one_copy(spark):
     assert out[4].n_removed == 8 and out[4].clean_text == S
     # corpus-wide: each duplicated word is stored exactly once afterwards
     assert sum(r.n_removed for r in out.values()) == 28
+
+
+def test_bigram_lm_sees_word_order(spark):
+    """The interpolated bigram score must separate fluent word order from
+    a shuffled bag of the same words — the signal the unigram model is
+    blind to (identical bags score identically there)."""
+    from haf_plug_play_spark.ext import text as xtext
+
+    fluent = "the quick brown fox jumps over the lazy dog tonight"
+    shuffled = "dog the over quick tonight brown the jumps lazy fox"
+    assert sorted(fluent.split()) == sorted(shuffled.split())
+    rows = [(i, fluent) for i in range(10)] + [(10, shuffled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.avg_logp for r in xtext.unigram_lm_scores(docs).collect()}
+    assert uni[0] == uni[10]  # same bag, unigram cannot tell
+    bi = {r.doc_id: r.avg_logp for r in xtext.bigram_lm_scores(docs).collect()}
+    assert bi[10] < bi[0]  # word order matters to the bigram mixture
+    assert bi[0] > uni[0]  # fluent docs gain from the bigram term
