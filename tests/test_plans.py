@@ -479,3 +479,13 @@ def test_dsir_ratio_table_broadcasts(spark):
     plan = _plan(EXT_QUERIES["XA-dsir"](spark, SF_ORACLE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_removal_keyed_joins_only(spark):
+    """Span removal must stay keyed end-to-end: census join on the span
+    hash, flagged starts joined back on the doc id — no cartesian or
+    nested-loop broadcast anywhere (the canonical rides the census agg,
+    not a window or a second pass)."""
+    plan = _plan(EXT_QUERIES["XD-span-removal"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
