@@ -557,3 +557,42 @@ def test_pq_adc_shortlist_recall_at_scale(spark):
     d = ((base[sorted(shortlist)] - q) ** 2).sum(1)
     reranked = [sorted(shortlist)[i] for i in np.argsort(d)[:10]]
     assert len(exact & set(reranked)) >= 8
+
+
+def test_span_removal_hot_boilerplate_at_scale(spark):
+    """The hot-span shape: one 12-word boilerplate sentence embedded in
+    5k documents. The census is a map-side-combinable hash agg (the hot
+    hash partially aggregates instead of funnelling one reducer), the
+    canonical rides the same agg, and the cut removes the boilerplate
+    from every doc except the lowest-id one — per-doc flagged-start
+    lists stay bounded by doc length regardless of corpus-wide hash
+    frequency."""
+    import hashlib
+
+    from haf_plug_play_spark.ext.dedup import remove_duplicated_spans
+
+    boiler = " ".join(f"b{i}" for i in range(12))
+
+    def uniq(i: int, n: int = 20) -> str:
+        return " ".join(
+            hashlib.md5(f"{i}-{k}".encode()).hexdigest()[:8] for k in range(n)
+        )
+
+    n_docs = 5000
+    rows = [(i, f"{uniq(i)} {boiler} {uniq(i + 100000)}") for i in range(n_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    out = remove_duplicated_spans(docs, window=8).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == n_docs
+    # doc 0 holds every boilerplate span's canonical: intact
+    assert by_id[0].n_removed == 0
+    # every other doc loses EXACTLY the boilerplate region. The flagged
+    # starts are the 5 stride-1 spans fully inside the boilerplate
+    # (starts 21..25 of the 52-word doc) plus boundary spans that cross
+    # into it are NOT duplicated (unique prefixes/suffixes differ), so
+    # the cut is exactly words 21..32.
+    removed = {r.n_removed for i, r in by_id.items() if i != 0}
+    assert removed == {12}, removed
+    # and the surviving text is the two unique halves, order preserved
+    sample = by_id[4321]
+    assert sample.clean_text == f"{uniq(4321)} {uniq(4321 + 100000)}"
