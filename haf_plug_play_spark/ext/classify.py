@@ -196,17 +196,27 @@ def train_lr(
                 * cw
             ).alias("_r"),
         )
-        grads = (
+        # ONE action per iteration: per-bucket weight gradients unioned
+        # with the bias gradient as sentinel bucket -1 (the bias sums _r
+        # once per DOC, so it rides the resid table, not the feature
+        # stream), all collected together — n_buckets+1 rows
+        per_bucket = (
             feats.join(resid, id_col)
             .groupBy("_b")
             .agg(F.sum(F.col("_r") / F.col("_nf")).alias("_g"))
-            .collect()
         )
-        gbias = resid.agg(F.sum("_r")).first()[0] or 0.0
+        bias_row = resid.groupBy().agg(F.sum("_r").alias("_g")).select(
+            F.lit(-1).alias("_b"), "_g"
+        )
+        rows = per_bucket.unionByName(bias_row).collect()
         new = list(weights)
-        for r in grads:
-            # class weights sum to 1, so gradients are already means
-            new[r._b] = weights[r._b] - lr * (r._g + l2 * weights[r._b])
+        gbias = 0.0
+        for r in rows:
+            if r._b == -1:
+                gbias = r._g or 0.0
+            else:
+                # class weights sum to 1, so gradients are already means
+                new[r._b] = weights[r._b] - lr * (r._g + l2 * weights[r._b])
         weights = new
         bias = bias - lr * gbias
     return bias, weights
