@@ -50,13 +50,27 @@ def run_queries(
         fn = queries[name]
         try:
             t = one_run(fn)
-            if t < repeat_under:
-                for _ in range(n_runs - 1):
-                    t = min(t, one_run(fn))
-            timings[name] = round(t, 4)
         except Exception as exc:
             errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
             print(f"bench query {name} failed: {errors[name]}", file=sys.stderr)
+            continue
+        # BANK the successful first run before attempting repeats: a
+        # transient failure on a re-run must degrade to the single-shot
+        # timing, never discard a valid measurement into the error path
+        # (which would null the canonical headline — the r2 failure mode)
+        if t < repeat_under:
+            for _ in range(n_runs - 1):
+                try:
+                    t = min(t, one_run(fn))
+                except Exception as exc:
+                    print(
+                        f"bench query {name} re-run failed "
+                        f"({type(exc).__name__}); keeping best of completed "
+                        "runs",
+                        file=sys.stderr,
+                    )
+                    break
+        timings[name] = round(t, 4)
     return timings, errors
 
 

@@ -30,24 +30,15 @@ from pyspark.sql import functions as F
 def _feature_stream(
     docs: DataFrame, id_col: str, text_col: str, n_buckets: int
 ) -> DataFrame:
-    """(id, _b bucket) hashed unigram+bigram occurrence stream — the DSIR
-    featurizer (ext/sampling.py:dsir_weights), shared spelling so the two
-    scorers see identical features."""
-    from haf_plug_play_spark.ext.hashing import md5_int
+    """(id, _b bucket) hashed occurrence stream over THE shared
+    unigram+bigram featurizer (ext/hashing.py:unigram_bigram_features —
+    one definition, used verbatim by dsir_weights, so the two scorers
+    can never silently diverge)."""
+    from haf_plug_play_spark.ext.hashing import md5_int, unigram_bigram_features
 
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
-    )
-    n = F.size(words)
-    blen = F.greatest(n - F.lit(1), F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(words, 1, blen),
-        F.slice(words, 2, blen),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     return docs.select(
         F.col(id_col),
-        F.explode(F.concat(words, bigrams)).alias("_f"),
+        F.explode(unigram_bigram_features(F.col(text_col))).alias("_f"),
     ).withColumn("_b", md5_int(F.col("_f")) % n_buckets)
 
 

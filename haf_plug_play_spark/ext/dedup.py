@@ -1102,12 +1102,18 @@ def remove_duplicated_spans(
     Better", the ExactSubstr tool's contract, word-granular): every word
     covered by a corpus-duplicated span occurrence is CUT from the
     document — except the canonical FIRST occurrence (min (doc_id, pos)
-    per span hash), so exactly one copy of every duplicated region
-    survives corpus-wide. For a duplicated region longer than the
-    window, the canonical copy's doc holds the canonical occurrence of
-    every one of the region's stride-1 spans, so the whole region
-    survives there and is cut everywhere else — keep-one-copy falls out
-    of per-span canonicals with no region assembly step.
+    per span hash). The keep-one-copy guarantee is PER SPAN HASH: every
+    duplicated span's canonical occurrence survives somewhere. For a
+    duplicated region longer than the window whose stride-1 spans all
+    FIRST appear together, the canonicals co-locate in the lowest-id
+    holder, so the whole region survives there and is cut everywhere
+    else — no region assembly step needed. Documented corner: if a
+    window-sized SUB-span of the region independently occurs in an even
+    lower-id third document, that sub-span's canonical lives there
+    instead and the region's main holder is cut at exactly that
+    sub-span — the content still survives, split across the two
+    canonical sites rather than contiguously (pinned in
+    tests/test_ext.py::test_span_removal_subspan_canonical_corner).
 
     Plan shape: span hashes ride the XD-spans machinery (per-row let-
     bound transform, stride 1, truncated tail span); the census is one
@@ -1127,6 +1133,11 @@ def remove_duplicated_spans(
     """
     from haf_plug_play_spark.ext.hashing import md5_int
 
+    if window < 1:
+        # w=0 would hash the empty string at every position (one corpus-
+        # wide "duplicated" hash → near-total text destruction with no
+        # error); w<0 dies mid-job as an opaque negative-slice exception
+        raise ValueError(f"span window must be >= 1, got {window}")
     w = window
     ws = F.split(F.lower(F.col(text_col)), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(w - 1), F.lit(1)))

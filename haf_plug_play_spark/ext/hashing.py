@@ -42,3 +42,22 @@ def universal_hash(x: Column, a: int, b: int) -> Column:
 
 def universal_hash_sql(x_expr: str, a: int, b: int) -> str:
     return f"(({a} * ({x_expr} % {MERSENNE_P}) + {b}) % {MERSENNE_P})"
+
+
+def unigram_bigram_features(text: Column) -> Column:
+    """Array of hashed-feature input strings — non-empty lowercased words
+    plus space-joined adjacent bigrams. THE portable feature scheme,
+    defined once and shared by DSIR (ext/sampling.py:dsir_weights) and
+    the quality classifier (ext/classify.py), so the two scorers (and
+    the SQL oracles generated against this spelling) can never silently
+    diverge. greatest(n−1, 0): an empty word array must yield an empty
+    bigram slice, not a negative-length runtime error."""
+    words = F.filter(F.split(F.lower(text), " "), lambda w: w != "")
+    n = F.size(words)
+    blen = F.greatest(n - F.lit(1), F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(words, 1, blen),
+        F.slice(words, 2, blen),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(words, bigrams)

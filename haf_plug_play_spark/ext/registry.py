@@ -1533,17 +1533,17 @@ def xt_clf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify.lr_score(docs, classify.seed_weights())
 
 
-def _clf_quality_sql(
-    n_buckets: int = 128, seed: int = 23, threshold: float = 0.5
-) -> str:
-    """DuckDB mirror of xt_clf_quality: the DSIR featurizer CTEs, the
-    same seeded weight literals indexed 1-based, margin rounded BEFORE
-    the sigmoid so both engines exponentiate the identical argument."""
+def _clf_score_ctes(n_buckets: int = 128, seed: int = 23) -> str:
+    """The classifier-scoring CTE chain up to ``m(doc_id, n_feats,
+    margin)`` — the SQL twin of the shared featurizer
+    (ext/hashing.py:unigram_bigram_features) plus the seeded weight
+    literals; ONE definition shared by the XT-clf-quality oracle and the
+    pipeline-6 composition so the mirrors cannot drift apart."""
     from haf_plug_play_spark.ext import classify
 
     warr = _vec_sql(classify.seed_weights(n_buckets, seed))
     return (
-        "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
         "x -> x <> '') AS ws FROM documents), "
         "f AS (SELECT doc_id, unnest(ws) AS f FROM w "
         "UNION ALL SELECT doc_id, "
@@ -1553,7 +1553,18 @@ def _clf_quality_sql(
         "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
         f"sum(CAST({warr} AS DOUBLE[])[b + 1]) AS wsum FROM fb GROUP BY 1), "
         "m AS (SELECT doc_id, n_feats, "
-        "round(0.0 + wsum / n_feats, 6) AS margin FROM agg) "
+        "round(0.0 + wsum / n_feats, 6) AS margin FROM agg)"
+    )
+
+
+def _clf_quality_sql(
+    n_buckets: int = 128, seed: int = 23, threshold: float = 0.5
+) -> str:
+    """DuckDB mirror of xt_clf_quality: the shared scoring CTEs, margin
+    rounded BEFORE the sigmoid so both engines exponentiate the
+    identical argument."""
+    return (
+        f"WITH {_clf_score_ctes(n_buckets, seed)} "
         "SELECT doc_id, n_feats, margin, "
         "round(1.0 / (1.0 + exp(-margin)), 6) AS p_keep, "
         f"round(1.0 / (1.0 + exp(-margin)), 6) >= {threshold!r} AS keep "
@@ -1628,7 +1639,8 @@ def _mix_report_sql(targets: dict[str, float]) -> str:
         f"CAST({case} AS DOUBLE) AS target_share FROM t), "
         "r AS (SELECT *, target_share / share AS ratio FROM s) "
         "SELECT source, n_docs, n_tokens, round(share, 6) AS token_share, "
-        "target_share, round(ratio / max(ratio) OVER (), 6) AS sample_rate "
+        "target_share, round(CASE WHEN max(ratio) OVER () = 0 THEN 0.0 "
+        "ELSE ratio / max(ratio) OVER () END, 6) AS sample_rate "
         "FROM r ORDER BY source"
     )
 
@@ -1664,22 +1676,11 @@ def xp_pipeline6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipeline6_sql(budget: int = 1024, threshold: float = 0.5) -> str:
-    """DuckDB mirror of xp_pipeline6: the _clf_quality_sql scoring CTEs,
+    """DuckDB mirror of xp_pipeline6: the SHARED classifier scoring CTEs
+    (_clf_score_ctes — one definition with the XT-clf-quality oracle),
     the XP-pipeline keeper window, the XA-pack-chunks running offset."""
-    from haf_plug_play_spark.ext import classify
-
-    warr = _vec_sql(classify.seed_weights())
     return (
-        "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
-        "x -> x <> '') AS ws FROM documents), "
-        "f AS (SELECT doc_id, unnest(ws) AS f FROM w "
-        "UNION ALL SELECT doc_id, "
-        "unnest([array_to_string(ws[i:i+1], ' ') "
-        "FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)]) AS f FROM w), "
-        f"fb AS (SELECT doc_id, {md5_int_sql('f')} % 128 AS b FROM f), "
-        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats, "
-        f"sum(CAST({warr} AS DOUBLE[])[b + 1]) AS wsum FROM fb GROUP BY 1), "
-        "m AS (SELECT doc_id, round(0.0 + wsum / n_feats, 6) AS margin FROM agg), "
+        f"WITH {_clf_score_ctes()}, "
         "keptid AS (SELECT doc_id FROM m "
         f"WHERE round(1.0 / (1.0 + exp(-margin)), 6) >= {threshold!r}), "
         "kept AS (SELECT d.* FROM documents d JOIN keptid USING (doc_id)), "
@@ -2088,15 +2089,16 @@ _UNIGRAM_SQL = (
 )
 
 
-# Declaration order is the driver's correctness-sampling order: the driver
-# checks the first 50 declared queries. After __spark_entry__ rotates its
-# _ROTATED_BACK names to the tail, the window is the 21 never-driver-checked
-# advanced queries followed by the first 29 entries here — so ops that have
-# never had a driver CORRECTNESS row are front-loaded, r2/r3-green rows sit
-# at the back, and with 54 never-checked ops the youngest few (XD-spans
-# onward) wait for the next round's rotation. Every query passes the
-# identical DuckDB-oracle comparison in pytest regardless of position
-# (tests/test_ext.py).
+# Declaration order here is only a TIE-BREAK: since round 6,
+# __spark_entry__._evidence_order computes the driver's 50-query
+# correctness window from the banked CORRECTNESS_r*.json files
+# (never-checked and changed-since-last-row queries first, then stalest
+# evidence first) — position in this dict matters only among queries
+# with identical evidence age. The per-round "new (never
+# driver-checked)" section markers below are historical documentation
+# of when each operator landed, not a scheduling mechanism. Every query
+# passes the identical DuckDB-oracle comparison in pytest regardless of
+# position (tests/test_ext.py).
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # never driver-checked (r4 priority)
     "XD-cluster": xd_cluster,

@@ -193,28 +193,17 @@ def dsir_weights(
     Output: (id, n_feats, log_weight 6dp) ordered by id; documents with
     no words produce no row on either engine.
     """
-    from haf_plug_play_spark.ext.hashing import md5_int
+    from haf_plug_play_spark.ext.hashing import md5_int, unigram_bigram_features
 
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
-    )
-    n = F.size(words)
-    # greatest(..., 0): an empty document gives n = 0 and Spark rejects a
-    # negative slice length at runtime — the oracle's greatest(len-1, 0)
-    # guard, mirrored (a no-word doc yields no features on either engine)
-    blen = F.greatest(n - F.lit(1), F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(words, 1, blen),
-        F.slice(words, 2, blen),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     feats = docs.select(
         F.col(id_col),
         # NULL predicate values (e.g. a NULL lang column) mean NOT target
         # — without the coalesce, a bucket touched only by NULL-flag rows
         # would sum to NULL and silently drop its log-ratio terms
         F.coalesce(target_filter, F.lit(False)).alias("_tgt"),
-        F.explode(F.concat(words, bigrams)).alias("_f"),
+        # the ONE shared featurizer (ext/hashing.py) — the classifier
+        # scores over the identical feature stream
+        F.explode(unigram_bigram_features(F.col(text_col))).alias("_f"),
     ).withColumn("_b", md5_int(F.col("_f")) % n_buckets)
 
     # BOTH bucket distributions from ONE conditional aggregation over the
@@ -500,13 +489,17 @@ def mixture_report(
         "target_share",
         (F.col("target_share") / F.col("_share")).alias("_ratio"),
     )
+    # a recipe disjoint from the corpus (every present stratum targeted
+    # 0) must yield all-ZERO rates, not 0/0 NaN/null — "nothing sampled"
+    # stays visible and downstream Bernoulli predicates stay well-typed
+    rate = F.when(
+        F.max("_ratio").over(w_all) == 0, F.lit(0.0)
+    ).otherwise(F.col("_ratio") / F.max("_ratio").over(w_all))
     return staged.select(
         stratum_col,
         "n_docs",
         "n_tokens",
         F.round(F.col("_share"), 6).alias("token_share"),
         "target_share",
-        F.round(F.col("_ratio") / F.max("_ratio").over(w_all), 6).alias(
-            "sample_rate"
-        ),
+        F.round(rate, 6).alias("sample_rate"),
     ).orderBy(stratum_col)

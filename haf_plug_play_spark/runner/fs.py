@@ -174,8 +174,12 @@ class EmulatedObjectStore:
         if_match: str | None = None,
         if_none_match_star: bool = False,
     ) -> None:
-        """Atomic PUT; with a precondition, the compare+write pair is
-        atomic store-side (flock emulates what S3/GCS do internally)."""
+        """Atomic PUT; the compare+write pair of a conditional put is
+        atomic store-side (flock emulates what S3/GCS do internally).
+        UNCONDITIONAL puts take the same per-key lock: a real store
+        serializes every PUT on a key, so a plain overwrite landing
+        inside another writer's compare+write window must lose to (or
+        412) the conditional write, never silently interleave."""
         import fcntl
 
         os.makedirs(os.path.dirname(key) or ".", exist_ok=True)
@@ -186,12 +190,12 @@ class EmulatedObjectStore:
                 f.write(data)
             os.replace(tmp, key)
 
-        if if_match is None and not if_none_match_star:
-            _write()
-            return
         lock_fd = os.open(key + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
         try:
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            if if_match is None and not if_none_match_star:
+                _write()
+                return
             cur = self.head(key)
             if if_none_match_star and cur is not None:
                 raise PreconditionFailed(f"If-None-Match:* but {key} exists")

@@ -124,12 +124,21 @@ def _committed_chain_named(table_dir: str, fs) -> list[tuple[str, dict]]:
                     by_id.setdefault(_manifest_id(n), []).append(n)
             cands = by_id.get(m["parent"], [])
             if len(cands) > 1:
+                # vacuum cannot remediate this: it resolves the chain
+                # through this same walk, so it raises here too — with
+                # pre-name-based manifests only the operator can tell
+                # winner from orphan (inspect each candidate's data_dirs
+                # / committed_utc against the child manifest)
                 raise RuntimeError(
                     f"ambiguous parent snapshot id {m['parent']} in "
                     f"{table_dir}: {sorted(cands)} — an orphan manifest "
                     "shares a committed id and this manifest predates "
-                    "name-based lineage; remove the orphan "
-                    "(vacuum delete_orphans=True) to restore the chain"
+                    "name-based lineage, so the chain cannot disambiguate "
+                    "them. MANUAL remediation: inspect the candidates' "
+                    "data_dirs/committed_utc, then delete the orphan "
+                    "manifest FILE (not its data dir) from manifests/; "
+                    "a subsequent vacuum(delete_orphans=True) reclaims "
+                    "the orphan's data"
                 )
             pname = cands[0] if cands else None
         # a vacuumed-away parent ends the retained chain

@@ -1275,3 +1275,56 @@ def test_bigram_lm_sees_word_order(spark):
     bi = {r.doc_id: r.avg_logp for r in xtext.bigram_lm_scores(docs).collect()}
     assert bi[10] < bi[0]  # word order matters to the bigram mixture
     assert bi[0] > uni[0]  # fluent docs gain from the bigram term
+
+
+def test_span_removal_subspan_canonical_corner(spark):
+    """The documented per-span-hash corner: a window-sized sub-span of a
+    shared region that independently occurs in a LOWER-id third doc owns
+    the canonical there, so the region's main holder is cut at exactly
+    that sub-span — content survives split across the two canonical
+    sites, and the other region copy is still cut entirely."""
+    R = [f"r{i}" for i in range(20)]
+    sub = " ".join(R[4:12])  # one exact window (w=8) inside R
+    region = " ".join(R)
+    rows = [
+        (0, sub),  # lower-id doc owning the sub-span's canonical
+        (1, region),  # region's main holder
+        (2, region),  # second copy: cut entirely
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.remove_duplicated_spans(docs).collect()}
+    assert out[0].n_removed == 0 and out[0].clean_text == sub
+    # main holder loses exactly the sub-span whose canonical is doc 0
+    assert out[1].clean_text == " ".join(R[:4] + R[12:])
+    assert out[1].n_removed == 8
+    # the second region copy is cut to nothing
+    assert out[2].n_removed == 20 and out[2].clean_text == ""
+    # per-span-hash guarantee: every duplicated span hash retains its
+    # canonical occurrence (sub at doc 0; region prefix/suffix at doc 1)
+
+
+def test_span_removal_rejects_bad_window(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for w in (0, -1):
+        with _pytest.raises(ValueError, match="span window"):
+            dedup.remove_duplicated_spans(docs, window=w)
+
+
+def test_mixture_report_disjoint_recipe_zero_rates(spark):
+    """A recipe naming no stratum present in the corpus must yield
+    all-ZERO sample rates — visibly 'nothing sampled', never the 0/0
+    NaN/null that would poison a downstream Bernoulli predicate."""
+    from haf_plug_play_spark.ext import sampling as xsampling
+
+    docs = spark.createDataFrame(
+        [(0, "a b c", "src0"), (1, "d e", "src1")],
+        "doc_id long, text string, source string",
+    )
+    out = xsampling.mixture_report(
+        docs, {"web": 1.0}, F.lit(1)
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.target_share == 0.0 and r.sample_rate == 0.0
