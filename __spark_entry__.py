@@ -56,12 +56,15 @@ _CHANGED_SINCE_LAST_ROW = {
 }
 
 
-def _last_green_round() -> dict[str, int]:
+def _last_green_round(here: str | None = None) -> dict[str, int]:
     """query id → most recent round with a passing driver CORRECTNESS row.
     A row passes when no field explicitly failed (rows-only checks carry
     no hash_match; None/missing is not a failure). A query whose latest
-    row FAILED is dropped from the map entirely, landing it in tier 0."""
-    here = os.path.dirname(os.path.abspath(__file__))
+    row FAILED is dropped from the map entirely, landing it in tier 0.
+    ``here`` (tests only) overrides the directory scanned for
+    CORRECTNESS_r*.json files."""
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
@@ -87,14 +90,21 @@ def _last_green_round() -> dict[str, int]:
     return {name: rnd for name, (rnd, ok) in latest.items() if ok}
 
 
-def _evidence_order(names: list[str]) -> list[str]:
-    last = _last_green_round()
+def _evidence_order(
+    names: list[str],
+    last: dict[str, int] | None = None,
+    changed: dict[str, int] | None = None,
+) -> list[str]:
+    if last is None:
+        last = _last_green_round()
+    if changed is None:
+        changed = _CHANGED_SINCE_LAST_ROW
 
     def prio(pair: tuple[int, str]) -> tuple[int, int, int]:
         i, name = pair
         if name not in last:
             return (0, 0, i)
-        if last[name] <= _CHANGED_SINCE_LAST_ROW.get(name, -1):
+        if last[name] <= changed.get(name, -1):
             return (1, 0, i)
         return (2, last[name], i)
 

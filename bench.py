@@ -36,8 +36,15 @@ def run_queries(
     the MINIMUM — the standard noise floor estimator; min (not mean)
     because scheduling noise is strictly additive. Queries at or above
     the threshold stay single-run: their signal dominates the spread and
-    re-running the heavy tail would triple the suite's wall clock."""
+    re-running the heavy tail would triple the suite's wall clock.
+
+    Returns (timings, first_run, errors): ``first_run`` is every query's
+    FIRST-run wall clock — identical to the r1–r5 single-shot methodology
+    — reported alongside the min-of-N ``timings`` so round-over-round
+    headline comparisons across the methodology change stay
+    apples-to-apples (ADVICE r6)."""
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     errors: dict[str, str] = {}
 
     def one_run(fn) -> float:
@@ -58,6 +65,7 @@ def run_queries(
         # transient failure on a re-run must degrade to the single-shot
         # timing, never discard a valid measurement into the error path
         # (which would null the canonical headline — the r2 failure mode)
+        first_run[name] = round(t, 4)
         if t < repeat_under:
             for _ in range(n_runs - 1):
                 try:
@@ -71,7 +79,7 @@ def run_queries(
                     )
                     break
         timings[name] = round(t, 4)
-    return timings, errors
+    return timings, first_run, errors
 
 
 def canonical_headline(
@@ -119,7 +127,7 @@ def main() -> None:
 
     from haf_plug_play_spark.queries.canonical import CANONICAL_QUERIES
 
-    timings, errors = run_queries(spark, queries, sf_dir)
+    timings, first_run, errors = run_queries(spark, queries, sf_dir)
 
     # Sync-path throughput: backfill the podping plug over a generated op
     # log and report blocks/sec — comparable against the reference's
@@ -156,6 +164,10 @@ def main() -> None:
     canonical_total, canonical_incomplete = canonical_headline(
         timings, errors, CANONICAL_QUERIES
     )
+    # first-run (single-shot, r1–r5 methodology) headline alongside the
+    # min-of-N one, so cross-round deltas are comparable under BOTH
+    # methodologies during the transition (ADVICE r6)
+    canonical_first, _ = canonical_headline(first_run, errors, CANONICAL_QUERIES)
     # Key order is tail-truncation-survivable BY DESIGN: the driver captures
     # only the tail of stdout, and with 111 queries the one-line JSON exceeds
     # that capture (BENCH_r04 parsed:null). The bulky per-query dict therefore
@@ -168,11 +180,13 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "all_queries_sec": round(sum(timings.values()), 4),
+        "value_first_run": canonical_first,
+        "all_queries_first_run_sec": round(sum(first_run.values()), 4),
         "sync_blocks_per_sec": sync_blocks_per_sec,
     }
     if canonical_incomplete:
         headline["canonical_incomplete"] = True
-    result = {"queries": timings}
+    result = {"queries": timings, "queries_first_run": first_run}
     if errors:
         result["errors"] = errors
     result.update(headline)

@@ -1637,7 +1637,8 @@ def _mix_report_sql(targets: dict[str, float]) -> str:
         "s AS (SELECT source, n_docs, n_tokens, "
         "CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share, "
         f"CAST({case} AS DOUBLE) AS target_share FROM t), "
-        "r AS (SELECT *, target_share / share AS ratio FROM s) "
+        "r AS (SELECT *, CASE WHEN share = 0 THEN 0.0 "
+        "ELSE target_share / share END AS ratio FROM s) "
         "SELECT source, n_docs, n_tokens, round(share, 6) AS token_share, "
         "target_share, round(CASE WHEN max(ratio) OVER () = 0 THEN 0.0 "
         "ELSE ratio / max(ratio) OVER () END, 6) AS sample_rate "

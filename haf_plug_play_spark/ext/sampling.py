@@ -487,7 +487,12 @@ def mixture_report(
         "n_tokens",
         "_share",
         "target_share",
-        (F.col("target_share") / F.col("_share")).alias("_ratio"),
+        # a stratum with docs but ZERO tokens has _share 0; target/0 would
+        # be NULL — such a stratum contributes nothing to the mixture, so
+        # its ratio (and hence rate) is 0, keeping every rate well-typed
+        F.when(F.col("_share") == 0, F.lit(0.0))
+        .otherwise(F.col("target_share") / F.col("_share"))
+        .alias("_ratio"),
     )
     # a recipe disjoint from the corpus (every present stratum targeted
     # 0) must yield all-ZERO rates, not 0/0 NaN/null — "nothing sampled"

@@ -1328,3 +1328,25 @@ def test_mixture_report_disjoint_recipe_zero_rates(spark):
     assert len(out) == 2
     for r in out:
         assert r.target_share == 0.0 and r.sample_rate == 0.0
+
+
+def test_mixture_report_zero_token_stratum_rate_zero(spark):
+    """A stratum with documents but ZERO total tokens has token share 0;
+    target/share would divide by zero (Spark: NULL) — the report must
+    instead assign it rate 0.0 so every rate stays well-typed for
+    downstream Bernoulli predicates (ADVICE r6)."""
+    from haf_plug_play_spark.ext import sampling as xsampling
+
+    docs = spark.createDataFrame(
+        [(0, 5, "src0"), (1, 0, "empty"), (2, 0, "empty")],
+        "doc_id long, n_tok long, source string",
+    )
+    out = {
+        r.source: r
+        for r in xsampling.mixture_report(
+            docs, {"src0": 0.5, "empty": 0.5}, F.col("n_tok")
+        ).collect()
+    }
+    assert out["empty"].token_share == 0.0
+    assert out["empty"].sample_rate == 0.0  # not NULL/NaN
+    assert out["src0"].sample_rate == 1.0  # only contributing stratum keeps all
