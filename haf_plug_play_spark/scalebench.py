@@ -1,0 +1,319 @@
+"""Empirical scale-exponent harness for the heavy operator tail.
+
+SCALE.md argues from plan shapes that the dedup/ANN/pipeline tail stays
+~linear as the corpus grows; this module MEASURES it (VERDICT r6 #1): it
+generates the same corpus at two sizes, runs each heavy query at both, and
+reports the runtime scaling exponent
+
+    alpha = ln(t_big / t_base) / ln(n_big / n_base)
+
+— alpha ≈ 1 is linear, 2 is the quadratic blowup the banded/capped shapes
+exist to prevent. Fixed per-query overhead (planning, session) biases alpha
+DOWN at these sizes, so an exponent gate is a sound one-sided check against
+super-linear regressions.
+
+Two content models, because "10× the data" means different things per op:
+
+- **dedup corpus** (``build_dedup_documents``): vocabulary GROWS with the
+  corpus (md5 pseudo-words — the near-linear shingle-cardinality growth of
+  a real crawl, Heaps' law regime), planted exact/near duplicate groups at
+  a fixed RATE (n/200), and a corpus-hot stop phrase on ~80% of documents
+  (the adversarial skew of tests/test_scale_smoke.py). Candidate volume
+  under the df-cap / LSH bands should track n, not n².
+- **vocab corpus** (``build_vocab_documents``): words drawn from the REAL
+  fixture vocabulary with the fixture's lang/source strata, so the
+  content-conditional pipelines (DSIR steering, topic tagging, the trained
+  classifier gate) keep their sf0.1 selectivity at every scale — a
+  pipeline that filters everything out measures nothing.
+
+Embeddings (``build_embeddings``) are md5-derived floats with exact
+duplicates planted at a fixed rate (1 in 20), so the LSH verify stage has
+real survivors at every size.
+
+Dials that SCALE.md documents as corpus-tracking are scaled here the same
+way (and only those): ``n_planes`` for hyperplane LSH follows
+ceil(log2(n)) (bucket occupancy ≈ 1 — the sizing rule in
+ext/registry.py:xd_embcos_lsh's docstring). Everything else runs the
+SHIPPED registry query untouched.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_DOCS = 5_000  # sf0.1-equivalent documents rows
+BASE_VECS = 2_000  # sf0.1-equivalent embeddings rows
+STOP = "the quick brown fox jumps over the lazy dog"
+_LANGS = ("en", "zh", "es", "de", "fr")
+
+
+def _md5_idx(*parts) -> F.Column:
+    """Deterministic pseudo-random non-negative int from md5 of the parts
+    (first 6 hex digits → 0..16^6) — the seeded-generator primitive; pure
+    codegen, no rand()/UDF."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("_", *[p.cast("string") for p in parts])), 1, 6),
+        16,
+        10,
+    ).cast("long")
+
+
+def build_dedup_documents(spark: SparkSession, n: int, seed: int = 0) -> DataFrame:
+    """Scale-parameterized near-dup corpus (the test_scale_smoke shape):
+    ``n`` unique 20-word md5-pseudo-word docs, n/200 planted groups (base +
+    exact copy + near copy with one appended word), hot stop phrase on
+    ~80% of unplanted docs. Schema matches the documents fixture."""
+    groups = max(1, n // 200)
+    words = F.concat_ws(
+        " ",
+        *[
+            F.substring(
+                F.md5(F.concat_ws("_", F.lit(seed), F.col("text_key"), F.lit(str(j)))),
+                1,
+                7,
+            )
+            for j in range(20)
+        ],
+    )
+    uniq = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").alias("text_key"),
+        F.lit(0).alias("variant"),
+    )
+    exact = spark.range(groups).select(
+        (F.col("id") + n).alias("doc_id"),
+        F.col("id").alias("text_key"),
+        F.lit(0).alias("variant"),
+    )
+    near = spark.range(groups).select(
+        (F.col("id") + n + groups).alias("doc_id"),
+        F.col("id").alias("text_key"),
+        F.lit(1).alias("variant"),
+    )
+    df = uniq.unionByName(exact).unionByName(near).withColumn("text", words)
+    df = df.withColumn(
+        "text",
+        F.when(
+            F.col("variant") == 1,
+            F.concat_ws(
+                " ", F.col("text"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7)
+            ),
+        ).otherwise(F.col("text")),
+    )
+    df = df.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") >= groups)
+            & (F.col("doc_id") < n)
+            & (F.col("doc_id") % 5 != 0),
+            F.concat_ws(" ", F.col("text"), F.lit(STOP)),
+        ).otherwise(F.col("text")),
+    )
+    return df.select(
+        "doc_id",
+        "text",
+        F.element_at(
+            F.array(*[F.lit(v) for v in _LANGS]),
+            (_md5_idx(F.lit(seed + 1), F.col("doc_id")) % len(_LANGS) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), (F.col("doc_id") % 20).cast("string")).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def build_vocab_documents(
+    spark: SparkSession, n: int, sf_dir: str, seed: int = 0
+) -> DataFrame:
+    """Scale-parameterized corpus in the FIXTURE's content distribution:
+    24–56 words per doc drawn md5-uniformly from the real documents
+    vocabulary (collected once — the fixture vocab is ~40 words, bounded),
+    lang/source md5-assigned over the fixture's value sets. Keeps the
+    content-conditional pipelines' selectivity stable across scales."""
+    from haf_plug_play_spark.sources.tables import load_table
+
+    vocab = sorted(
+        r.w
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .collect()
+    )
+    varr = F.array(*[F.lit(w) for w in vocab])
+    nw = (_md5_idx(F.lit(seed), F.col("doc_id")) % 33 + 24).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), nw),
+            lambda j: F.element_at(
+                varr,
+                (_md5_idx(F.lit(seed + 2), F.col("doc_id"), j) % len(vocab) + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        " ",
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.element_at(
+            F.array(*[F.lit(v) for v in _LANGS]),
+            (_md5_idx(F.lit(seed + 3), F.col("id")) % len(_LANGS) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(
+            F.lit("src"), (_md5_idx(F.lit(seed + 4), F.col("id")) % 20).cast("string")
+        ).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def build_embeddings(
+    spark: SparkSession, n: int, dim: int = 64, seed: int = 0
+) -> DataFrame:
+    """``n`` md5-derived float vectors in [-0.5, 0.5); every 20th row is an
+    EXACT copy of its predecessor (cosine 1.0 — guaranteed LSH survivors at
+    any scale). Schema matches the embeddings fixture."""
+    src = F.when(
+        (F.col("id") % 20 == 19) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            (_md5_idx(F.lit(seed + 5), src, j) % 100_000) / 100_000.0 - 0.5
+        ).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        vec.alias("embedding"),
+        (F.col("id") % 10).cast("int").alias("label"),
+    )
+
+
+def make_corpus_dir(
+    spark: SparkSession,
+    out_dir: str,
+    kind: str,
+    n_docs: int,
+    n_vecs: int,
+    vocab_sf_dir: str = "/root/testdata/sf0.01",
+    seed: int = 0,
+) -> str:
+    """Write a fixture-shaped directory (documents.parquet +
+    embeddings.parquet) holding the generated corpus, so the SHIPPED
+    registry queries run on it unmodified via ``load_table``. ``kind`` is
+    ``dedup`` or ``vocab`` (which documents content model)."""
+    os.makedirs(out_dir, exist_ok=True)
+    if kind == "dedup":
+        docs = build_dedup_documents(spark, n_docs, seed)
+    elif kind == "vocab":
+        docs = build_vocab_documents(spark, n_docs, vocab_sf_dir, seed)
+    else:
+        raise ValueError(f"unknown corpus kind {kind!r}")
+    # spread writes across tasks so the scan at read time has >1 split
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    build_embeddings(spark, n_vecs, seed=seed).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "embeddings.parquet"))
+    return out_dir
+
+
+def _embcos_lsh_scaled(n_vecs: int):
+    """XD-embcos-lsh with the documented corpus-tracking dial: n_planes =
+    ceil(log2(2·n_vecs)) (planted corpus doubles the rows) so bucket
+    occupancy stays ≈ 1 at any scale."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from haf_plug_play_spark.ext import dedup
+        from haf_plug_play_spark.ext.registry import _planted_corpus
+        from haf_plug_play_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        planes = max(8, math.ceil(math.log2(max(2 * n_vecs, 2))))
+        return dedup.embedding_cosine_pairs(
+            _planted_corpus(emb), threshold=0.9, n_planes=planes
+        )
+
+    return run
+
+
+def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
+    """query name → (corpus kind, callable(spark, sf_dir) -> DataFrame).
+    The VERDICT r6 heavy tail; all but the dial-scaled LSH run the shipped
+    registry callables."""
+    from haf_plug_play_spark.ext import registry as reg
+
+    return {
+        "XD-ngram-jaccard": ("dedup", reg.xd_ngram_jaccard),
+        "XD-containment": ("dedup", reg.xd_containment),
+        "XD-span-removal": ("dedup", reg.xd_span_removal),
+        "XD-cluster": ("dedup", reg.xd_cluster),
+        "XD-embcos-lsh": ("dedup", _embcos_lsh_scaled(n_vecs)),
+        "XS-ivfadc": ("dedup", reg.xs_ivfadc),
+        "XP-pipeline5": ("vocab", reg.xp_pipeline5),
+        "XP-pipeline6": ("vocab", reg.xp_pipeline6),
+    }
+
+
+def measure(
+    spark: SparkSession,
+    work_dir: str,
+    base_docs: int = BASE_DOCS,
+    base_vecs: int = BASE_VECS,
+    factor: int = 10,
+    runs: int = 2,
+    vocab_sf_dir: str = "/root/testdata/sf0.01",
+) -> dict:
+    """Run the heavy tail at 1× and ``factor``× and compute per-query
+    scaling exponents. Timing is min-of-``runs`` end-to-end (plan +
+    execute + Arrow collect), matching bench.py's estimator; a warm-up
+    query runs against each corpus dir first so scan/codegen bootstrap
+    lands outside the timings.
+
+    Returns {query: {"t_base": s, "t_big": s, "rows_base": k, "rows_big":
+    k, "exponent": alpha}} plus a "_meta" entry."""
+    sizes = {"base": (base_docs, base_vecs), "big": (base_docs * factor, base_vecs * factor)}
+    dirs: dict[tuple[str, str], str] = {}
+    for label, (nd, nv) in sizes.items():
+        for kind in ("dedup", "vocab"):
+            d = os.path.join(work_dir, f"{kind}_{label}")
+            make_corpus_dir(spark, d, kind, nd, nv, vocab_sf_dir)
+            dirs[(kind, label)] = d
+
+    results: dict[str, dict] = {}
+    for label, (nd, nv) in sizes.items():
+        tail = heavy_tail(nv)
+        # warm-up: touch both corpora so file listing + footer reads are paid
+        for kind in ("dedup", "vocab"):
+            spark.read.parquet(
+                os.path.join(dirs[(kind, label)], "documents.parquet")
+            ).count()
+        for name, (kind, fn) in tail.items():
+            best, rows = None, 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                pdf = fn(spark, dirs[(kind, label)]).toPandas()
+                t = time.perf_counter() - t0
+                rows = len(pdf)
+                best = t if best is None else min(best, t)
+            entry = results.setdefault(name, {})
+            entry[f"t_{label}"] = round(best, 3)
+            entry[f"rows_{label}"] = rows
+    for name, entry in results.items():
+        entry["exponent"] = round(
+            math.log(max(entry["t_big"], 1e-9) / max(entry["t_base"], 1e-9))
+            / math.log(factor),
+            3,
+        )
+    results["_meta"] = {
+        "base_docs": base_docs,
+        "base_vecs": base_vecs,
+        "factor": factor,
+        "runs": runs,
+    }
+    return results

@@ -1,0 +1,54 @@
+"""Measure the heavy-tail scaling exponents (SCALE.md evidence table).
+
+Runs haf_plug_play_spark.scalebench.measure at 1x (sf0.1-equivalent: 5000
+docs / 2000 vectors) and 10x (50,000 / 20,000), prints the markdown table
+for SCALE.md and one JSON line. ~5 minutes on local[32].
+
+Usage: python scripts/scale_exponents.py [factor] [base_docs] [base_vecs]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
+    base_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
+
+    from haf_plug_play_spark import scalebench
+    from haf_plug_play_spark.session import get_spark
+
+    spark = get_spark("scale_exponents")
+    work = tempfile.mkdtemp(prefix="scale_exp_")
+    try:
+        res = scalebench.measure(
+            spark, work, base_docs=base_docs, base_vecs=base_vecs, factor=factor
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    meta = res.pop("_meta")
+    print(
+        f"\n| Query | t(1x={meta['base_docs']} docs) | "
+        f"t({factor}x) | rows 1x | rows {factor}x | exponent |"
+    )
+    print("|---|---|---|---|---|---|")
+    for name in sorted(res):
+        e = res[name]
+        print(
+            f"| {name} | {e['t_base']:.2f} s | {e['t_big']:.2f} s "
+            f"| {e['rows_base']} | {e['rows_big']} | **{e['exponent']:.2f}** |"
+        )
+    res["_meta"] = meta
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

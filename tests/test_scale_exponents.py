@@ -1,0 +1,56 @@
+"""Smoke gate for the empirical scaling exponents (VERDICT r6 #1).
+
+The full measurement (scripts/scale_exponents.py, 10× at sf0.1-equivalent
+sizes) feeds the SCALE.md evidence table; this gate reruns the identical
+harness at reduced sizes (4× at 1500 docs / 800 vecs) and asserts every
+heavy-tail query's exponent stays clearly below quadratic. Fixed overhead
+biases exponents DOWN at these sizes, so the bound is one-sided: it cannot
+prove linearity, but a quadratic candidate blowup (alpha → 2) fails it
+loudly — the regression this gate exists to catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from haf_plug_play_spark import scalebench
+
+# exponent must stay below this; quadratic shapes measure well above it
+# even at these sizes (an all-pairs bucket at 4x data is 16x the work on a
+# base time of ~1-2 s — alpha ≥ ~1.8)
+MAX_EXPONENT = 1.5
+
+
+@pytest.fixture(scope="module")
+def exponents(spark, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("scale_exp"))
+    res = scalebench.measure(
+        spark, work, base_docs=1_500, base_vecs=800, factor=4, runs=2
+    )
+    res.pop("_meta")
+    return res
+
+
+def test_all_heavy_queries_measured(exponents):
+    assert set(exponents) == set(scalebench.heavy_tail(800))
+
+
+def test_planted_structure_scales_linearly(exponents):
+    """Output row counts are a timing-independent check that the corpus
+    generator scales the WORKLOAD (planted dups, survivors) with n — a
+    generator whose planted structure stayed constant would make the
+    timing exponents vacuous."""
+    for name, e in exponents.items():
+        if name == "XS-ivfadc":  # top-k: output is k at every scale
+            assert e["rows_base"] == e["rows_big"] == 10
+            continue
+        ratio = e["rows_big"] / max(e["rows_base"], 1)
+        assert 2.0 <= ratio <= 8.0, (name, e)  # ~4x rows for 4x data
+
+
+@pytest.mark.parametrize(
+    "name", sorted(scalebench.heavy_tail(800))
+)
+def test_exponent_below_quadratic(exponents, name):
+    e = exponents[name]
+    assert e["exponent"] <= MAX_EXPONENT, e
