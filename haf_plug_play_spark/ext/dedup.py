@@ -1099,31 +1099,38 @@ def remove_duplicated_spans(
 ) -> DataFrame:
     """APPLY the exact-substring dedup the span census only reports
     (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
-    Better", the ExactSubstr tool's contract, word-granular): every word
-    covered by a corpus-duplicated span occurrence is CUT from the
-    document — except the canonical FIRST occurrence (min (doc_id, pos)
-    per span hash). The keep-one-copy guarantee is PER SPAN HASH: every
-    duplicated span's canonical occurrence survives somewhere. For a
-    duplicated region longer than the window whose stride-1 spans all
-    FIRST appear together, the canonicals co-locate in the lowest-id
-    holder, so the whole region survives there and is cut everywhere
-    else — no region assembly step needed. Documented corner: if a
-    window-sized SUB-span of the region independently occurs in an even
-    lower-id third document, that sub-span's canonical lives there
-    instead and the region's main holder is cut at exactly that
-    sub-span — the content still survives, split across the two
-    canonical sites rather than contiguously (pinned in
-    tests/test_ext.py::test_span_removal_subspan_canonical_corner).
+    Better", the ExactSubstr tool's contract, word-granular) with
+    REGION-assembly semantics (VERDICT r6 #3): per document, the
+    stride-1 duplicated-span occurrences merge into maximal OVERLAPPING
+    intervals — the maximal duplicated regions, since any duplicated
+    substring of ≥ ``window`` words is exactly a run of overlapping
+    duplicated w-spans — and the keep/cut decision is made PER REGION: a
+    region survives (whole, contiguous) iff it contains at least one
+    span whose canonical occurrence (min (doc_id, pos) per span hash) is
+    here; otherwise the region is cut entirely. Every duplicated span
+    hash still has ≥ 1 surviving occurrence (its canonical's region
+    survives); the former per-span formulation additionally guaranteed ≤
+    1, at the price of the sub-span-canonical corner: a window-sized
+    sub-span owned by a lower-id third document punched a HOLE in the
+    region's main holder, splitting the surviving copy. Region
+    granularity keeps the canonical copy contiguous (ExactSubstr's
+    maximal-match reading); the extra retention is bounded by one
+    sub-span occurrence per such corner (pinned in
+    tests/test_ext.py::test_span_removal_region_contiguity). Abutting
+    but NON-overlapping occurrences (a block repeated back-to-back) stay
+    separate regions, so within-doc repeats still dedup.
 
     Plan shape: span hashes ride the XD-spans machinery (per-row let-
     bound transform, stride 1, truncated tail span); the census is one
     map-side-combinable aggregation that ALSO carries each hash's
-    canonical occurrence (a min(struct) — no window, no second shuffle);
-    non-canonical duplicate occurrences join back per doc as a bounded
-    sorted start list; the cut itself is a per-row position-indexed
-    filter (word j survives iff no flagged start s has s ≤ j ≤ s+w−1 —
-    O(words × flagged_starts) per row, quadratic only for a document
-    that is itself almost entirely duplicated).
+    canonical occurrence (a min(struct)); region assembly is
+    gaps-and-islands over the DUPLICATED-occurrence stream only (two
+    windows keyed by the doc — bounded by duplicated spans, not corpus
+    words); cut regions join back per doc as a bounded sorted interval
+    list and the cut is a per-row position-indexed filter (word j
+    survives iff no cut interval [a, b] covers it — O(words × regions)
+    per row, and regions ≤ flagged-starts/1, far fewer than the per-span
+    start list the r6 cut scanned).
 
     Hashing is over lowercased words (the corpus-wide convention);
     emitted words keep their ORIGINAL casing — positions align because
@@ -1131,6 +1138,7 @@ def remove_duplicated_spans(
 
     Output: (id, n_words, n_removed, clean_text) ordered by id.
     """
+    from pyspark.sql.window import Window
     from haf_plug_play_spark.ext.hashing import md5_int
 
     if window < 1:
@@ -1158,35 +1166,64 @@ def remove_duplicated_spans(
             "_first"
         ),
     )
-    flagged = (
+    dup = (
         spans.join(census, "h")
-        .filter(
-            (F.col("_n") > 1)
-            & ~(
+        .filter(F.col("_n") > 1)
+        .select(
+            F.col(id_col),
+            "pos",
+            (
                 (F.col(id_col) == F.col("_first.d"))
                 & (F.col("pos") == F.col("_first.p"))
+            ).alias("_canon"),
+        )
+    )
+    # gaps-and-islands: a span starts a NEW region iff it does not
+    # overlap the furthest end reached so far (strictly >, so abutting
+    # repeats stay separate regions and within-doc dedup still fires)
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(w - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.select(
+        F.col(id_col),
+        "pos",
+        "_canon",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("_nw"),
+    ).withColumn("_isl", F.sum("_nw").over(w_ord))
+    regions = isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("a"),
+        (F.max("pos") + F.lit(w - 1)).alias("b"),
+        F.max(F.col("_canon").cast("int")).alias("_anyc"),
+    )
+    cut = (
+        regions.filter(F.col("_anyc") == 0)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col("a"), F.col("b")))).alias(
+                "_cuts"
             )
         )
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
     )
     wo = F.split(F.col(text_col), " ")
     staged = (
         df.select(id_col, text_col)
-        .join(flagged, id_col, "left")
+        .join(cut, id_col, "left")
         .select(
             F.col(id_col),
             wo.alias("_wo"),
-            F.coalesce(F.col("_starts"), F.array().cast("array<int>")).alias(
-                "_starts"
-            ),
+            F.coalesce(
+                F.col("_cuts"), F.array().cast("array<struct<a:int,b:int>>")
+            ).alias("_cuts"),
         )
     )
     kept = F.filter(
         F.col("_wo"),
         lambda x, i: ~F.exists(
-            F.col("_starts"),
-            lambda s: (s <= i + 1) & (i + 1 <= s + F.lit(w - 1)),
+            F.col("_cuts"),
+            lambda c: (c["a"] <= i + 1) & (i + 1 <= c["b"]),
         ),
     )
     return (

@@ -1328,8 +1328,15 @@ def xd_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _span_removal_sql(w: int = 8) -> str:
     """DuckDB mirror of xd_span_removal: same md5 span hashes with the
     truncated-tail convention, canonical = min (doc_id, pos) struct,
-    position-indexed keep filter."""
+    gaps-and-islands region assembly (overlap-only merge), per-REGION
+    any-canonical keep, position-indexed cut filter over the cut
+    intervals — the same two windows + two aggregations as the Spark
+    plan."""
     span_h = md5_int_sql(f"array_to_string(ws[i:i+{w - 1}], ' ')")
+    prev_end = (
+        f"max(pos + {w - 1}) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
     return (
         f"WITH {_CONT_CORPUS_SQL}, "
         "d AS (SELECT doc_id, string_split(text, ' ') AS wo, "
@@ -1340,15 +1347,24 @@ def _span_removal_sql(w: int = 8) -> str:
         "s AS (SELECT doc_id, sp.p AS pos, sp.h AS h FROM hs), "
         "census AS (SELECT h, count(*) AS n, "
         "min(struct_pack(d := doc_id, p := pos)) AS f FROM s GROUP BY 1), "
-        "rem AS (SELECT s.doc_id, s.pos FROM s JOIN census USING (h) "
-        "WHERE n > 1 AND NOT (s.doc_id = f.d AND s.pos = f.p)), "
-        "st AS (SELECT doc_id, list_sort(list(pos)) AS starts FROM rem "
-        "GROUP BY 1), "
+        "dup AS (SELECT s.doc_id, s.pos, "
+        "(s.doc_id = f.d AND s.pos = f.p) AS canon "
+        "FROM s JOIN census USING (h) WHERE n > 1), "
+        "i AS (SELECT doc_id, pos, canon, "
+        f"CASE WHEN {prev_end} IS NULL OR pos > {prev_end} "
+        "THEN 1 ELSE 0 END AS nw FROM dup), "
+        "i2 AS (SELECT doc_id, pos, canon, "
+        "sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM i), "
+        f"reg AS (SELECT doc_id, isl, min(pos) AS a, max(pos) + {w - 1} AS b, "
+        "max(CAST(canon AS INT)) AS anyc FROM i2 GROUP BY 1, 2), "
+        "ct AS (SELECT doc_id, "
+        "list_sort(list(struct_pack(a := a, b := b))) AS cuts "
+        "FROM reg WHERE anyc = 0 GROUP BY 1), "
         "c AS (SELECT d.doc_id, wo, "
-        "coalesce(starts, CAST([] AS BIGINT[])) AS starts "
-        "FROM d LEFT JOIN st USING (doc_id)), "
+        "coalesce(cuts, []) AS cuts "
+        "FROM d LEFT JOIN ct USING (doc_id)), "
         "k AS (SELECT doc_id, wo, [wo[j] FOR j IN range(1, len(wo)+1) "
-        f"IF len(list_filter(starts, s -> s <= j AND j <= s + {w - 1})) = 0] "
+        "IF len(list_filter(cuts, cc -> cc.a <= j AND j <= cc.b)) = 0] "
         "AS kept FROM c) "
         "SELECT doc_id, CAST(len(wo) AS BIGINT) AS n_words, "
         "CAST(len(wo) - len(kept) AS BIGINT) AS n_removed, "

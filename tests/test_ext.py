@@ -1277,12 +1277,16 @@ def test_bigram_lm_sees_word_order(spark):
     assert bi[0] > uni[0]  # fluent docs gain from the bigram term
 
 
-def test_span_removal_subspan_canonical_corner(spark):
-    """The documented per-span-hash corner: a window-sized sub-span of a
-    shared region that independently occurs in a LOWER-id third doc owns
-    the canonical there, so the region's main holder is cut at exactly
-    that sub-span — content survives split across the two canonical
-    sites, and the other region copy is still cut entirely."""
+def test_span_removal_region_contiguity(spark):
+    """Region-assembly semantics (r6 verdict #3, replacing the per-span
+    sub-span-canonical corner): a window-sized sub-span of a shared
+    region that independently occurs in a LOWER-id third doc no longer
+    punches a hole in the region's main holder — the region's spans
+    merge into ONE maximal interval, and because the holder owns the
+    canonicals of the region's other spans, the WHOLE region survives
+    contiguously (ExactSubstr's maximal-match reading). Non-canonical
+    region copies are still cut entirely, and every duplicated span hash
+    keeps ≥ 1 surviving occurrence."""
     R = [f"r{i}" for i in range(20)]
     sub = " ".join(R[4:12])  # one exact window (w=8) inside R
     region = " ".join(R)
@@ -1294,13 +1298,15 @@ def test_span_removal_subspan_canonical_corner(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in dedup.remove_duplicated_spans(docs).collect()}
     assert out[0].n_removed == 0 and out[0].clean_text == sub
-    # main holder loses exactly the sub-span whose canonical is doc 0
-    assert out[1].clean_text == " ".join(R[:4] + R[12:])
-    assert out[1].n_removed == 8
+    # CONTIGUITY: the main holder survives whole — no mid-region hole at
+    # the foreign-canonical sub-span (the r6 behavior cut R[4:12] here)
+    assert out[1].n_removed == 0 and out[1].clean_text == region
     # the second region copy is cut to nothing
     assert out[2].n_removed == 20 and out[2].clean_text == ""
-    # per-span-hash guarantee: every duplicated span hash retains its
-    # canonical occurrence (sub at doc 0; region prefix/suffix at doc 1)
+    # keep-≥-one-copy per span hash: doc 0 and doc 1 both survive, so
+    # every span hash (sub at doc 0, all region spans at doc 1) retains
+    # at least its canonical occurrence; bounded extra retention is the
+    # sub-span riding inside doc 1's contiguous region
 
 
 def test_span_removal_rejects_bad_window(spark):
@@ -1350,3 +1356,64 @@ def test_mixture_report_zero_token_stratum_rate_zero(spark):
     assert out["empty"].token_share == 0.0
     assert out["empty"].sample_rate == 0.0  # not NULL/NaN
     assert out["src0"].sample_rate == 1.0  # only contributing stratum keeps all
+
+
+def test_train_lr_crawl_subsampled_metrics(spark):
+    """Crawl-scale training (ext/classify.py:train_lr_crawl): negatives
+    hash-subsampled deterministically, a held-out slice never trains, and
+    in-query precision/recall come back with the model. The subsampled
+    model must still separate the planted vocabularies on the holdout."""
+    from haf_plug_play_spark.ext import classify
+
+    reactor = "neutron flux moderator coolant turbine reactor core control rods"
+    garden = "tulip compost trellis pergola loam seedling mulch arbor shade"
+    rows = [(i, f"{reactor} item{i % 7}", "src0") for i in range(40)]
+    # 10x negatives — the imbalance the subsample exists for
+    rows += [(1000 + i, f"{garden} junk{i % 7}", "src1") for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    bias, weights, m = classify.train_lr_crawl(
+        docs,
+        F.col("source") == "src0",
+        iters=40,
+        lr=5.0,
+        neg_rate=0.25,
+        holdout_frac=0.3,
+    )
+    # confusion counts total the holdout and the planted vocabularies
+    # separate: perfect precision/recall on held-out docs
+    assert m["n_holdout"] == m["tp"] + m["fp"] + m["fn"] + m["tn"] > 0
+    assert m["precision"] == 1.0 and m["recall"] == 1.0 and m["f1"] == 1.0
+    # the holdout contains both classes (otherwise the metrics are vacuous)
+    assert m["tp"] > 0 and m["tn"] > 0
+    # subsampling really dropped negatives: scoring the full corpus still
+    # separates, proving the model didn't need the dropped rows
+    scored = {
+        r.doc_id: r.p_keep
+        for r in classify.lr_score(docs, weights, bias=bias).collect()
+    }
+    assert min(p for d, p in scored.items() if d < 1000) > 0.5
+    assert max(p for d, p in scored.items() if d >= 1000) < 0.5
+
+
+def test_train_lr_crawl_subsample_deterministic(spark):
+    """The negative subsample is a pure function of (id, seed): two runs
+    return bit-identical weights and metrics; changing the seed redraws
+    the subsample (different training pool size is allowed to change the
+    model, but determinism per seed is the contract)."""
+    from haf_plug_play_spark.ext import classify
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 11} gamma", "src0") for i in range(30)]
+        + [(500 + i, f"delta epsilon q{i % 11} zeta", "src1") for i in range(120)],
+        "doc_id long, text string, source string",
+    )
+    runs = [
+        classify.train_lr_crawl(
+            docs, F.col("source") == "src0", iters=8, neg_rate=0.4
+        )
+        for _ in range(2)
+    ]
+    assert runs[0][0] == runs[1][0]
+    assert runs[0][1] == runs[1][1]
+    assert runs[0][2] == runs[1][2]

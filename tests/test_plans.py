@@ -489,3 +489,54 @@ def test_span_removal_keyed_joins_only(spark):
     plan = _plan(EXT_QUERIES["XD-span-removal"](spark, SF_ORACLE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_classifier_iteration_shuffle_free(spark):
+    """Each training iteration must REUSE the feature stream's pinned
+    HashPartitioning(doc_id): the per-doc margin aggregate and the
+    gradient join insert NO doc-id exchange (the r6 localCheckpoint
+    materializer dropped outputPartitioning, so every iteration
+    re-shuffled the whole stream). The only ENSURE_REQUIREMENTS exchange
+    allowed is the bounded per-bucket gradient re-key; the stream's own
+    one-time REPARTITION_BY_COL build shuffle (printed inside the cached
+    relation) is expected."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext import classify
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit("w"), F.md5(F.col("id").cast("string"))
+        ).alias("text"),
+    )
+    feats = (
+        classify._feature_stream(docs, "doc_id", "text", 64)
+        .join(
+            docs.select(
+                "doc_id", (F.col("doc_id") % 2 == 0).cast("double").alias("_y")
+            ),
+            "doc_id",
+        )
+        .repartition(F.col("doc_id"))
+        .persist()
+    )
+    try:
+        feats.count()
+        grad = classify._iteration_gradients(
+            feats, "doc_id", [0.0] * 64, 0.0, 0.5, 0.5
+        )
+        grad.collect()  # final AQE plan
+        plan = grad._jdf.queryExecution().executedPlan().toString()
+        bad = [
+            line
+            for line in plan.splitlines()
+            if re.search(r"Exchange hashpartitioning\(doc_id", line)
+            and "ENSURE_REQUIREMENTS" in line
+        ]
+        assert not bad, bad
+        assert "InMemoryTableScan" in plan  # iterations read the cache
+    finally:
+        feats.unpersist()
