@@ -9,8 +9,11 @@ extension operators from haf_plug_play_spark.
 from __future__ import annotations
 
 import glob
+import inspect
 import json
 import os
+import subprocess
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,28 +35,152 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 #   tier 0: never driver-checked (no green CORRECTNESS row in any round),
 #           and any query whose MOST RECENT driver row failed;
-#   tier 1: implementation or oracle SQL changed since the query's last
-#           driver row ("changed since last checked" counts as unchecked —
-#           maintained by hand in _CHANGED_SINCE_LAST_ROW each round);
+#   tier 1: implementation changed since the query's last driver row
+#           ("changed since last checked" counts as unchecked) — derived
+#           from GIT as of round 7: a query is tier 1 iff any of its
+#           defining module files has a commit AFTER the commit that
+#           banked its last green CORRECTNESS row. Defining modules come
+#           from introspecting each query callable (its own module plus
+#           every engine module/function it references), so the mapping
+#           maintains itself; entries retire the moment a fresh row
+#           lands, because the row's bank commit then postdates the
+#           change. ext/registry.py is deliberately EXCLUDED from the
+#           signal: it is the wrapper+oracle glue shared by ~100
+#           queries, so a file-level signal over it would front-load
+#           everything every round — semantic edits there accompany an
+#           op-module edit in practice (and are caught at the next
+#           driver round regardless).
 #   tier 2: everything else, STALEST FIRST (ascending last-green round).
 #
-# The ordering is computed from the banked CORRECTNESS_r*.json files at
-# import time, so each round's results rotate the next round's window
-# automatically instead of via a hand-grown list. Every query — front or
-# back — passes the identical DuckDB-oracle comparison in pytest every
-# round (tests/test_canonical.py, test_advanced.py, test_ext.py).
-# query id → round whose code changes postdate the query's banked driver
-# rows. Tier 1 applies only while the query's last green row is <= that
-# round, so entries RETIRE THEMSELVES once a fresh row lands — no stale
-# priority list to garden next round.
-_CHANGED_SINCE_LAST_ROW = {
-    # r5 changes recorded after the r5 driver run: QV1-audit HALF_UP
-    # rounding, XD-bloom NULL-key COALESCE, XD-sem-decontam broadcast-
-    # join rework (5268b5e).
-    "QV1-audit": 5,
-    "XD-bloom": 5,
-    "XD-sem-decontam": 5,
-}
+# The ordering is computed from the banked CORRECTNESS_r*.json files +
+# git history at import time, so each round's results rotate the next
+# round's window automatically with no hand-maintained list. Every query
+# — front or back — passes the identical DuckDB-oracle comparison in
+# pytest every round (tests/test_canonical.py, test_advanced.py,
+# test_ext.py).
+
+_EXCLUDED_DEP_FILES = ("haf_plug_play_spark/ext/registry.py",)
+
+
+def _git_last_change_ts(path: str, repo: str) -> int | None:
+    """Committer timestamp of the last commit touching ``path`` (None if
+    git is unavailable, the file is untracked, or anything else fails —
+    the rotation then simply runs without tier-1 information)."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        return int(out.stdout.strip()) if out.returncode == 0 and out.stdout.strip() else None
+    except (OSError, ValueError, subprocess.SubprocessError):
+        return None
+
+
+def _query_dep_files(
+    queries_by_name: dict[str, Callable], repo: str
+) -> dict[str, tuple[str, ...]]:
+    """query id → repo-relative files whose commits invalidate its banked
+    evidence: the callable's own module plus every haf_plug_play_spark
+    module or function its code references (via co_names against module
+    globals) — mechanical, so a new operator wires itself in."""
+    deps: dict[str, tuple[str, ...]] = {}
+    for name, fn in queries_by_name.items():
+        files: set[str] = set()
+        try:
+            mod = sys.modules.get(fn.__module__)
+            closure_fns = [fn]
+            # registry wrappers are often zero-arg closures over inner
+            # callables; chase one level of function globals either way
+            for f in closure_fns:
+                fmod = sys.modules.get(f.__module__)
+                if fmod is not None and hasattr(fmod, "__file__"):
+                    files.add(fmod.__file__)
+                for co_name in f.__code__.co_names:
+                    obj = getattr(fmod, co_name, None) if fmod else None
+                    if inspect.ismodule(obj) and obj.__name__.startswith(
+                        "haf_plug_play_spark"
+                    ):
+                        files.add(obj.__file__)
+                    elif inspect.isfunction(obj) and getattr(
+                        obj, "__module__", ""
+                    ).startswith("haf_plug_play_spark"):
+                        m = sys.modules.get(obj.__module__)
+                        if m is not None and hasattr(m, "__file__"):
+                            files.add(m.__file__)
+                    elif obj is None:
+                        # function-LOCAL imports (`from ...ext import
+                        # classify`) never land in module globals, but
+                        # IMPORT_FROM records the plain name in co_names
+                        # — resolve it against loaded engine modules by
+                        # last path component (conservative: a stray
+                        # attribute name matching a module adds an extra
+                        # dep, never loses one)
+                        for mn, m in list(sys.modules.items()):
+                            if (
+                                mn.startswith("haf_plug_play_spark")
+                                and mn.rsplit(".", 1)[-1] == co_name
+                                and m is not None
+                                and hasattr(m, "__file__")
+                            ):
+                                files.add(m.__file__)
+                                break
+            rel = {
+                os.path.relpath(p, repo)
+                for p in files
+                if p and p.startswith(repo)
+            }
+            deps[name] = tuple(
+                sorted(r for r in rel if r not in _EXCLUDED_DEP_FILES)
+            )
+        except (AttributeError, TypeError, OSError):
+            deps[name] = ()
+    return deps
+
+
+def _tier1_changed(
+    names: list[str],
+    last: dict[str, int],
+    queries_by_name: dict[str, Callable] | None = None,
+    repo: str | None = None,
+    file_ts: dict[str, int | None] | None = None,
+    row_ts: dict[int, int | None] | None = None,
+    dep_files: dict[str, tuple[str, ...]] | None = None,
+) -> set[str]:
+    """Queries whose defining modules changed after the commit that
+    banked their last green driver row. ``file_ts``/``row_ts``/
+    ``dep_files`` are injectable for tests; by default they come from
+    git + introspection. Missing timestamps on either side mean "no
+    information" → not tier 1 (tier 2 staleness still rotates it in)."""
+    if repo is None:
+        repo = os.path.dirname(os.path.abspath(__file__))
+    if dep_files is None:
+        dep_files = _query_dep_files(queries_by_name or {}, repo)
+    if row_ts is None:
+        rounds = {rnd for rnd in last.values()}
+        row_ts = {
+            rnd: _git_last_change_ts(f"CORRECTNESS_r{rnd:02d}.json", repo)
+            for rnd in rounds
+        }
+    if file_ts is None:
+        all_files = {f for fs in dep_files.values() for f in fs}
+        file_ts = {f: _git_last_change_ts(f, repo) for f in all_files}
+    changed: set[str] = set()
+    for name in names:
+        rnd = last.get(name)
+        if rnd is None:
+            continue  # tier 0 already
+        banked = row_ts.get(rnd)
+        if banked is None:
+            continue
+        for f in dep_files.get(name, ()):
+            ts = file_ts.get(f)
+            if ts is not None and ts > banked:
+                changed.add(name)
+                break
+    return changed
 
 
 def _last_green_round(here: str | None = None) -> dict[str, int]:
@@ -93,18 +220,19 @@ def _last_green_round(here: str | None = None) -> dict[str, int]:
 def _evidence_order(
     names: list[str],
     last: dict[str, int] | None = None,
-    changed: dict[str, int] | None = None,
+    changed: set[str] | None = None,
+    queries_by_name: dict[str, Callable] | None = None,
 ) -> list[str]:
     if last is None:
         last = _last_green_round()
     if changed is None:
-        changed = _CHANGED_SINCE_LAST_ROW
+        changed = _tier1_changed(names, last, queries_by_name)
 
     def prio(pair: tuple[int, str]) -> tuple[int, int, int]:
         i, name = pair
         if name not in last:
             return (0, 0, i)
-        if last[name] <= changed.get(name, -1):
+        if name in changed:
             return (1, 0, i)
         return (2, last[name], i)
 
@@ -128,7 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(EXT_QUERIES)
     except ImportError:
         pass
-    return {name: q[name] for name in _evidence_order(list(q))}
+    return {name: q[name] for name in _evidence_order(list(q), queries_by_name=q)}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1495,6 +1495,73 @@ def _ivfadc_sql(
     )
 
 
+def _recall_corpus(emb: DataFrame, query_vec: list[float]) -> DataFrame:
+    """Embeddings plus 20 planted query-aligned vectors (scaled copies of
+    the query, vec_id 2_000_000+i, scale 1 + i/100): pure scaling keeps
+    cosine exactly 1.0, so the exact top-10 is the planted cluster — the
+    regime ANN exists for. On a cluster-free uniform corpus, IVF probe
+    pruning legitimately caps recall near n_probe/n_centroids (there is
+    no structure to exploit); recall is a property of cluster RECOVERY,
+    which is what this plants — the same design as the 20k trained-recall
+    smoke (tests/test_scale_smoke.py)."""
+    spark = emb.sparkSession
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    plants = spark.range(20).select(
+        (F.col("id") + F.lit(2_000_000)).alias("vec_id"),
+        F.transform(
+            qarr, lambda x: x * (F.lit(1.0) + F.col("id") * F.lit(0.01))
+        ).alias("embedding"),
+    )
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return base.unionByName(plants)
+
+
+_RECALL_CORPUS_SQL = (
+    "corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding "
+    "FROM embeddings UNION ALL "
+    "SELECT 2000000 + i AS vec_id, "
+    "list_transform({qv}, x -> x * (1.0 + i * 0.01)) AS embedding "
+    "FROM range(20) t(i))"
+)
+
+
+def xs_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC recall@10 vs the exact cosine top-10
+    (ext/similarity.py:ivfadc_recall) over the cluster-planted corpus —
+    the ANN quality number itself under the oracle gate: coarse probe +
+    residual ADC + exact rerank must recover ≥ the smoke gate's 0.8
+    floor of the true neighbors, reported as one driver-hash-checked
+    row."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return similarity.ivfadc_recall(
+        _recall_corpus(emb, _QUERY_VEC), _QUERY_VEC, k=10, shortlist=50
+    )
+
+
+def _recall_sql(query_vec: list[float], k: int = 10, floor: float = 0.8) -> str:
+    """DuckDB mirror of xs_recall: the XS-ivfadc oracle and the
+    XS-cosine-topk oracle as CTEs over the same planted corpus,
+    inner-joined on vec_id, counted."""
+    corpus = _RECALL_CORPUS_SQL.format(qv=f"CAST({_vec_sql(query_vec)} AS DOUBLE[])")
+    approx = _ivfadc_sql(query_vec, k=k).replace(
+        "FROM embeddings", "FROM corpus"
+    )
+    exact = _cosine_topk_sql(query_vec, k).replace(
+        "FROM embeddings", "FROM corpus"
+    )
+    # _VD re-casts the already-double corpus column — a no-op both engines
+    # share (the Spark side also re-casts inside cosine_topk/ivfadc_topk)
+    return (
+        f"WITH {corpus}, ap AS ({approx}), ex AS ({exact}), "
+        "h AS (SELECT count(*) AS n_hits FROM ap JOIN ex USING (vec_id)) "
+        f"SELECT CAST({k} AS BIGINT) AS k, CAST(n_hits AS BIGINT) AS n_hits, "
+        f"round(n_hits / {k}, 6) AS recall, "
+        f"n_hits / {k} >= {float(floor)!r} AS meets_floor FROM h"
+    )
+
+
 _BM25_QUERY = ["hash", "join", "scan", "vector", "quantile"]
 
 
@@ -1595,6 +1662,67 @@ def xt_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram and unigram probabilities, mean log-prob per document."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     return xt.bigram_lm_scores(docs)
+
+
+def xt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM scoring
+    (ext/text.py:kn_trigram_lm_scores) — the KenLM-class perplexity
+    filter: absolute discounting at each order, continuation counts
+    below the top, trained on the scored corpus; mean log-prob per
+    document."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return xt.kn_trigram_lm_scores(docs)
+
+
+def _trigram_lm_sql(d: float = 0.75) -> str:
+    """DuckDB mirror of kn_trigram_lm_scores: same (w, pv, ppv) stream,
+    same count tables (trigram/bigram/unigram + context and continuation
+    derivatives, merged per join key), same discount algebra in the same
+    evaluation order, round(avg, 6)."""
+    D = repr(float(d))
+    return (
+        "WITH dd AS (SELECT doc_id, string_split(lower(text), ' ') AS ws "
+        "FROM documents), "
+        "st AS (SELECT doc_id, unnest([struct_pack(w := ws[i], "
+        "pv := CASE WHEN i >= 2 THEN ws[i-1] END, "
+        "ppv := CASE WHEN i >= 3 THEN ws[i-2] END) "
+        "FOR i IN range(1, len(ws)+1)]) AS t FROM dd), "
+        "tok AS (SELECT doc_id, t.w AS w, t.pv AS pv, t.ppv AS ppv FROM st), "
+        "uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1), "
+        "bi AS (SELECT pv, w, count(*) AS cb FROM tok "
+        "WHERE pv IS NOT NULL GROUP BY 1, 2), "
+        "tri AS (SELECT ppv, pv, w, count(*) AS ct FROM tok "
+        "WHERE ppv IS NOT NULL GROUP BY 1, 2, 3), "
+        "tot AS (SELECT sum(cu) AS T FROM uni), "
+        "nb AS (SELECT count(*) AS NB FROM bi), "
+        "pvs AS (SELECT pv, cpv, n1succ, n1mid FROM "
+        "(SELECT pv, sum(cb) AS cpv, count(*) AS n1succ FROM bi GROUP BY 1) "
+        "FULL JOIN (SELECT pv, count(*) AS n1mid FROM tri GROUP BY 1) "
+        "USING (pv)), "
+        "wst AS (SELECT w, cu, n1w FROM uni "
+        "LEFT JOIN (SELECT w, count(*) AS n1w FROM bi GROUP BY 1) USING (w)), "
+        "pws AS (SELECT pv, w, cb, n1cont FROM bi "
+        "FULL JOIN (SELECT pv, w, count(*) AS n1cont FROM tri GROUP BY 1, 2) "
+        "USING (pv, w)), "
+        "ctx3 AS (SELECT ppv, pv, sum(ct) AS c3, count(*) AS n13 "
+        "FROM tri GROUP BY 1, 2), "
+        "sc AS (SELECT doc_id, CASE "
+        "WHEN tok.pv IS NULL THEN ln(CAST(cu AS DOUBLE) / T) "
+        f"WHEN tok.ppv IS NULL THEN ln(greatest(cb - {D}, 0.0) / cpv "
+        f"+ {D} * n1succ / cpv * (CAST(n1w AS DOUBLE) / NB)) "
+        f"ELSE ln(greatest(ct - {D}, 0.0) / c3 "
+        f"+ {D} * n13 / c3 * (greatest(n1cont - {D}, 0.0) / n1mid "
+        f"+ {D} * n1succ / n1mid * (CAST(n1w AS DOUBLE) / NB))) END AS lp "
+        "FROM tok JOIN wst USING (w) "
+        "LEFT JOIN pws ON pws.pv = tok.pv AND pws.w = tok.w "
+        "LEFT JOIN pvs ON pvs.pv = tok.pv "
+        "LEFT JOIN tri ON tri.ppv = tok.ppv AND tri.pv = tok.pv "
+        "AND tri.w = tok.w "
+        "LEFT JOIN ctx3 ON ctx3.ppv = tok.ppv AND ctx3.pv = tok.pv "
+        "CROSS JOIN tot CROSS JOIN nb) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "round(avg(lp), 6) AS avg_logp FROM sc GROUP BY 1 ORDER BY doc_id"
+    )
 
 
 def _bigram_lm_sql(lam: float = 0.7) -> str:
@@ -2164,12 +2292,14 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XP-pipeline5": xp_pipeline5,
     # new in r6 (never driver-checked)
     "XS-ivfadc": xs_ivfadc,
+    "XS-recall": xs_recall,
     "XR-bm25": xr_bm25,
     "XT-clf-quality": xt_clf_quality,
     "XP-pipeline6": xp_pipeline6,
     "XA-mix-report": xa_mix_report,
     "XD-span-removal": xd_span_removal,
     "XT-bigram-lm": xt_bigram_lm,
+    "XT-trigram-lm": xt_trigram_lm,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2221,12 +2351,14 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XA-dsir": _dsir_sql(),
     "XP-pipeline5": _pipeline5_sql(),
     "XS-ivfadc": _ivfadc_sql(_QUERY_VEC, 10),
+    "XS-recall": _recall_sql(_QUERY_VEC),
     "XR-bm25": _bm25_sql(_BM25_QUERY, 10),
     "XT-clf-quality": _clf_quality_sql(),
     "XP-pipeline6": _pipeline6_sql(),
     "XA-mix-report": _mix_report_sql(_MIX_TARGETS),
     "XD-span-removal": _span_removal_sql(8),
     "XT-bigram-lm": _bigram_lm_sql(0.7),
+    "XT-trigram-lm": _trigram_lm_sql(0.75),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

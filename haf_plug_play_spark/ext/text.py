@@ -489,6 +489,142 @@ def bigram_lm_scores(
     )
 
 
+def kn_trigram_lm_scores(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney trigram language-model score — the
+    KenLM-class quality filter (public method: Kneser & Ney 1995;
+    interpolated variant per Chen & Goodman 1999 §2.7): absolute
+    discount ``D`` at every order, CONTINUATION counts below the top
+    order — the property that makes KN the standard (a word seen often
+    but only in one context, "Francisco", gets a small continuation
+    probability where MLE backoff overrates it).
+
+    Per-token score, trained on the scored corpus itself:
+    - position 1 (no context): ln c(w)/T — MLE unigram, the
+      ``bigram_lm_scores`` doc-start convention;
+    - position 2: bigram-top KN, real counts at the top order:
+      ln( max(c(vw)−D,0)/c(v·) + D·N₁₊(v·)/c(v·) · p_cont(w) );
+    - position ≥ 3: trigram-top KN with the bigram CONTINUATION model
+      below: ln( max(c(uvw)−D,0)/c(uv·) + D·N₁₊(uv·)/c(uv·) ·
+      [ max(N₁₊(·vw)−D,0)/N₁₊(·v·) + D·N₁₊(v·)/N₁₊(·v·) · p_cont(w) ] )
+      where p_cont(w) = N₁₊(·w)/|distinct bigrams|.
+    Every logarithm argument is positive by construction (train =
+    score corpus, so each scored n-gram contributes its own count).
+
+    Plan shape (the bigram scorer's, one order up): the (w, pv, ppv)
+    stream is one zip+explode; trigram/bigram/unigram count tables and
+    their context/continuation derivatives are map-side-combinable hash
+    aggregations re-joined on their own keys (stats sharing a key are
+    pre-merged so the token stream joins each key ONCE — 6 keyed joins);
+    the two scalar totals ride broadcast single-row cross joins. FP
+    caveat: the per-doc mean reassociates across the shuffle (the
+    unigram-lm caveat family, absorbed by 6-dp rounding).
+
+    Output: (id, n_words, avg_logp) rounded 6 dp, ordered by id.
+    """
+    D = float(discount)
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    nulls1 = F.array(F.lit(None).cast("string"))
+    prevs = F.slice(F.concat(nulls1, words), 1, n)
+    pprevs = F.slice(F.concat(nulls1, nulls1, words), 1, n)
+    pairs = F.zip_with(
+        words, prevs, lambda a, b: F.struct(a.alias("w"), b.alias("pv"))
+    )
+    trips = F.zip_with(
+        pairs,
+        pprevs,
+        lambda s, c: F.struct(
+            s["w"].alias("w"), s["pv"].alias("pv"), c.alias("ppv")
+        ),
+    )
+    tok = df.select(F.col(id_col), F.explode(trips).alias("t")).select(
+        F.col(id_col),
+        F.col("t.w").alias("w"),
+        F.col("t.pv").alias("pv"),
+        F.col("t.ppv").alias("ppv"),
+    )
+    uni = tok.groupBy("w").agg(F.count("*").alias("_cu"))
+    bi = (
+        tok.filter(F.col("pv").isNotNull())
+        .groupBy("pv", "w")
+        .agg(F.count("*").alias("_cb"))
+    )
+    tri = (
+        tok.filter(F.col("ppv").isNotNull())
+        .groupBy("ppv", "pv", "w")
+        .agg(F.count("*").alias("_ct"))
+    )
+    total = uni.agg(F.sum("_cu").alias("_t"))
+    n_bigrams = bi.agg(F.count("*").alias("_nb"))
+    # one table per join key: pv-keyed stats (successor mass + richness
+    # from bi; middle-slot continuation mass from tri), w-keyed stats
+    # (unigram count from uni; predecessor richness from bi), (pv,
+    # w)-keyed (bigram count; continuation count N1+(·vw) from tri),
+    # (ppv, pv)-keyed trigram-context stats
+    pv_stats = (
+        bi.groupBy("pv")
+        .agg(F.sum("_cb").alias("_cpv"), F.count("*").alias("_n1succ"))
+        .join(
+            tri.groupBy("pv").agg(F.count("*").alias("_n1mid")), "pv", "full"
+        )
+    )
+    w_stats = uni.join(
+        bi.groupBy("w").agg(F.count("*").alias("_n1w")), "w", "left"
+    )
+    pw_stats = bi.join(
+        tri.groupBy("pv", "w").agg(F.count("*").alias("_n1cont")),
+        ["pv", "w"],
+        "full",
+    )
+    ctx3 = tri.groupBy("ppv", "pv").agg(
+        F.sum("_ct").alias("_c3"), F.count("*").alias("_n13")
+    )
+    pcont = F.col("_n1w") / F.col("_nb")
+    pkn2 = (
+        F.greatest(F.col("_n1cont") - F.lit(D), F.lit(0.0)) / F.col("_n1mid")
+        + F.lit(D) * F.col("_n1succ") / F.col("_n1mid") * pcont
+    )
+    lp = (
+        F.when(F.col("pv").isNull(), F.log(F.col("_cu") / F.col("_t")))
+        .when(
+            F.col("ppv").isNull(),
+            F.log(
+                F.greatest(F.col("_cb") - F.lit(D), F.lit(0.0)) / F.col("_cpv")
+                + F.lit(D) * F.col("_n1succ") / F.col("_cpv") * pcont
+            ),
+        )
+        .otherwise(
+            F.log(
+                F.greatest(F.col("_ct") - F.lit(D), F.lit(0.0)) / F.col("_c3")
+                + F.lit(D) * F.col("_n13") / F.col("_c3") * pkn2
+            )
+        )
+    )
+    scored = (
+        tok.join(w_stats, "w")
+        .join(pw_stats, ["pv", "w"], "left")
+        .join(pv_stats, "pv", "left")
+        .join(tri, ["ppv", "pv", "w"], "left")
+        .join(ctx3, ["ppv", "pv"], "left")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(n_bigrams))
+        .select(F.col(id_col), lp.alias("_lp"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg("_lp"), 6).alias("avg_logp"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     id_col: str = "doc_id",

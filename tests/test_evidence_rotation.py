@@ -63,32 +63,77 @@ def test_evidence_order_tiers():
     then tier 1 (changed-since-last-row), then tier 2 stalest-first."""
     names = ["q_fresh", "q_never", "q_stale", "q_changed", "q_mid"]
     last = {"q_fresh": 6, "q_stale": 2, "q_changed": 5, "q_mid": 4}
-    changed = {"q_changed": 5}  # code changed in/after round 5 ≥ last green 5
-    order = entry_mod._evidence_order(names, last=last, changed=changed)
+    order = entry_mod._evidence_order(names, last=last, changed={"q_changed"})
     assert order == ["q_never", "q_changed", "q_stale", "q_mid", "q_fresh"]
 
 
-def test_changed_entry_self_retires_after_fresh_row():
-    """Once a driver row postdating the change lands, the tier-1 entry
-    stops applying — the query rejoins tier 2 by staleness."""
+def test_synthetic_late_change_refronts_query():
+    """The git-derived tier-1 signal (r7, replacing the hand dict): a
+    module commit AFTER the commit that banked a query's last green row
+    re-fronts exactly that query; once a fresh row is banked later than
+    the change, the entry retires by itself."""
     names = ["q_a", "q_b"]
-    changed = {"q_a": 5}
-    # last green 5 <= changed 5 → still tier 1
-    assert entry_mod._evidence_order(names, {"q_a": 5, "q_b": 1}, changed) == [
-        "q_a",
-        "q_b",
-    ]
-    # fresh row in round 6 > changed 5 → retired, ordinary staleness wins
-    assert entry_mod._evidence_order(names, {"q_a": 6, "q_b": 1}, changed) == [
-        "q_b",
-        "q_a",
-    ]
+    last = {"q_a": 6, "q_b": 6}
+    dep_files = {"q_a": ("mod_a.py",), "q_b": ("mod_b.py",)}
+    row_ts = {6: 1000}
+    # mod_a changed at t=1500 (after banking), mod_b untouched since 500
+    changed = entry_mod._tier1_changed(
+        names, last, file_ts={"mod_a.py": 1500, "mod_b.py": 500},
+        row_ts=row_ts, dep_files=dep_files,
+    )
+    assert changed == {"q_a"}
+    assert entry_mod._evidence_order(names, last, changed) == ["q_a", "q_b"]
+    # a NEW driver row banked at t=2000 (> the change) retires the entry
+    changed2 = entry_mod._tier1_changed(
+        names, {"q_a": 7, "q_b": 6},
+        file_ts={"mod_a.py": 1500, "mod_b.py": 500},
+        row_ts={6: 1000, 7: 2000}, dep_files=dep_files,
+    )
+    assert changed2 == set()
+
+
+def test_tier1_missing_timestamps_mean_no_information():
+    """git unavailable / untracked file / unknown round → the query is
+    NOT tier 1 (staleness rotation still covers it), never a crash."""
+    names = ["q_a"]
+    last = {"q_a": 6}
+    assert (
+        entry_mod._tier1_changed(
+            names, last, file_ts={"mod_a.py": None},
+            row_ts={6: 1000}, dep_files={"q_a": ("mod_a.py",)},
+        )
+        == set()
+    )
+    assert (
+        entry_mod._tier1_changed(
+            names, last, file_ts={"mod_a.py": 99},
+            row_ts={6: None}, dep_files={"q_a": ("mod_a.py",)},
+        )
+        == set()
+    )
+
+
+def test_dep_discovery_finds_engine_modules():
+    """_query_dep_files introspects real query callables: module-global
+    references AND function-local imports resolve to engine files;
+    ext/registry.py is excluded as shared glue."""
+    import os
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    q = entry_mod.queries()
+    deps = entry_mod._query_dep_files(q, repo)
+    assert "haf_plug_play_spark/ext/dedup.py" in deps["XD-ngram-jaccard"]
+    # function-local import (classify) is discovered
+    assert "haf_plug_play_spark/ext/classify.py" in deps["XT-clf-quality"]
+    assert all(
+        "haf_plug_play_spark/ext/registry.py" not in fs for fs in deps.values()
+    )
 
 
 def test_all_queries_green_orders_by_staleness_not_declaration():
     names = ["x", "y", "z"]
     last = {"x": 3, "y": 1, "z": 2}
-    assert entry_mod._evidence_order(names, last, {}) == ["y", "z", "x"]
+    assert entry_mod._evidence_order(names, last, set()) == ["y", "z", "x"]
 
 
 def test_real_repo_window_has_no_parse_regression():

@@ -1417,3 +1417,45 @@ def test_train_lr_crawl_subsample_deterministic(spark):
     assert runs[0][0] == runs[1][0]
     assert runs[0][1] == runs[1][1]
     assert runs[0][2] == runs[1][2]
+
+
+def test_kn_trigram_lm_order_and_continuation(spark):
+    """Kneser-Ney trigram scoring (ext/text.py:kn_trigram_lm_scores):
+    (a) sees word order beyond bigrams — a doc preserving the corpus's
+    trigram structure outscores one that only preserves its bigram-pair
+    multiset edges locally; (b) the KN signature: a high-frequency word
+    locked to ONE context ('francisco' after 'san') carries a LOW
+    continuation probability, so it scores worse in a novel context than
+    an equally-frequent word seen in many contexts."""
+    from haf_plug_play_spark.ext import text as xtext
+
+    fluent = "the quick brown fox jumps over the lazy dog tonight"
+    shuffled = "dog the over quick tonight brown the jumps lazy fox"
+    rows = [(i, fluent) for i in range(10)] + [(10, shuffled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sc = {r.doc_id: r.avg_logp for r in xtext.kn_trigram_lm_scores(docs).collect()}
+    assert sc[10] < sc[0]  # order matters at trigram granularity
+
+    # continuation property: 'francisco' and 'store' both occur 8 times;
+    # francisco ONLY ever after 'san', store after 8 different words.
+    # Probe docs put each after the same novel context — KN's
+    # continuation backoff must penalize the one-context word.
+    ctxs = ["big", "small", "old", "new", "nice", "good", "red", "blue"]
+    rows = [(i, f"san francisco {ctxs[i]} store visit") for i in range(8)]
+    rows += [(100, "we saw francisco"), (101, "we saw store")]
+    docs2 = spark.createDataFrame(rows, "doc_id long, text string")
+    sc2 = {
+        r.doc_id: r.avg_logp
+        for r in xtext.kn_trigram_lm_scores(docs2).collect()
+    }
+    assert sc2[100] < sc2[101]
+
+
+def test_ivfadc_recall_meets_production_floor(spark):
+    """XS-recall's meets_floor must actually be True at the oracle SF —
+    the driver hash-check proves Spark and DuckDB agree, THIS pins that
+    the agreed number clears the production bound (the 0.8 trained-
+    recall floor from tests/test_scale_smoke.py)."""
+    row = EXT_QUERIES["XS-recall"](spark, SF_ORACLE).collect()[0]
+    assert row.meets_floor and row.recall >= 0.8
+    assert row.k == 10 and row.n_hits == row.k  # full cluster recovery
