@@ -163,7 +163,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="manifest-committed snapshot table ops — the object-store-safe "
         "publication path (runner/snapshots.py)",
     )
-    sn.add_argument("action", choices=["publish", "rewrite", "vacuum", "log"])
+    sn.add_argument(
+        "action", choices=["publish", "rewrite", "vacuum", "log", "read"]
+    )
     sn.add_argument("--table", required=True, help="snapshot table dir")
     sn.add_argument(
         "--source", default=None, help="parquet path to publish (publish only)"
@@ -171,6 +173,17 @@ def build_parser() -> argparse.ArgumentParser:
     sn.add_argument("--keep-last", type=int, default=2)
     sn.add_argument("--target-files", type=int, default=8)
     sn.add_argument("--delete-orphans", action="store_true")
+    sn.add_argument(
+        "--snapshot-id", type=int, default=None,
+        help="time-travel target for `read` (default: current)",
+    )
+    sn.add_argument(
+        "--fs", default="local", choices=["local", "object"],
+        help="control-plane filesystem: `local` (flock CAS) or `object` — "
+        "the conditional-PUT object-store protocol (runner/fs.py:"
+        "ObjectStoreFS; emulated file-backed store locally, a boto3/GCS "
+        "adapter satisfies the same five-method client seam unchanged)",
+    )
 
     return parser
 
@@ -279,44 +292,79 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"merges": learn_bpe_merges(docs, args.merges)}))
     elif args.cmd == "snapshot":
         from haf_plug_play_spark.runner import snapshots as sn
+        from haf_plug_play_spark.runner.fs import (
+            ConcurrentWriteError,
+            EmulatedObjectStore,
+            ObjectStoreFS,
+        )
 
-        if args.action == "publish":
-            if not args.source:
-                raise SystemExit("snapshot publish requires --source")
-            m = sn.commit_snapshot(
-                spark, spark.read.parquet(args.source), args.table
-            )
-            print(json.dumps({"action": "publish", **m}))
-        elif args.action == "rewrite":
-            m = sn.rewrite_snapshot(
-                spark, args.table, target_files=args.target_files
-            )
-            print(json.dumps({"action": "rewrite", **m}))
-        elif args.action == "vacuum":
-            rep = sn.vacuum(
-                args.table,
-                keep_last=args.keep_last,
-                delete_orphans=args.delete_orphans,
-            )
-            print(json.dumps({"action": "vacuum", **rep}))
-        else:  # log
-            chain = sn.committed_chain(args.table, sn.LocalFS())
-            print(
-                json.dumps(
-                    {
-                        "action": "log",
-                        "snapshots": [
-                            {
-                                "snapshot_id": m["snapshot_id"],
-                                "parent": m["parent"],
-                                "data_dirs": sn._data_dirs(m),
-                                "committed_utc": m["committed_utc"],
-                            }
-                            for m in chain
-                        ],
-                    }
+        fs = (
+            ObjectStoreFS(EmulatedObjectStore())
+            if args.fs == "object"
+            else sn.LocalFS()
+        )
+        try:
+            if args.action == "publish":
+                if not args.source:
+                    raise SystemExit("snapshot publish requires --source")
+                m = sn.commit_snapshot(
+                    spark, spark.read.parquet(args.source), args.table, fs
                 )
+                print(json.dumps({"action": "publish", **m}))
+            elif args.action == "rewrite":
+                m = sn.rewrite_snapshot(
+                    spark, args.table, fs, target_files=args.target_files
+                )
+                print(json.dumps({"action": "rewrite", **m}))
+            elif args.action == "vacuum":
+                rep = sn.vacuum(
+                    args.table,
+                    fs,
+                    keep_last=args.keep_last,
+                    delete_orphans=args.delete_orphans,
+                )
+                print(json.dumps({"action": "vacuum", **rep}))
+            elif args.action == "read":
+                df = sn.read_snapshot(
+                    spark, args.table, fs, snapshot_id=args.snapshot_id
+                )
+                print(
+                    json.dumps(
+                        {
+                            "action": "read",
+                            "snapshot_id": args.snapshot_id,
+                            "rows": df.count(),
+                            "columns": df.columns,
+                        }
+                    )
+                )
+            else:  # log
+                chain = sn.committed_chain(args.table, fs)
+                print(
+                    json.dumps(
+                        {
+                            "action": "log",
+                            "snapshots": [
+                                {
+                                    "snapshot_id": m["snapshot_id"],
+                                    "parent": m["parent"],
+                                    "data_dirs": sn._data_dirs(m),
+                                    "committed_utc": m["committed_utc"],
+                                }
+                                for m in chain
+                            ],
+                        }
+                    )
+                )
+        except ConcurrentWriteError as exc:
+            # the CAS loser's contract: clean refusal, staged objects
+            # already self-deleted by _commit — an operator re-runs the
+            # publish against the new current snapshot
+            print(
+                json.dumps({"action": args.action, "error": str(exc)}),
+                file=sys.stderr,
             )
+            return 3
     return 0
 
 
