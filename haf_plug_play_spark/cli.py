@@ -136,6 +136,48 @@ def build_parser() -> argparse.ArgumentParser:
         "stages see the cleaned text",
     )
 
+    rl = sub.add_parser(
+        "release",
+        help="the full data-release pipeline in one invocation: curate "
+        "funnel → recipe mixture rates applied → split → pack → "
+        "append_snapshot publish with a written manifest "
+        "(ext/curate.py:run_release)",
+    )
+    rl.add_argument(
+        "--in", dest="in_path", required=True,
+        help="documents corpus (parquet, .jsonl, or .csv)",
+    )
+    rl.add_argument("--table", required=True, help="snapshot table dir to publish into")
+    rl.add_argument(
+        "--in-format", default=None, choices=["parquet", "jsonl", "csv"]
+    )
+    rl.add_argument(
+        "--mix", default=None, metavar="RECIPE",
+        help="comma-separated target token shares per stratum, e.g. "
+        "'src0=0.4,src1=0.3' — derives and applies the one-epoch "
+        "Bernoulli rates (ext/sampling.py:mixture_report); strata "
+        "absent from the recipe are dropped",
+    )
+    rl.add_argument(
+        "--stratum", default="source", help="mixture stratum column"
+    )
+    rl.add_argument("--min-score", type=float, default=2.0)
+    rl.add_argument("--langs", default=None, help="comma-separated lang allowlist")
+    rl.add_argument("--rate", type=float, default=1.0, help="Bernoulli sample rate")
+    rl.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
+    rl.add_argument("--seed", type=int, default=7)
+    rl.add_argument(
+        "--batch-id", type=int, default=None,
+        help="idempotency key: re-releasing the current (writer, batch) "
+        "is a no-op (exactly-once publication)",
+    )
+    rl.add_argument("--writer-id", default="release")
+    rl.add_argument(
+        "--fs", default="local", choices=["local", "object"],
+        help="control-plane filesystem for the snapshot commit (see "
+        "`snapshot --fs`)",
+    )
+
     vo = sub.add_parser(
         "vocab",
         help="learn BPE merge rules from a documents corpus (ext/bpe.py)",
@@ -269,6 +311,55 @@ def main(argv: list[str] | None = None) -> int:
             dsir_tau=args.dsir_tau,
             remove_dup_spans=args.dedup_spans,
         )
+        print(json.dumps(summary))
+    elif args.cmd == "release":
+        from haf_plug_play_spark.ext.curate import run_release
+        from haf_plug_play_spark.runner.fs import (
+            ConcurrentWriteError,
+            EmulatedObjectStore,
+            ObjectStoreFS,
+        )
+
+        mix = None
+        if args.mix:
+            try:
+                mix = {
+                    k.strip(): float(v)
+                    for k, v in (pair.split("=", 1) for pair in args.mix.split(","))
+                }
+            except ValueError:
+                print(
+                    "error: --mix expects 'stratum=share,...' with numeric "
+                    f"shares, got {args.mix!r}",
+                    file=sys.stderr,
+                )
+                return 2
+        fs = (
+            ObjectStoreFS(EmulatedObjectStore()) if args.fs == "object" else None
+        )
+        try:
+            summary = run_release(
+                spark,
+                args.in_path,
+                args.table,
+                mix_targets=mix,
+                in_format=args.in_format,
+                fs=fs,
+                batch_id=args.batch_id,
+                writer_id=args.writer_id,
+                stratum_col=args.stratum,
+                min_score=args.min_score,
+                langs=args.langs.split(",") if args.langs else None,
+                sample_rate=args.rate,
+                budget=args.budget,
+                seed=args.seed,
+            )
+        except ConcurrentWriteError as exc:
+            print(
+                json.dumps({"action": "release", "error": str(exc)}),
+                file=sys.stderr,
+            )
+            return 3
         print(json.dumps(summary))
     elif args.cmd == "explain":
         from haf_plug_play_spark.ext.registry import EXT_QUERIES

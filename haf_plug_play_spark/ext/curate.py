@@ -39,6 +39,9 @@ def curate_documents(
     dsir_target=None,
     dsir_tau: float = 0.0,
     remove_dup_spans: int | None = None,
+    mix_targets: dict[str, float] | None = None,
+    stratum_col: str = "source",
+    mix_seed: int = 11,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the curation funnel and return (curated DataFrame, stage counts).
 
@@ -164,6 +167,35 @@ def curate_documents(
         else F.lit(True)
     )
     scored = scored.withColumn("_gate", gate).withColumn("_sample", sample)
+    final_flag = "_sample"
+    if mix_targets is not None:
+        # recipe-mixture stage (ext/sampling.py:mixture_report): the
+        # per-stratum one-epoch Bernoulli rates realizing the TARGET
+        # token shares are derived from the sampled survivors and
+        # broadcast back — still ONE plan (the rates subtree is a
+        # strata-bounded aggregate feeding a broadcast join), so the
+        # one-aggregation funnel contract holds. A stratum absent from
+        # the recipe gets rate 0 and is dropped loudly in the funnel.
+        rates = sampling.mixture_report(
+            scored.filter(F.col("_sample")),
+            mix_targets,
+            xt.n_tokens_ws(F.col(text_col)),
+            stratum_col=stratum_col,
+        ).select(stratum_col, "sample_rate")
+        scored = (
+            scored.join(F.broadcast(rates), stratum_col, "left")
+            .withColumn(
+                "_keep_mix",
+                F.col("_sample")
+                & (
+                    sampling._uniform(F.col(id_col), mix_seed)
+                    < F.coalesce(F.col("sample_rate"), F.lit(0.0))
+                ),
+            )
+            .withColumn("mix_rate", F.col("sample_rate"))
+            .drop("sample_rate")
+        )
+        final_flag = "_keep_mix"
 
     flag_stages = [("deduped", "_keep_dedup")]
     if near_dup_threshold is not None:
@@ -173,6 +205,8 @@ def curate_documents(
     if dsir_target is not None:
         flag_stages.append(("dsir_kept", "_keep_dsir"))
     flag_stages += [("gated", "_gate"), ("curated", "_sample")]
+    if mix_targets is not None:
+        flag_stages.append(("mixed", "_keep_mix"))
     aggs = [F.count("*").alias("input")] + [
         F.sum(F.col(col).cast("long")).alias(name) for name, col in flag_stages
     ]
@@ -180,9 +214,9 @@ def curate_documents(
     row = scored.agg(*aggs).first()
     funnel = {k: int(row[k]) for k in stages}
 
-    survivors = scored.filter(F.col("_sample")).drop(
+    survivors = scored.filter(F.col(final_flag)).drop(
         "_keep_dedup", "_keep_near", "_keep_clean", "_keep_dsir",
-        "_gate", "_sample",
+        "_gate", "_sample", "_keep_mix",
     )
     split = sampling.split_assign(
         survivors, id_col, splits or DEFAULT_SPLITS, seed=seed
@@ -197,6 +231,72 @@ def curate_documents(
         id_col,
     )
     return packed, funnel
+
+
+def run_release(
+    spark: SparkSession,
+    in_path: str,
+    table_dir: str,
+    mix_targets: dict[str, float] | None = None,
+    in_format: str | None = None,
+    fs=None,
+    batch_id: int | None = None,
+    writer_id: str = "release",
+    stratum_col: str = "source",
+    decontam_eval_path: str | None = None,
+    dsir_target_expr: str | None = None,
+    **kwargs,
+) -> dict:
+    """Pipeline-7 — the full data-release story as ONE invocation
+    (VERDICT r6 #8, the Spark analog of the reference's end-to-end
+    sync→serve loop, run_plug_play.py:10-17): curate funnel → recipe
+    mixture rates derived and applied (ext/sampling.py:mixture_report) →
+    holdout split → sequence packing → ``append_snapshot`` publish. The
+    release's commit point is the snapshot MANIFEST: readers resolve
+    pointer → manifest → data dirs, so a crashed release is invisible
+    and a retried one with the same ``(writer_id, batch_id)`` is a
+    no-op (exactly-once publication). Every stage is a pure function of
+    (row key, seed), so two releases of the same corpus produce
+    identical rows — and the same batch id re-publishes NOTHING
+    (byte-identical table, pinned in tests/test_cli.py).
+
+    Returns the JSON-able summary: funnel counts, the committed
+    snapshot's lineage (id, parent, data dirs), and per-split
+    doc/chunk counts read back THROUGH the published snapshot."""
+    from haf_plug_play_spark.runner import snapshots as sn
+    from haf_plug_play_spark.sources.corpus import read_corpus
+
+    docs = read_corpus(spark, in_path, in_format)
+    if decontam_eval_path:
+        kwargs["decontam_eval"] = read_corpus(spark, decontam_eval_path, None)
+    if dsir_target_expr:
+        kwargs["dsir_target"] = F.expr(dsir_target_expr)
+    curated, funnel = curate_documents(
+        docs, mix_targets=mix_targets, stratum_col=stratum_col, **kwargs
+    )
+    manifest = sn.append_snapshot(
+        spark, curated, table_dir, fs, batch_id=batch_id, writer_id=writer_id
+    )
+    released = sn.read_snapshot(spark, table_dir, fs)
+    per_split = {
+        r["split"]: {"docs": r["docs"], "chunks": r["chunks"]}
+        for r in released.groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.countDistinct("chunk_id").alias("chunks"),
+        )
+        .collect()
+    }
+    return {
+        "funnel": funnel,
+        "snapshot": {
+            "snapshot_id": manifest["snapshot_id"],
+            "parent": manifest["parent"],
+            "data_dirs": sn._data_dirs(manifest),
+        },
+        "splits": per_split,
+        "table": table_dir,
+    }
 
 
 def run_curate(
