@@ -22,7 +22,7 @@ def run_queries(
     sf_dir: str,
     repeat_under: float = 2.0,
     n_runs: int = 3,
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, dict]:
     """Time each query independently. Fault isolation: one raising query
     must never zero the whole round's perf signal (the r2 failure mode) —
     the reference serves each API request as an independent query too

@@ -17,11 +17,15 @@ def test_one_broken_query_cannot_zero_the_bench(spark):
     def bomb(spark_, sf_dir):
         raise ValueError("deliberately broken query\nsecond line never recorded")
 
-    timings, errors = bench.run_queries(
+    timings, first_run, errors = bench.run_queries(
         spark, {"z-ok": ok, "a-bomb": bomb, "m-ok2": ok}, "/unused"
     )
     assert set(timings) == {"z-ok", "m-ok2"}
     assert all(t >= 0 for t in timings.values())
+    # the single-shot (r1-r5 methodology) dict covers exactly the queries
+    # that succeeded, and never the errored one
+    assert set(first_run) == {"z-ok", "m-ok2"}
+    assert all(t >= 0 for t in first_run.values())
     assert set(errors) == {"a-bomb"}
     assert errors["a-bomb"].startswith("ValueError: deliberately broken query")
     assert "second line" not in errors["a-bomb"]
@@ -40,16 +44,19 @@ def test_min_of_n_repeats_micro_queries_only(spark):
         return spark_.range(3)
 
     # threshold below any real run time → single run
-    timings, errors = bench.run_queries(
+    timings, first_run, errors = bench.run_queries(
         spark, {"q": counted}, "/unused", repeat_under=0.0, n_runs=3
     )
     assert not errors and calls["q"] == 1 and "q" in timings
+    assert first_run["q"] == timings["q"]  # single run: both dicts identical
     # threshold above any real run time → exactly n_runs runs, min reported
     calls["q"] = 0
-    timings, errors = bench.run_queries(
+    timings, first_run, errors = bench.run_queries(
         spark, {"q": counted}, "/unused", repeat_under=1e9, n_runs=3
     )
     assert not errors and calls["q"] == 3 and timings["q"] >= 0
+    # min-of-N can only improve on (never exceed) the first-run timing
+    assert timings["q"] <= first_run["q"]
 
 
 def test_headline_nulled_when_canonical_query_errors():
