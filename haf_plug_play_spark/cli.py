@@ -166,6 +166,27 @@ def build_parser() -> argparse.ArgumentParser:
     rl.add_argument("--rate", type=float, default=1.0, help="Bernoulli sample rate")
     rl.add_argument("--budget", type=int, default=2048, help="tokens per chunk")
     rl.add_argument("--seed", type=int, default=7)
+    # full-funnel parity with `curate`: run_release already plumbs these
+    # (ext/curate.py:run_release), the flags just weren't exposed (r7 gap)
+    rl.add_argument(
+        "--decontam-eval", default=None, metavar="PATH",
+        help="drop documents whose n-gram shingles overlap this eval "
+        "corpus before release (see `curate --decontam-eval`)",
+    )
+    rl.add_argument(
+        "--decontam-min-frac", type=float, default=0.5,
+        help="overlap fraction that counts as contaminated "
+        "(with --decontam-eval)",
+    )
+    rl.add_argument(
+        "--dsir-target", default=None, metavar="SQL_EXPR",
+        help="DSIR importance gate against this SQL boolean target subset "
+        "(see `curate --dsir-target`)",
+    )
+    rl.add_argument(
+        "--dsir-tau", type=float, default=0.0,
+        help="DSIR log-weight keep threshold (with --dsir-target)",
+    )
     rl.add_argument(
         "--batch-id", type=int, default=None,
         help="idempotency key: re-releasing the current (writer, batch) "
@@ -353,6 +374,10 @@ def main(argv: list[str] | None = None) -> int:
                 sample_rate=args.rate,
                 budget=args.budget,
                 seed=args.seed,
+                decontam_eval_path=args.decontam_eval,
+                decontam_min_frac=args.decontam_min_frac,
+                dsir_target_expr=args.dsir_target,
+                dsir_tau=args.dsir_tau,
             )
         except ConcurrentWriteError as exc:
             print(
@@ -419,11 +444,18 @@ def main(argv: list[str] | None = None) -> int:
                 df = sn.read_snapshot(
                     spark, args.table, fs, snapshot_id=args.snapshot_id
                 )
+                resolved = args.snapshot_id
+                if resolved is None:
+                    # report the id actually read, not the flag: operators
+                    # reading the CURRENT snapshot need to know which one
+                    # that was (ADVICE r7)
+                    cur = sn.current_manifest(args.table, fs)
+                    resolved = cur["snapshot_id"] if cur else None
                 print(
                     json.dumps(
                         {
                             "action": "read",
-                            "snapshot_id": args.snapshot_id,
+                            "snapshot_id": resolved,
                             "rows": df.count(),
                             "columns": df.columns,
                         }

@@ -454,3 +454,171 @@ def test_cli_snapshot_through_object_store(spark, tmp_path, capsys, monkeypatch)
     chain = sn.committed_chain(table, fsmod.ObjectStoreFS(fsmod.EmulatedObjectStore()))
     assert [m["snapshot_id"] for m in chain] == [3, 2, 1]
     assert sn.read_snapshot(spark, table).count() == 7
+
+
+def _release_corpus(spark):
+    """13 docs across three strata with one exact duplicate and one
+    eval-contaminated doc; every text is a distinct deterministic word
+    salad so dedup/mixture behavior is exactly predictable."""
+    import hashlib
+
+    def salad(tag: str, n: int = 20) -> str:
+        return " ".join(
+            hashlib.md5(f"{tag}-{k}".encode()).hexdigest()[:8] for k in range(n)
+        )
+
+    rows = []
+    for i in range(5):
+        rows.append((i, salad(f"a{i}"), "en", "src0"))
+    for i in range(5):
+        rows.append((10 + i, salad(f"b{i}"), "en", "src1"))
+    rows.append((20, salad("c0"), "en", "src2"))  # stratum absent from recipe
+    rows.append((21, salad("c1"), "en", "src2"))
+    rows.append((30, rows[0][1], "en", "src0"))  # exact duplicate of doc 0
+    # doc 14 doubles as the contaminated doc: its text IS the eval text
+    eval_rows = [(1000, rows[9][1])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    return docs, eval_df
+
+
+def test_cli_release_pipeline(spark, tmp_path, capsys):
+    """Pipeline-7 through the CLI (ext/curate.py:run_release): funnel
+    counts in stage order, recipe mixture rates applied (strata absent
+    from the recipe dropped), decontamination reachable from the release
+    flags (r7 parity gap), split/pack columns present in the published
+    table, snapshot publish + read-back, idempotent re-release (same
+    (writer_id, batch_id) -> same snapshot, NOTHING republished), and a
+    new batch appending as snapshot 2."""
+    from haf_plug_play_spark.runner import snapshots as sn
+
+    docs, eval_df = _release_corpus(spark)
+    src, ev = str(tmp_path / "docs"), str(tmp_path / "eval")
+    docs.write.parquet(src)
+    eval_df.write.parquet(ev)
+    table = str(tmp_path / "rel_tbl")
+
+    argv = [
+        "release", "--in", src, "--table", table,
+        "--mix", "src0=0.7,src1=0.3", "--min-score", "-100",
+        "--decontam-eval", ev,
+        "--batch-id", "1", "--writer-id", "rel",
+    ]
+    got = _run(capsys, argv)
+    f = got["funnel"]
+    assert list(f) == [
+        "input", "deduped", "decontaminated", "gated", "curated", "mixed",
+    ]
+    assert f["input"] == 13 and f["deduped"] == 12  # doc 30 is a dup
+    assert f["decontaminated"] == 11  # doc 14 is verbatim in the eval set
+    assert f["gated"] == f["curated"] == 11  # score/lang/rate gates open
+    assert 0 < f["mixed"] <= f["curated"]
+    assert got["snapshot"]["snapshot_id"] == 1
+    assert got["snapshot"]["parent"] is None
+    assert len(got["snapshot"]["data_dirs"]) == 1
+
+    # the published table carries the full curation schema; strata absent
+    # from the recipe (src2) are gone; per-split counts in the summary
+    # match the snapshot read-back
+    released = sn.read_snapshot(spark, table)
+    assert {"split", "chunk_id", "n_tok", "q_score", "lang", "mix_rate"} <= set(
+        released.columns
+    )
+    assert released.count() == f["mixed"]
+    assert released.filter("source = 'src2'").count() == 0
+    assert sum(s["docs"] for s in got["splits"].values()) == f["mixed"]
+    rows1 = sorted(
+        (r.doc_id, r.split, r.chunk_id) for r in released.collect()
+    )
+
+    # idempotent re-release: same (writer, batch) is a no-op BEFORE any
+    # data write — same snapshot, same data dirs, no new snap-* dir on
+    # disk, byte-identical table
+    data_dirs_before = sorted(os.listdir(os.path.join(table, "data")))
+    got2 = _run(capsys, argv)
+    assert got2["snapshot"] == got["snapshot"]
+    assert got2["funnel"] == f
+    assert sorted(os.listdir(os.path.join(table, "data"))) == data_dirs_before
+    rows2 = sorted(
+        (r.doc_id, r.split, r.chunk_id)
+        for r in sn.read_snapshot(spark, table).collect()
+    )
+    assert rows2 == rows1
+
+    # a NEW batch appends: snapshot 2 with parent 1, rows doubled (the
+    # Iceberg append shape — the delta is a second data dir)
+    got3 = _run(capsys, argv[:-3] + ["2", "--writer-id", "rel"])
+    assert got3["snapshot"]["snapshot_id"] == 2
+    assert got3["snapshot"]["parent"] == 1
+    assert len(got3["snapshot"]["data_dirs"]) == 2
+    assert sn.read_snapshot(spark, table).count() == 2 * f["mixed"]
+
+
+def test_cli_release_deterministic_and_dsir_flag(spark, tmp_path, capsys):
+    """Two releases of the same corpus into FRESH tables produce the
+    identical row set (pure-function-of-(key,seed) contract), and the
+    --dsir-target/--dsir-tau release flags (r7 parity gap) reach the
+    funnel."""
+    from haf_plug_play_spark.runner import snapshots as sn
+
+    docs, _ = _release_corpus(spark)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    t1, t2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    argv = [
+        "release", "--in", src, "--mix", "src0=0.6,src1=0.4",
+        "--min-score", "-100", "--batch-id", "1",
+    ]
+    g1 = _run(capsys, argv + ["--table", t1])
+    g2 = _run(capsys, argv + ["--table", t2])
+    assert g1["funnel"] == g2["funnel"]
+    r1 = sorted(map(tuple, sn.read_snapshot(spark, t1).collect()))
+    r2 = sorted(map(tuple, sn.read_snapshot(spark, t2).collect()))
+    assert r1 == r2
+
+    # DSIR through the release CLI: target src0's vocabulary; src1/src2
+    # word salads share no n-grams with it, so only src0-like docs (and
+    # the doc-0 duplicate's keeper) survive the gate
+    t3 = str(tmp_path / "t3")
+    g3 = _run(capsys, [
+        "release", "--in", src, "--table", t3, "--min-score", "-100",
+        "--dsir-target", "source = 'src0'", "--dsir-tau", "-1.0",
+        "--batch-id", "1",
+    ])
+    assert "dsir_kept" in g3["funnel"]
+    kept_sources = {
+        r.source for r in sn.read_snapshot(spark, t3).select("source").collect()
+    }
+    assert kept_sources == {"src0"}
+
+
+def test_cli_release_through_object_store(spark, tmp_path, capsys):
+    """release --fs object: the whole pipeline commits through the
+    conditional-PUT object store; the snapshot CLI reads it back (with
+    the RESOLVED current snapshot id, ADVICE r7), and an idempotent
+    re-release holds across separate CLI invocations (the store is
+    file-backed, so a second process sees the first's pointer)."""
+    docs, _ = _release_corpus(spark)
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    table = str(tmp_path / "obj_rel")
+
+    argv = [
+        "release", "--fs", "object", "--in", src, "--table", table,
+        "--mix", "src0=0.5,src1=0.5", "--min-score", "-100",
+        "--batch-id", "1", "--writer-id", "rel",
+    ]
+    got = _run(capsys, argv)
+    assert got["snapshot"]["snapshot_id"] == 1
+
+    rd = _run(capsys, ["snapshot", "read", "--fs", "object", "--table", table])
+    assert rd["rows"] == got["funnel"]["mixed"]
+    assert rd["snapshot_id"] == 1  # resolved, not echoed-null
+
+    got2 = _run(capsys, argv)
+    assert got2["snapshot"] == got["snapshot"]
+    log = _run(capsys, ["snapshot", "log", "--fs", "object", "--table", table])
+    assert [s["snapshot_id"] for s in log["snapshots"]] == [1]
