@@ -1674,12 +1674,32 @@ def xt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xt.kn_trigram_lm_scores(docs)
 
 
-def _trigram_lm_sql(d: float = 0.75) -> str:
+def xt_trigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KN trigram LM with the KenLM-style count cutoff (min_count=2 —
+    singleton trigrams/bigrams pruned from the model): the footprint
+    dial that bounds the count tables at crawl scale, scored through the
+    standard backoff fallbacks (ext/text.py:kn_trigram_lm_scores)."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return xt.kn_trigram_lm_scores(docs, min_count=2)
+
+
+def _trigram_lm_sql(d: float = 0.75, min_count: int = 0) -> str:
     """DuckDB mirror of kn_trigram_lm_scores: same (w, pv, ppv) stream,
     same count tables (trigram/bigram/unigram + context and continuation
-    derivatives, merged per join key), same discount algebra in the same
-    evaluation order, round(avg, 6)."""
+    derivatives, merged per join key, pruned at the same cutoff), same
+    discount algebra and pruning fallbacks in the same evaluation order,
+    round(avg, 6)."""
     D = repr(float(d))
+    MC = max(int(min_count), 1)
+    pcont = (
+        "CASE WHEN n1w IS NOT NULL THEN CAST(n1w AS DOUBLE) / NB "
+        "ELSE CAST(cu AS DOUBLE) / T END"
+    )
+    pkn2 = (
+        f"CASE WHEN n1mid IS NULL THEN {pcont} "
+        f"ELSE greatest(coalesce(n1cont, 0) - {D}, 0.0) / n1mid "
+        f"+ {D} * n1succ3 / n1mid * ({pcont}) END"
+    )
     return (
         "WITH dd AS (SELECT doc_id, string_split(lower(text), ' ') AS ws "
         "FROM documents), "
@@ -1690,14 +1710,15 @@ def _trigram_lm_sql(d: float = 0.75) -> str:
         "tok AS (SELECT doc_id, t.w AS w, t.pv AS pv, t.ppv AS ppv FROM st), "
         "uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY 1), "
         "bi AS (SELECT pv, w, count(*) AS cb FROM tok "
-        "WHERE pv IS NOT NULL GROUP BY 1, 2), "
+        f"WHERE pv IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= {MC}), "
         "tri AS (SELECT ppv, pv, w, count(*) AS ct FROM tok "
-        "WHERE ppv IS NOT NULL GROUP BY 1, 2, 3), "
+        f"WHERE ppv IS NOT NULL GROUP BY 1, 2, 3 HAVING count(*) >= {MC}), "
         "tot AS (SELECT sum(cu) AS T FROM uni), "
         "nb AS (SELECT count(*) AS NB FROM bi), "
-        "pvs AS (SELECT pv, cpv, n1succ, n1mid FROM "
+        "pvs AS (SELECT pv, cpv, n1succ, n1mid, n1succ3 FROM "
         "(SELECT pv, sum(cb) AS cpv, count(*) AS n1succ FROM bi GROUP BY 1) "
-        "FULL JOIN (SELECT pv, count(*) AS n1mid FROM tri GROUP BY 1) "
+        "FULL JOIN (SELECT pv, count(*) AS n1mid, "
+        "count(DISTINCT w) AS n1succ3 FROM tri GROUP BY 1) "
         "USING (pv)), "
         "wst AS (SELECT w, cu, n1w FROM uni "
         "LEFT JOIN (SELECT w, count(*) AS n1w FROM bi GROUP BY 1) USING (w)), "
@@ -1708,11 +1729,13 @@ def _trigram_lm_sql(d: float = 0.75) -> str:
         "FROM tri GROUP BY 1, 2), "
         "sc AS (SELECT doc_id, CASE "
         "WHEN tok.pv IS NULL THEN ln(CAST(cu AS DOUBLE) / T) "
-        f"WHEN tok.ppv IS NULL THEN ln(greatest(cb - {D}, 0.0) / cpv "
-        f"+ {D} * n1succ / cpv * (CAST(n1w AS DOUBLE) / NB)) "
-        f"ELSE ln(greatest(ct - {D}, 0.0) / c3 "
-        f"+ {D} * n13 / c3 * (greatest(n1cont - {D}, 0.0) / n1mid "
-        f"+ {D} * n1succ / n1mid * (CAST(n1w AS DOUBLE) / NB))) END AS lp "
+        "WHEN tok.ppv IS NULL THEN CASE "
+        f"WHEN cpv IS NULL THEN ln({pcont}) "
+        f"ELSE ln(greatest(coalesce(cb, 0) - {D}, 0.0) / cpv "
+        f"+ {D} * n1succ / cpv * ({pcont})) END "
+        f"ELSE CASE WHEN c3 IS NULL THEN ln({pkn2}) "
+        f"ELSE ln(greatest(coalesce(ct, 0) - {D}, 0.0) / c3 "
+        f"+ {D} * n13 / c3 * ({pkn2})) END END AS lp "
         "FROM tok JOIN wst USING (w) "
         "LEFT JOIN pws ON pws.pv = tok.pv AND pws.w = tok.w "
         "LEFT JOIN pvs ON pvs.pv = tok.pv "
@@ -2300,6 +2323,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-span-removal": xd_span_removal,
     "XT-bigram-lm": xt_bigram_lm,
     "XT-trigram-lm": xt_trigram_lm,
+    # new in r8
+    "XT-trigram-lm-pruned": xt_trigram_lm_pruned,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2359,6 +2384,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-span-removal": _span_removal_sql(8),
     "XT-bigram-lm": _bigram_lm_sql(0.7),
     "XT-trigram-lm": _trigram_lm_sql(0.75),
+    "XT-trigram-lm-pruned": _trigram_lm_sql(0.75, min_count=2),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -494,6 +494,7 @@ def kn_trigram_lm_scores(
     discount: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_count: int = 0,
 ) -> DataFrame:
     """Interpolated Kneser-Ney trigram language-model score — the
     KenLM-class quality filter (public method: Kneser & Ney 1995;
@@ -510,10 +511,31 @@ def kn_trigram_lm_scores(
       ln( max(c(vw)−D,0)/c(v·) + D·N₁₊(v·)/c(v·) · p_cont(w) );
     - position ≥ 3: trigram-top KN with the bigram CONTINUATION model
       below: ln( max(c(uvw)−D,0)/c(uv·) + D·N₁₊(uv·)/c(uv·) ·
-      [ max(N₁₊(·vw)−D,0)/N₁₊(·v·) + D·N₁₊(v·)/N₁₊(·v·) · p_cont(w) ] )
-      where p_cont(w) = N₁₊(·w)/|distinct bigrams|.
+      [ max(N₁₊(·vw)−D,0)/N₁₊(·v·) +
+        D·|{w′: N₁₊(·vw′)>0}|/N₁₊(·v·) · p_cont(w) ] )
+      where p_cont(w) = N₁₊(·w)/|distinct bigrams|. The continuation
+      level's backoff weight counts CONTINUATION types
+      |{w′: N₁₊(·vw′)>0}| (distinct successors of v inside the trigram
+      table), not bigram successors N₁₊(v·) — the Chen & Goodman
+      normalization (conditionals sum to 1; the two differ only for
+      bigrams occurring exclusively at document position 2).
     Every logarithm argument is positive by construction (train =
-    score corpus, so each scored n-gram contributes its own count).
+    score corpus, so each scored n-gram contributes its own count,
+    with the pruning fallbacks below keeping it so under a cutoff).
+
+    ``min_count`` is the KenLM-style count-cutoff dial (``--prune``):
+    trigram and bigram table entries with corpus count below the cutoff
+    are dropped from the MODEL before the derived statistics, so the
+    model footprint is bounded at crawl scale (singleton trigrams
+    dominate the raw table per Zipf). A scored n-gram whose entry was
+    pruned falls through the standard ladder: pruned trigram → its
+    context's backoff weight times the continuation-bigram model (a
+    fully pruned context backs off with weight 1); pruned bigram → the
+    unigram continuation; a word whose whole continuation inventory was
+    pruned backs off to the MLE unigram. Unigrams are never pruned
+    (the KenLM convention). Mass over-allocates slightly for pruned
+    entries (pruned-without-renormalization, the standard trade-off).
+    ``min_count <= 1`` is exact interpolated KN (nothing prunes).
 
     Plan shape (the bigram scorer's, one order up): the (w, pv, ppv)
     stream is one zip+explode; trigram/bigram/unigram count tables and
@@ -559,18 +581,29 @@ def kn_trigram_lm_scores(
         .groupBy("ppv", "pv", "w")
         .agg(F.count("*").alias("_ct"))
     )
+    if min_count > 1:
+        # the pruning point: every derived statistic below describes the
+        # PRUNED model inventory, so the footprint bound holds for the
+        # stats tables too, not just the entry lookups
+        bi = bi.filter(F.col("_cb") >= min_count)
+        tri = tri.filter(F.col("_ct") >= min_count)
     total = uni.agg(F.sum("_cu").alias("_t"))
     n_bigrams = bi.agg(F.count("*").alias("_nb"))
     # one table per join key: pv-keyed stats (successor mass + richness
-    # from bi; middle-slot continuation mass from tri), w-keyed stats
-    # (unigram count from uni; predecessor richness from bi), (pv,
-    # w)-keyed (bigram count; continuation count N1+(·vw) from tri),
-    # (ppv, pv)-keyed trigram-context stats
+    # from bi; middle-slot continuation mass + continuation-type count
+    # from tri), w-keyed stats (unigram count from uni; predecessor
+    # richness from bi), (pv, w)-keyed (bigram count; continuation count
+    # N1+(·vw) from tri), (ppv, pv)-keyed trigram-context stats
     pv_stats = (
         bi.groupBy("pv")
         .agg(F.sum("_cb").alias("_cpv"), F.count("*").alias("_n1succ"))
         .join(
-            tri.groupBy("pv").agg(F.count("*").alias("_n1mid")), "pv", "full"
+            tri.groupBy("pv").agg(
+                F.count("*").alias("_n1mid"),
+                F.countDistinct("w").alias("_n1succ3"),
+            ),
+            "pv",
+            "full",
         )
     )
     w_stats = uni.join(
@@ -584,24 +617,45 @@ def kn_trigram_lm_scores(
     ctx3 = tri.groupBy("ppv", "pv").agg(
         F.sum("_ct").alias("_c3"), F.count("*").alias("_n13")
     )
-    pcont = F.col("_n1w") / F.col("_nb")
-    pkn2 = (
-        F.greatest(F.col("_n1cont") - F.lit(D), F.lit(0.0)) / F.col("_n1mid")
-        + F.lit(D) * F.col("_n1succ") / F.col("_n1mid") * pcont
+    # each level's null branch is its pruning fallback (never taken at
+    # min_count <= 1): continuation inventory gone → MLE unigram; middle
+    # order gone for this v → unigram continuation; context gone → back
+    # off with weight 1
+    pcont = F.when(
+        F.col("_n1w").isNotNull(), F.col("_n1w") / F.col("_nb")
+    ).otherwise(F.col("_cu") / F.col("_t"))
+    pkn2 = F.when(F.col("_n1mid").isNull(), pcont).otherwise(
+        F.greatest(
+            F.coalesce(F.col("_n1cont"), F.lit(0)) - F.lit(D), F.lit(0.0)
+        )
+        / F.col("_n1mid")
+        + F.lit(D) * F.col("_n1succ3") / F.col("_n1mid") * pcont
     )
     lp = (
         F.when(F.col("pv").isNull(), F.log(F.col("_cu") / F.col("_t")))
         .when(
             F.col("ppv").isNull(),
-            F.log(
-                F.greatest(F.col("_cb") - F.lit(D), F.lit(0.0)) / F.col("_cpv")
-                + F.lit(D) * F.col("_n1succ") / F.col("_cpv") * pcont
+            F.when(F.col("_cpv").isNull(), F.log(pcont)).otherwise(
+                F.log(
+                    F.greatest(
+                        F.coalesce(F.col("_cb"), F.lit(0)) - F.lit(D),
+                        F.lit(0.0),
+                    )
+                    / F.col("_cpv")
+                    + F.lit(D) * F.col("_n1succ") / F.col("_cpv") * pcont
+                )
             ),
         )
         .otherwise(
-            F.log(
-                F.greatest(F.col("_ct") - F.lit(D), F.lit(0.0)) / F.col("_c3")
-                + F.lit(D) * F.col("_n13") / F.col("_c3") * pkn2
+            F.when(F.col("_c3").isNull(), F.log(pkn2)).otherwise(
+                F.log(
+                    F.greatest(
+                        F.coalesce(F.col("_ct"), F.lit(0)) - F.lit(D),
+                        F.lit(0.0),
+                    )
+                    / F.col("_c3")
+                    + F.lit(D) * F.col("_n13") / F.col("_c3") * pkn2
+                )
             )
         )
     )

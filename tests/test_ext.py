@@ -1451,6 +1451,53 @@ def test_kn_trigram_lm_order_and_continuation(spark):
     assert sc2[100] < sc2[101]
 
 
+def test_kn_trigram_count_cutoff(spark):
+    """The KenLM-style min_count dial (ext/text.py:kn_trigram_lm_scores):
+    (a) cutoff <= 1 is exactly the unpruned model (the no-op pin — both
+    0 and 1 reproduce the default scores bit-for-bit); (b) cutoff=2 on a
+    corpus with singleton n-grams changes scores through the backoff
+    fallbacks yet every score stays finite (no null/-inf leaks from the
+    pruned-entry branches); (c) a corpus whose n-grams all clear the
+    cutoff is untouched by it."""
+    import math
+
+    from haf_plug_play_spark.ext import text as xtext
+
+    # 10 repeats make every 'fluent' n-gram count 10; the singleton doc
+    # contributes count-1 bigrams/trigrams that a cutoff of 2 prunes
+    fluent = "the quick brown fox jumps over the lazy dog tonight"
+    rare = "zig zag zog the quick wombat"
+    rows = [(i, fluent) for i in range(10)] + [(10, rare)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {r.doc_id: r.avg_logp for r in xtext.kn_trigram_lm_scores(docs).collect()}
+    for mc in (0, 1):
+        again = {
+            r.doc_id: r.avg_logp
+            for r in xtext.kn_trigram_lm_scores(docs, min_count=mc).collect()
+        }
+        assert again == base  # the no-op pin
+
+    pruned = {
+        r.doc_id: r.avg_logp
+        for r in xtext.kn_trigram_lm_scores(docs, min_count=2).collect()
+    }
+    assert all(math.isfinite(v) for v in pruned.values())
+    assert pruned[10] != base[10]  # the singleton doc scores via backoff
+    assert pruned[10] < pruned[0]  # and still ranks below the fluent docs
+
+    # every n-gram at count >= 2 -> cutoff 2 changes nothing
+    docs2 = spark.createDataFrame(
+        [(i, fluent) for i in range(4)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.avg_logp for r in xtext.kn_trigram_lm_scores(docs2).collect()}
+    b = {
+        r.doc_id: r.avg_logp
+        for r in xtext.kn_trigram_lm_scores(docs2, min_count=2).collect()
+    }
+    assert a == b
+
+
 def test_ivfadc_recall_meets_production_floor(spark):
     """XS-recall's meets_floor must actually be True at the oracle SF —
     the driver hash-check proves Spark and DuckDB agree, THIS pins that
