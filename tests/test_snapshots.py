@@ -12,19 +12,26 @@ import pytest
 from haf_plug_play_spark.runner import snapshots as sn
 from haf_plug_play_spark.runner.fs import (
     EmulatedObjectStore,
+    FakeBoto3S3Client,
     HadoopFS,
     LocalFS,
     ObjectStoreFS,
     PreconditionFailed,
+    S3ObjectStore,
 )
 
 
-@pytest.fixture(params=["local", "hadoop", "object"])
+@pytest.fixture(params=["local", "hadoop", "object", "s3"])
 def fs(request, spark):
     if request.param == "local":
         return LocalFS()
     if request.param == "object":
         return ObjectStoreFS(EmulatedObjectStore())
+    if request.param == "s3":
+        # the boto3-shaped adapter over the botocore-shaped fake client:
+        # the whole snapshot suite runs through the S3 API surface, so
+        # swapping in boto3.client("s3") is config-only (VERDICT r7 #7)
+        return ObjectStoreFS(S3ObjectStore(FakeBoto3S3Client(), "test-bucket"))
     return HadoopFS(spark)
 
 
@@ -450,3 +457,65 @@ def test_hadoopfs_cas_probe_and_require_cas(spark, tmp_path):
     # the capability check fires BEFORE any write: no table dir, no
     # orphan parquet burned per refused attempt
     assert not (tmp_path / "t").exists()
+
+
+def test_s3_adapter_conditional_put_and_pagination(tmp_path):
+    """The boto3-shaped adapter's own contract: conditional writes map
+    store-side 412s to PreconditionFailed (If-None-Match:* on an existing
+    object; If-Match on a stale ETag), reads round-trip bytes + ETag
+    through the botocore response shapes, and list_keys drains the
+    paginated ListObjectsV2 (the fake pages at 2 keys, so 5 objects need
+    three continuation rounds)."""
+    s = S3ObjectStore(FakeBoto3S3Client(), "test-bucket")
+    k = str(tmp_path / "k")
+    assert s.head(k) is None and s.get(k) is None
+    s.put(k, b"v1", if_none_match_star=True)
+    with pytest.raises(PreconditionFailed):
+        s.put(k, b"v2", if_none_match_star=True)
+    data, etag = s.get(k)
+    assert data == b"v1" and s.head(k) == {"etag": etag, "size": 2}
+    s.put(k, b"v2", if_match=etag)
+    assert s.get(k)[0] == b"v2"
+    with pytest.raises(PreconditionFailed):
+        s.put(k, b"v3", if_match=etag)  # stale: content changed since read
+    assert s.get(k)[0] == b"v2"
+
+    for i in range(5):
+        s.put(str(tmp_path / "many" / f"obj{i}"), b"x")
+    assert s.list_keys(str(tmp_path / "many")) == [
+        str(tmp_path / "many" / f"obj{i}") for i in range(5)
+    ]
+    s.delete(k)
+    assert s.get(k) is None
+    s.delete(k)  # idempotent
+
+
+def test_s3_adapter_swap_closes_read_put_window(tmp_path):
+    """The read-put race through the S3 API path: a competitor landing
+    between the pointer read and the conditional PUT is refused by the
+    STORE's If-Match (412 → ConcurrentWriteError), mirroring
+    test_object_store_swap_closes_read_put_window over boto3 shapes."""
+    from haf_plug_play_spark.runner.fs import ConcurrentWriteError
+
+    class RacingClient(FakeBoto3S3Client):
+        def __init__(self):
+            super().__init__()
+            self.fired = False
+
+        def get_object(self, *, Bucket, Key):
+            got = super().get_object(Bucket=Bucket, Key=Key)
+            if not self.fired:
+                self.fired = True
+                super().put_object(Bucket=Bucket, Key=Key, Body=b"competitor")
+            return got
+
+    client = RacingClient()
+    fs = ObjectStoreFS(S3ObjectStore(client, "test-bucket"))
+    p = str(tmp_path / "ptr")
+    FakeBoto3S3Client().put_object(
+        Bucket="test-bucket", Key=p.lstrip("/"), Body=b"a"
+    )
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        fs.swap_if_current(p, b"a", b"mine")
+    assert client.fired
+    assert ObjectStoreFS(EmulatedObjectStore()).read_bytes(p) == b"competitor"
