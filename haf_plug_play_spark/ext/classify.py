@@ -386,3 +386,63 @@ def classifier_quality_gate(
         docs, weights, bias=bias, threshold=threshold,
         id_col=id_col, text_col=text_col,
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    label: Column,
+    p_col: str = "p_keep",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error for a probability
+    scorer — the calibration audit a model-gated curation pipeline runs
+    before trusting classifier thresholds (public method: reliability
+    binning per DeGroot & Fienberg 1983; ECE per Naeini et al. 2015,
+    the standard formulation restated in Guo et al. 2017 §2):
+    predictions bin into ``n_bins`` equal-width probability bins; each
+    bin reports its mean predicted probability against its observed
+    positive rate, and ECE is the prevalence-weighted mean absolute gap
+    Σ_b (n_b/N)·|mean_p_b − frac_pos_b|.
+
+    Plan shape: ONE map-side-combinable hash aggregation over the scored
+    rows into ≤ n_bins groups, then bin-count-bounded arithmetic (a
+    second aggregation over the n_bins rows broadcast-joined back) — no
+    corpus-sized shuffle, no window over data rows; scale-safe at any
+    corpus size by construction. FP caveat: per-bin means reassociate
+    across partitions (the documented avg family), absorbed by rounding
+    to 6 dp BEFORE the gap/ECE arithmetic so both engines aggregate the
+    identical bin table.
+
+    Output: one row per non-empty bin, ordered — (bin, n_docs, mean_p,
+    frac_pos, gap, ece) with the scalar ECE repeated per row (the
+    driver-friendly single-result shape).
+    """
+    k = int(n_bins)
+    p = F.col(p_col)
+    bin_col = F.least(F.floor(p * k), F.lit(k - 1)).cast("long")
+    per_bin = (
+        scored.select(
+            bin_col.alias("bin"),
+            p.alias("_p"),
+            label.cast("int").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("_p"), 6).alias("mean_p"),
+            F.round(F.avg("_y"), 6).alias("frac_pos"),
+        )
+        .withColumn(
+            "gap", F.round(F.abs(F.col("mean_p") - F.col("frac_pos")), 6)
+        )
+    )
+    tot = per_bin.agg(
+        F.round(
+            F.sum(F.col("n_docs") * F.col("gap")) / F.sum("n_docs"), 6
+        ).alias("ece")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select("bin", "n_docs", "mean_p", "frac_pos", "gap", "ece")
+        .orderBy("bin")
+    )

@@ -1674,6 +1674,113 @@ def xt_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xt.kn_trigram_lm_scores(docs)
 
 
+def xk_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (ext/sketch.py:hll_distinct)
+    over the corpus's 3-word shingle stream, keyed by source so the
+    merge path is real: per-source sketches merged by per-register max
+    must estimate EXACTLY what the direct global sketch estimates, and
+    the estimate must sit within four standard errors of the exact
+    distinct count — both certified in-query."""
+    from haf_plug_play_spark.ext import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - F.lit(2), F.lit(1))
+    )
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3))
+    )
+    items = docs.select("source", F.explode(shingles).alias("item"))
+    return sketch.hll_distinct(items)
+
+
+def _hll_sql() -> str:
+    from haf_plug_play_spark.ext.sketch import hll_sql
+
+    item_sql = (
+        "SELECT source, unnest([array_to_string(ws[i:i+2], ' ') "
+        "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS item FROM "
+        "(SELECT source, string_split(lower(text), ' ') AS ws "
+        "FROM documents)"
+    )
+    return hll_sql(item_sql)
+
+
+def xt_clf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit (ext/classify.py:calibration_report):
+    reliability bins + ECE of the seeded quality scorer's p_keep against
+    an 'is English' reference label — the pass a model-gated curation
+    pipeline runs before trusting its keep threshold. The label choice
+    is a fixture property; the OPERATOR is the content (binning, gaps,
+    prevalence-weighted ECE, all in one bounded aggregation)."""
+    from haf_plug_play_spark.ext import classify
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    scored = classify.lr_score(docs, classify.seed_weights()).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return classify.calibration_report(scored, F.col("lang") == "en")
+
+
+def _clf_calibration_sql(n_bins: int = 10) -> str:
+    """DuckDB mirror of xt_clf_calibration: the shared scoring CTEs, the
+    same least/floor binning, per-bin means rounded 6 dp BEFORE the
+    gap/ECE arithmetic."""
+    return (
+        f"WITH {_clf_score_ctes()}, "
+        "sc AS (SELECT m.doc_id, "
+        "round(1.0 / (1.0 + exp(-margin)), 6) AS p, "
+        "CAST(d.lang = 'en' AS INT) AS y "
+        "FROM m JOIN documents d ON d.doc_id = m.doc_id), "
+        "pb AS (SELECT CAST(least(floor(p * "
+        f"{n_bins}), {n_bins - 1}) AS BIGINT) AS bin, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "round(avg(p), 6) AS mean_p, round(avg(y), 6) AS frac_pos "
+        "FROM sc GROUP BY 1), "
+        "pg AS (SELECT *, round(abs(mean_p - frac_pos), 6) AS gap FROM pb), "
+        "tot AS (SELECT round(sum(n_docs * gap) / sum(n_docs), 6) AS ece "
+        "FROM pg) "
+        "SELECT bin, n_docs, mean_p, frac_pos, gap, ece "
+        "FROM pg CROSS JOIN tot ORDER BY bin"
+    )
+
+
+def xa_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency accounting (ext/sampling.py:packing_report)
+    over the XA-pack-chunks assignment: per source, chunks filled, token
+    capacity occupancy, docs per chunk — the packing-factor audit that
+    sizes a pretraining token budget."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", xt.n_tokens_ws(F.col("text"))
+    )
+    packed = sampling.pack_chunks(
+        docs, ["source"], "n_tok", budget=2048, order_col="doc_id"
+    )
+    return sampling.packing_report(packed, ["source"], "n_tok", budget=2048)
+
+
+def _pack_report_sql(budget: int = 2048) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, source, {_NTOK_SQL} AS n_tok "
+        "FROM documents), "
+        "r AS (SELECT doc_id, source, n_tok, "
+        "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id "
+        "ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS chunk_offset FROM t), "
+        f"p AS (SELECT *, CAST(floor(chunk_offset / {budget}) AS BIGINT) "
+        "AS chunk_id FROM r), "
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks, "
+        "CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM p GROUP BY 1) "
+        "SELECT source, n_docs, n_chunks, n_tokens, "
+        "round(CAST(n_docs AS DOUBLE) / n_chunks, 6) AS docs_per_chunk, "
+        f"round(CAST(n_tokens AS DOUBLE) / (n_chunks * {budget}), 6) "
+        "AS fill_ratio FROM a ORDER BY source"
+    )
+
+
 def xt_trigram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KN trigram LM with the KenLM-style count cutoff (min_count=2 —
     singleton trigrams/bigrams pruned from the model): the footprint
@@ -2325,6 +2432,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-trigram-lm": xt_trigram_lm,
     # new in r8
     "XT-trigram-lm-pruned": xt_trigram_lm_pruned,
+    "XK-hll": xk_hll,
+    "XT-clf-calibration": xt_clf_calibration,
+    "XA-pack-report": xa_pack_report,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2385,6 +2495,9 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-bigram-lm": _bigram_lm_sql(0.7),
     "XT-trigram-lm": _trigram_lm_sql(0.75),
     "XT-trigram-lm-pruned": _trigram_lm_sql(0.75, min_count=2),
+    "XK-hll": _hll_sql(),
+    "XT-clf-calibration": _clf_calibration_sql(),
+    "XA-pack-report": _pack_report_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -553,3 +553,47 @@ def length_bucketed_batches(
         .withColumn("pad_waste", F.col("batch_max") - F.col("n_tok"))
         .orderBy(id_col)
     )
+
+
+def packing_report(
+    packed: DataFrame,
+    strata_cols: list[str],
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Sequence-packing efficiency accounting over ``pack_chunks`` output
+    — the packing-factor audit a pretraining run uses to size its token
+    budget (under concatenate-then-slice packing the interesting numbers
+    are how many budget-sized chunks a stratum fills and how much of the
+    nominal capacity its tokens occupy; a fill ratio far below 1 means
+    the stratum fragments into underfull tail chunks).
+
+    One map-side-combinable aggregation per stratum (count-distinct on
+    the already-assigned chunk id), strata-bounded output — nothing
+    corpus-sized shuffles beyond the keyed agg itself. Output per
+    stratum, ordered: (strata..., n_docs, n_chunks, n_tokens,
+    docs_per_chunk, fill_ratio) with ratios rounded 6 dp (the avg
+    reassociation caveat family).
+    """
+    cap = F.col("n_chunks") * F.lit(int(budget))
+    return (
+        packed.groupBy(*strata_cols)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("chunk_id").cast("long").alias("n_chunks"),
+            F.sum(token_col).cast("long").alias("n_tokens"),
+        )
+        .select(
+            *strata_cols,
+            "n_docs",
+            "n_chunks",
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("n_chunks"), 6).alias(
+                "docs_per_chunk"
+            ),
+            F.round(F.col("n_tokens") / cap.cast("double"), 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy(*strata_cols)
+    )

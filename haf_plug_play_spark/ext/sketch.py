@@ -257,3 +257,163 @@ def bloom_sql(
         f"(({hit}) OR NOT {exact}) AS certified "
         "FROM keyed ORDER BY doc_id"
     )
+
+
+# ------------------------------------------------------------- hyperloglog
+
+HLL_Y_BITS = 52  # md5_int is 60 bits; 8 go to the register index at m=256
+
+
+def hll_distinct(
+    items: DataFrame,
+    item_col: str = "item",
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch with the exact answer computed
+    alongside and BOTH guarantees certified in-query — the third
+    mergeable sketch beside CMS and Bloom (public method: Flajolet,
+    Fusy, Gandouet & Meunier 2007, with the standard linear-counting
+    small-range correction from the same paper).
+
+    ``m = 2**p`` registers; item hash x = md5_int (60 bits) splits into
+    register index ``x mod m`` and suffix ``y = x div m``; the register
+    records max rho(y) where rho = (trailing zeros of y) + 1 — the same
+    geometric observable as the paper's leading-zero formulation. The
+    estimate is ``alpha_m * m^2 / sum_j 2^(-M_j)``, with the harmonic
+    sum computed in EXACT integer arithmetic (``sum_j 2^(52 - M_j)`` as
+    a bigint — no float reassociation across partitions, so engine and
+    oracle agree bit-for-bit and only the final division is floating
+    point); if E <= 2.5m and empty registers remain, linear counting
+    ``m * ln(m / V)`` takes over.
+
+    Scale contract: one hash aggregation to the distinct items (map-side
+    combined), one m-bounded register aggregation — the sketch is m
+    rows at any corpus size, and registers MERGE by per-index max, which
+    the query certifies by building per-source sketches, merging them,
+    and asserting the merged estimate equals the direct one EXACTLY
+    (identical registers → identical integer sum → identical double).
+    The exact distinct count is the part you drop at 100 TB.
+
+    ``items`` needs columns (source, item). Output: one row —
+    (n_exact, hll_est, rel_err, n_registers_used, certified,
+    merge_consistent) where certified ⇔ |est/exact − 1| <= 4·1.04/sqrt(m)
+    (four standard errors of the paper's asymptotic bound).
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # numerator of the raw estimate, scaled by 2^52 to match the integer
+    # harmonic sum; folded to one double literal shared with the oracle
+    num = alpha * m * m * float(1 << HLL_Y_BITS)
+    sigma4 = 4.0 * 1.04 / (m ** 0.5)
+
+    x = md5_int(F.col(item_col))
+    hashed = items.select(
+        F.col("source"),
+        F.col(item_col).alias("_it"),
+        (x % m).cast("int").alias("_idx"),
+        # integer shift, NOT x/m: double division would round away the
+        # low bits of a 60-bit hash past 2^53
+        F.shiftright(x, p).alias("_y"),
+    )
+    rho = F.when(F.col("_y") == 0, F.lit(HLL_Y_BITS + 1)).otherwise(
+        F.log2((F.col("_y").bitwiseAND(-F.col("_y"))).cast("double")).cast("int")
+        + F.lit(1)
+    )
+    distinct = hashed.select("source", "_it", "_idx", rho.alias("_rho")).distinct()
+
+    def estimate(regs: DataFrame, est_name: str) -> DataFrame:
+        """regs: (_idx, _m) one row per non-empty register."""
+        agg = regs.agg(
+            F.count("*").alias("_used"),
+            F.sum(
+                F.pow(F.lit(2.0), (F.lit(HLL_Y_BITS) - F.col("_m")).cast("double"))
+                .cast("bigint")
+            ).alias("_s_used"),
+        )
+        s_int = F.col("_s_used") + (F.lit(m) - F.col("_used")) * F.lit(
+            1 << HLL_Y_BITS
+        )
+        raw = F.lit(num) / s_int.cast("double")
+        v = F.lit(m) - F.col("_used")
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw)
+        return agg.select(
+            F.col("_used"), est.alias(est_name)
+        )
+
+    # direct global sketch
+    global_regs = distinct.groupBy("_idx").agg(F.max("_rho").alias("_m"))
+    direct = estimate(global_regs, "_est")
+    # per-source sketches merged by per-index max — the mergeability path
+    merged_regs = (
+        distinct.groupBy("source", "_idx")
+        .agg(F.max("_rho").alias("_m"))
+        .groupBy("_idx")
+        .agg(F.max("_m").alias("_m"))
+    )
+    merged = estimate(merged_regs, "_est_merged").select("_est_merged")
+    exact = distinct.agg(F.countDistinct("_it").alias("n_exact"))
+
+    rel_err = F.abs(F.col("_est") / F.col("n_exact") - 1.0)
+    return (
+        exact.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(merged))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(F.col("_est"), 2).alias("hll_est"),
+            F.round(rel_err, 4).alias("rel_err"),
+            F.col("_used").cast("int").alias("n_registers_used"),
+            (rel_err <= F.lit(sigma4)).alias("certified"),
+            (F.col("_est") == F.col("_est_merged")).alias("merge_consistent"),
+        )
+    )
+
+
+def hll_sql(item_sql: str, p: int = 8) -> str:
+    """DuckDB oracle for ``hll_distinct``: same hash split, same integer
+    harmonic sum, same literals, same branch. ``item_sql`` is a CTE body
+    yielding (source, item) rows over the pre-registered views."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << HLL_Y_BITS))
+    sigma4 = repr(4.0 * 1.04 / (m ** 0.5))
+    big = 1 << HLL_Y_BITS
+    x = md5_int_sql("item")
+    return (
+        f"WITH items AS ({item_sql}), "
+        f"hx AS (SELECT source, item AS it, CAST({x} % {m} AS INT) AS idx, "
+        f"({x} >> {p}) AS y FROM items), "
+        "hd AS (SELECT DISTINCT source, it, idx, CASE WHEN y = 0 "
+        f"THEN {HLL_Y_BITS + 1} ELSE CAST(log2(CAST(y & (-y) AS DOUBLE)) "
+        "AS INT) + 1 END AS rho FROM hx), "
+        "gre AS (SELECT idx, max(rho) AS mj FROM hd GROUP BY 1), "
+        "ga AS (SELECT count(*) AS used, CAST(sum(CAST(pow(2.0, "
+        f"CAST({HLL_Y_BITS} - mj AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_used "
+        "FROM gre), "
+        "mre AS (SELECT idx, max(mj) AS mj FROM (SELECT source, idx, "
+        "max(rho) AS mj FROM hd GROUP BY 1, 2) GROUP BY 1), "
+        "ma AS (SELECT count(*) AS used, CAST(sum(CAST(pow(2.0, "
+        f"CAST({HLL_Y_BITS} - mj AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_used "
+        "FROM mre), "
+        "gest AS (SELECT used, CASE WHEN "
+        f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) <= {2.5 * m!r} "
+        f"AND ({m} - used) > 0 THEN {float(m)!r} * ln({float(m)!r} / "
+        f"CAST({m} - used AS DOUBLE)) ELSE "
+        f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) END AS est "
+        "FROM ga), "
+        "mest AS (SELECT CASE WHEN "
+        f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) <= {2.5 * m!r} "
+        f"AND ({m} - used) > 0 THEN {float(m)!r} * ln({float(m)!r} / "
+        f"CAST({m} - used AS DOUBLE)) ELSE "
+        f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) END AS est_m "
+        "FROM ma), "
+        "ex AS (SELECT CAST(count(DISTINCT it) AS BIGINT) AS n_exact FROM hd) "
+        "SELECT n_exact, round(est, 2) AS hll_est, "
+        "round(abs(est / n_exact - 1.0), 4) AS rel_err, "
+        "CAST(used AS INT) AS n_registers_used, "
+        f"abs(est / n_exact - 1.0) <= {sigma4} AS certified, "
+        "est = est_m AS merge_consistent "
+        "FROM ex CROSS JOIN gest CROSS JOIN mest"
+    )

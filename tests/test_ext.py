@@ -1506,3 +1506,90 @@ def test_ivfadc_recall_meets_production_floor(spark):
     row = EXT_QUERIES["XS-recall"](spark, SF_ORACLE).collect()[0]
     assert row.meets_floor and row.recall >= 0.8
     assert row.k == 10 and row.n_hits == row.k  # full cluster recovery
+
+
+def test_hll_distinct_certified_and_mergeable(spark):
+    """HLL sketch (ext/sketch.py:hll_distinct): (a) in the HLL regime
+    (thousands of distinct items, m=256 registers) the estimate lands
+    within the certified 4-sigma band and the per-source-then-merge path
+    equals the direct sketch EXACTLY; (b) tiny cardinalities ride the
+    linear-counting branch and stay certified; (c) duplicate items never
+    move the estimate (a sketch over a multiset sees only the set)."""
+    from haf_plug_play_spark.ext.sketch import hll_distinct
+
+    items = spark.range(5000).selectExpr(
+        "concat('src', CAST(id % 3 AS STRING)) AS source",
+        "md5(CAST(id AS STRING)) AS item",
+    )
+    row = hll_distinct(items).collect()[0]
+    assert row.n_exact == 5000
+    assert row.certified and row.merge_consistent
+    assert row.rel_err <= 4 * 1.04 / (256 ** 0.5)
+
+    tiny = spark.range(30).selectExpr(
+        "'s' AS source", "md5(CAST(id AS STRING)) AS item"
+    )
+    t = hll_distinct(tiny).collect()[0]
+    assert t.n_exact == 30 and t.certified and t.merge_consistent
+
+    # multiset invariance: every item duplicated 4x across sources
+    dup = spark.range(20000).selectExpr(
+        "concat('src', CAST(id % 4 AS STRING)) AS source",
+        "md5(CAST(id % 5000 AS STRING)) AS item",
+    )
+    d = hll_distinct(dup).collect()[0]
+    assert d.n_exact == 5000 and d.hll_est == row.hll_est
+
+
+def test_calibration_report_bins_and_ece(spark):
+    """Calibration report (ext/classify.py:calibration_report): known
+    hand-built bins produce the exact per-bin gaps and the
+    prevalence-weighted ECE; a perfectly calibrated scorer reports
+    ece == 0; boundary p = 1.0 clamps into the last bin."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext.classify import calibration_report
+
+    rows = [(i, 0.05, i == 3) for i in range(4)]  # bin 0: mean .05, frac .25
+    rows += [(10 + i, 0.95, True) for i in range(4)]  # bin 9: mean .95, frac 1
+    rows += [(20, 1.0, True)]  # p=1.0 must clamp into bin 9, not bin 10
+    df = spark.createDataFrame(rows, "doc_id long, p_keep double, y boolean")
+    out = {r.bin: r for r in calibration_report(df, F.col("y")).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n_docs == 4 and out[0].mean_p == 0.05
+    assert out[0].frac_pos == 0.25 and out[0].gap == 0.2
+    assert out[9].n_docs == 5
+    assert out[9].mean_p == 0.96 and out[9].frac_pos == 1.0
+    assert out[9].gap == 0.04
+    # ECE = (4*0.2 + 5*0.04) / 9
+    assert out[0].ece == out[9].ece == round((4 * 0.2 + 5 * 0.04) / 9, 6)
+
+    # perfect calibration: frac_pos == mean_p in every bin
+    rows2 = [(i, 0.25, i % 4 == 0) for i in range(8)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, p_keep double, y boolean")
+    out2 = calibration_report(df2, F.col("y")).collect()
+    assert len(out2) == 1 and out2[0].gap == 0.0 and out2[0].ece == 0.0
+
+
+def test_packing_report_accounts_for_fill(spark):
+    """Packing report (ext/sampling.py:packing_report): chunk counts,
+    token totals, and fill ratios follow exactly from the pack_chunks
+    assignment — a stratum whose tokens exactly fill its chunks reports
+    fill_ratio 1.0; a fragmenting stratum reports the deficit."""
+    from haf_plug_play_spark.ext.sampling import pack_chunks, packing_report
+
+    # srcA: 4 docs x 50 tokens, budget 100 -> 2 chunks, fill 1.0
+    rows = [(i, "srcA", 50) for i in range(4)]
+    # srcB: 3 docs x 40 tokens = 120 tokens -> chunks 0 (40+40+40 start
+    # offsets 0/40/80 -> ids 0,0,0)... all start under 100: 1 chunk, 120/100
+    rows += [(10 + i, "srcB", 40) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    packed = pack_chunks(df, ["source"], "n_tok", budget=100, order_col="doc_id")
+    out = {r.source: r for r in packing_report(
+        packed, ["source"], "n_tok", budget=100
+    ).collect()}
+    a, b = out["srcA"], out["srcB"]
+    assert (a.n_docs, a.n_chunks, a.n_tokens) == (4, 2, 200)
+    assert a.docs_per_chunk == 2.0 and a.fill_ratio == 1.0
+    assert (b.n_docs, b.n_chunks, b.n_tokens) == (3, 1, 120)
+    assert b.fill_ratio == 1.2  # last doc straddles past the budget

@@ -540,3 +540,32 @@ def test_classifier_iteration_shuffle_free(spark):
         assert "InMemoryTableScan" in plan  # iterations read the cache
     finally:
         feats.unpersist()
+
+
+def test_hll_sketch_bounded_aggregations(spark):
+    """The HLL query's only corpus-sized movement is the distinct-item
+    hash aggregation (map-side combined); everything after is register-
+    bounded (m=256 rows) and the three result legs attach by BROADCAST —
+    no sort-merge join anywhere, no corpus-sized exchange past the
+    distinct."""
+    plan = _plan(EXT_QUERIES["XK-hll"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "HashAggregate" in plan
+
+
+def test_calibration_single_data_aggregation(spark):
+    """Calibration is ONE corpus aggregation into <= n_bins groups plus
+    bin-bounded arithmetic: the scorer's doc-id aggregation and the bin
+    aggregation are the only hash exchanges over data rows; the ECE
+    scalar rides a broadcast, never a sort-merge join."""
+    plan = _plan(EXT_QUERIES["XT-clf-calibration"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_report_window_plus_bounded_agg(spark):
+    """The packing report reuses pack_chunks' single per-stratum window
+    shuffle and adds one strata-bounded aggregation — no join at all."""
+    plan = _plan(EXT_QUERIES["XA-pack-report"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert "Window" in plan
