@@ -61,6 +61,28 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _EXCLUDED_DEP_FILES = ("haf_plug_play_spark/ext/registry.py",)
 
+_ENGINE_MODULE_INDEX: dict[str, str] | None = None
+
+
+def _engine_module_index() -> dict[str, str]:
+    """Last path component → full dotted name for every module under
+    haf_plug_play_spark, discovered from the package's file tree (no
+    imports executed) — so a function-local import's plain co_name
+    resolves even when its module was never loaded (the tier-1 false
+    negative ADVICE r7 flagged). First name wins on the (currently
+    nonexistent) duplicate-basename case; cached per process."""
+    global _ENGINE_MODULE_INDEX
+    if _ENGINE_MODULE_INDEX is None:
+        import pkgutil
+
+        import haf_plug_play_spark as pkg
+
+        idx: dict[str, str] = {}
+        for mi in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            idx.setdefault(mi.name.rsplit(".", 1)[-1], mi.name)
+        _ENGINE_MODULE_INDEX = idx
+    return _ENGINE_MODULE_INDEX
+
 
 def _git_last_change_ts(path: str, repo: str) -> int | None:
     """Committer timestamp of the last commit touching ``path`` (None if
@@ -90,43 +112,41 @@ def _query_dep_files(
     for name, fn in queries_by_name.items():
         files: set[str] = set()
         try:
-            mod = sys.modules.get(fn.__module__)
-            closure_fns = [fn]
-            # registry wrappers are often zero-arg closures over inner
-            # callables; chase one level of function globals either way
-            for f in closure_fns:
-                fmod = sys.modules.get(f.__module__)
-                if fmod is not None and hasattr(fmod, "__file__"):
-                    files.add(fmod.__file__)
-                for co_name in f.__code__.co_names:
-                    obj = getattr(fmod, co_name, None) if fmod else None
-                    if inspect.ismodule(obj) and obj.__name__.startswith(
-                        "haf_plug_play_spark"
-                    ):
-                        files.add(obj.__file__)
-                    elif inspect.isfunction(obj) and getattr(
-                        obj, "__module__", ""
-                    ).startswith("haf_plug_play_spark"):
-                        m = sys.modules.get(obj.__module__)
+            fmod = sys.modules.get(fn.__module__)
+            if fmod is not None and hasattr(fmod, "__file__"):
+                files.add(fmod.__file__)
+            for co_name in fn.__code__.co_names:
+                obj = getattr(fmod, co_name, None) if fmod else None
+                if inspect.ismodule(obj) and obj.__name__.startswith(
+                    "haf_plug_play_spark"
+                ):
+                    files.add(obj.__file__)
+                elif inspect.isfunction(obj) and getattr(
+                    obj, "__module__", ""
+                ).startswith("haf_plug_play_spark"):
+                    m = sys.modules.get(obj.__module__)
+                    if m is not None and hasattr(m, "__file__"):
+                        files.add(m.__file__)
+                elif obj is None:
+                    # function-LOCAL imports (`from ...ext import
+                    # classify`) never land in module globals, but
+                    # IMPORT_FROM records the plain name in co_names —
+                    # resolve it against the package's FILE TREE by
+                    # last path component, import-free, so a module not
+                    # yet loaded still counts (conservative: a stray
+                    # attribute name matching a module adds an extra
+                    # dep, never loses one)
+                    full = _engine_module_index().get(co_name)
+                    if full is not None:
+                        m = sys.modules.get(full)
                         if m is not None and hasattr(m, "__file__"):
                             files.add(m.__file__)
-                    elif obj is None:
-                        # function-LOCAL imports (`from ...ext import
-                        # classify`) never land in module globals, but
-                        # IMPORT_FROM records the plain name in co_names
-                        # — resolve it against loaded engine modules by
-                        # last path component (conservative: a stray
-                        # attribute name matching a module adds an extra
-                        # dep, never loses one)
-                        for mn, m in list(sys.modules.items()):
-                            if (
-                                mn.startswith("haf_plug_play_spark")
-                                and mn.rsplit(".", 1)[-1] == co_name
-                                and m is not None
-                                and hasattr(m, "__file__")
-                            ):
-                                files.add(m.__file__)
-                                break
+                        else:
+                            import importlib.util
+
+                            spec = importlib.util.find_spec(full)
+                            if spec is not None and spec.origin:
+                                files.add(spec.origin)
             rel = {
                 os.path.relpath(p, repo)
                 for p in files

@@ -168,6 +168,23 @@ def main() -> None:
     # min-of-N one, so cross-round deltas are comparable under BOTH
     # methodologies during the transition (ADVICE r6)
     canonical_first, _ = canonical_headline(first_run, errors, CANONICAL_QUERIES)
+    # whole-SUITE repeats (VERDICT r7 #4): two extra single-shot passes
+    # over just the canonical set give three full-suite wall clocks in one
+    # bench invocation — their spread IS the run's noise floor, printed so
+    # a round-over-round headline delta can be judged against same-process
+    # variance instead of guessed at. ~25 s extra; headline fields above
+    # keep their existing definitions.
+    canonical_suite_runs = [canonical_first] if canonical_first is not None else []
+    for _ in range(2):
+        t_pass, _f, e_pass = run_queries(
+            spark,
+            {q: queries[q] for q in CANONICAL_QUERIES if q in queries},
+            sf_dir,
+            repeat_under=0.0,  # single shot per query within the pass
+        )
+        s_pass, inc = canonical_headline(t_pass, e_pass, CANONICAL_QUERIES)
+        if not inc and s_pass is not None:
+            canonical_suite_runs.append(s_pass)
     # Key order is tail-truncation-survivable BY DESIGN: the driver captures
     # only the tail of stdout, and with 111 queries the one-line JSON exceeds
     # that capture (BENCH_r04 parsed:null). The bulky per-query dict therefore
@@ -182,6 +199,7 @@ def main() -> None:
         "all_queries_sec": round(sum(timings.values()), 4),
         "value_first_run": canonical_first,
         "all_queries_first_run_sec": round(sum(first_run.values()), 4),
+        "canonical_suite_runs": canonical_suite_runs,
         "sync_blocks_per_sec": sync_blocks_per_sec,
     }
     if canonical_incomplete:

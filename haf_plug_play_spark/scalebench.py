@@ -244,8 +244,12 @@ def _embcos_lsh_scaled(n_vecs: int):
 
 def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
     """query name → (corpus kind, callable(spark, sf_dir) -> DataFrame).
-    The VERDICT r6 heavy tail; all but the dial-scaled LSH run the shipped
-    registry callables."""
+    The VERDICT r6 heavy tail plus the r7 additions (VERDICT r7 #5):
+    XT-trigram-lm — the heaviest new query, whose 6-join token-stream
+    shape is exactly what the alpha gate exists to certify, on the dedup
+    corpus whose vocabulary grows per Heaps' law — and XS-recall, the
+    two-top-k + k×k comparison whose cost should be scale-FLAT. All but
+    the dial-scaled LSH run the shipped registry callables."""
     from haf_plug_play_spark.ext import registry as reg
 
     return {
@@ -255,6 +259,8 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XD-cluster": ("dedup", reg.xd_cluster),
         "XD-embcos-lsh": ("dedup", _embcos_lsh_scaled(n_vecs)),
         "XS-ivfadc": ("dedup", reg.xs_ivfadc),
+        "XS-recall": ("dedup", reg.xs_recall),
+        "XT-trigram-lm": ("dedup", reg.xt_trigram_lm),
         "XP-pipeline5": ("vocab", reg.xp_pipeline5),
         "XP-pipeline6": ("vocab", reg.xp_pipeline6),
     }

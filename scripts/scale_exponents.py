@@ -10,11 +10,18 @@ Usage: python scripts/scale_exponents.py [factor] [base_docs] [base_vecs]
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+# the 10x corpus runs ~8 concurrent agg subtrees on 32 threads in ONE
+# local JVM — Spark's 1g default driver heap OOMs on the trigram token
+# stream; the measurement box offers 128 GiB, so default to real headroom
+# (overridable, and a caller-set value always wins)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "8g")
 
 
 def main() -> None:

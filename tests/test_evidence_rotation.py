@@ -143,3 +143,57 @@ def test_real_repo_window_has_no_parse_regression():
     up here as an empty map."""
     last = entry_mod._last_green_round()
     assert len(last) >= 100  # 125 declared; union r1–r6 was fully green
+
+
+def test_r8_window_fronts_weakest_evidence():
+    """The driver's 50-query window (declaration order's head) must be
+    exactly the weakest-evidence queries under the standing rotation
+    rule, computed from the REAL banked CORRECTNESS files + git state:
+    tier keys (never-checked, changed-since-banked, last-green round)
+    must be monotone over the WHOLE declared order — which implies the
+    window fronts the weakest block, this round and every later one
+    (VERDICT r7 #8). Concrete r8 pin: the never-driver-checked
+    XT-trigram-lm-pruned leads the order until a round banks it."""
+    q = entry_mod.queries()
+    names = list(q)
+    last = entry_mod._last_green_round()
+    changed = entry_mod._tier1_changed(names, last, queries_by_name=q)
+
+    def tier(n: str) -> tuple[int, int]:
+        if n not in last:
+            return (0, 0)
+        if n in changed:
+            return (1, 0)
+        return (2, last[n])
+
+    keys = [tier(n) for n in names]
+    assert keys == sorted(keys), [
+        (n, k) for n, k in zip(names, keys)
+    ][:60]
+    if "XT-trigram-lm-pruned" not in last:
+        assert names[0] == "XT-trigram-lm-pruned"
+
+
+def test_dep_discovery_resolves_unloaded_modules(monkeypatch):
+    """A function-local import whose module is NOT in sys.modules still
+    resolves to its file via the import-free package index (the ADVICE
+    r7 tier-1 false negative)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    assert (
+        entry_mod._engine_module_index()["classify"]
+        == "haf_plug_play_spark.ext.classify"
+    )
+
+    def q(spark, sf_dir):
+        from haf_plug_play_spark.ext import classify
+
+        return classify
+
+    monkeypatch.delitem(
+        sys.modules, "haf_plug_play_spark.ext.classify", raising=False
+    )
+    deps = entry_mod._query_dep_files({"q": q}, repo)
+    assert "haf_plug_play_spark/ext/classify.py" in deps["q"]

@@ -44,6 +44,9 @@ def test_planted_structure_scales_linearly(exponents):
         if name == "XS-ivfadc":  # top-k: output is k at every scale
             assert e["rows_base"] == e["rows_big"] == 10
             continue
+        if name == "XS-recall":  # one summary row at every scale
+            assert e["rows_base"] == e["rows_big"] == 1
+            continue
         ratio = e["rows_big"] / max(e["rows_base"], 1)
         assert 2.0 <= ratio <= 8.0, (name, e)  # ~4x rows for 4x data
 
