@@ -188,11 +188,21 @@ def train_lr(
             new = list(weights)
             gbias = 0.0
             for r in rows:
+                # snap each collected gradient to the 1e-9 grid: the
+                # cross-partition sums it comes from reassociate at
+                # ~1e-17 between runs (shuffle-fetch order is not
+                # stable), so without the snap "rerun determinism" held
+                # only by luck — observed rerun drift was last-ulp. The
+                # grid is ~7 orders above the noise and ~7 below the
+                # gradient scale, so reruns are bit-identical and GD is
+                # unaffected; every later update is driver arithmetic on
+                # identical floats.
+                g = round(r._g, 9) if r._g is not None else 0.0
                 if r._b == -1:
-                    gbias = r._g or 0.0
+                    gbias = g
                 else:
                     # class weights sum to 1 → gradients are already means
-                    new[r._b] = weights[r._b] - lr * (r._g + l2 * weights[r._b])
+                    new[r._b] = weights[r._b] - lr * (g + l2 * weights[r._b])
             weights = new
             bias = bias - lr * gbias
     finally:
@@ -445,4 +455,71 @@ def calibration_report(
         per_bin.crossJoin(F.broadcast(tot))
         .select("bin", "n_docs", "mean_p", "frac_pos", "gap", "ece")
         .orderBy("bin")
+    )
+
+
+def roc_auc(
+    scored: DataFrame,
+    label: Column,
+    p_col: str = "p_keep",
+) -> DataFrame:
+    """ROC-AUC of a probability scorer by the rank statistic — the
+    threshold-free discrimination audit beside :func:`calibration_report`
+    (public method: AUC = Mann-Whitney U / (P·N), Hanley & McNeil 1982;
+    tie handling by the standard half-credit convention).
+
+    Computed WITHOUT a corpus-sized window: scores (rounded 6 dp, so
+    ≤ 10⁶+1 distinct values) aggregate into per-score (pos, neg) counts
+    — ONE map-side-combinable hash aggregation over data rows — and the
+    cumulative pass runs over the DISTINCT-SCORE rows only, where
+    AUC = Σ_s pos(s)·(cumneg_below(s) + neg(s)/2) / (P·N): every
+    positive beats the negatives strictly below its score and
+    half-credits ties at its own score. The single-partition window this
+    uses is bounded by the distinct-score count, never the corpus — the
+    same bounded-window family as the strata reports.
+
+    Output: one row — (n_pos, n_neg, n_distinct_scores, auc) with auc
+    rounded 6 dp. Degenerate inputs (no positives or no negatives) yield
+    auc NULL rather than a fabricated 0.5.
+    """
+    from pyspark.sql import Window as W
+
+    per_s = (
+        scored.select(
+            F.round(F.col(p_col), 6).alias("s"), label.cast("int").alias("_y")
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("_y").cast("long").alias("pos"),
+            (F.count("*") - F.sum("_y")).cast("long").alias("neg"),
+        )
+    )
+    cumneg = F.coalesce(
+        F.sum("neg").over(
+            W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    contrib = F.col("pos") * (cumneg.cast("double") + F.col("neg") / 2.0)
+    return (
+        per_s.select(
+            F.col("pos"), F.col("neg"), contrib.alias("_c")
+        )
+        .agg(
+            F.sum("pos").cast("long").alias("n_pos"),
+            F.sum("neg").cast("long").alias("n_neg"),
+            F.count("*").cast("long").alias("n_distinct_scores"),
+            F.sum("_c").alias("_u"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "n_distinct_scores",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.round(
+                    F.col("_u") / (F.col("n_pos") * F.col("n_neg")).cast("double"), 6
+                ),
+            ).alias("auc"),
+        )
     )
