@@ -1240,3 +1240,84 @@ def remove_duplicated_spans(
         )
         .orderBy(id_col)
     )
+
+
+def minhash_accuracy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    seed: int = 1,
+) -> DataFrame:
+    """MinHash estimator accuracy audit over the LSH candidate set — the
+    driver-visible quality measurement for the near-dup family, the
+    dedup analogue of the ANN recall query: how close the signature
+    estimate tracks exact Jaccard, certified against the estimator's own
+    statistical guarantee (public method: Broder 1997 — each signature
+    component matches with probability exactly J, so the match fraction
+    over k components is Binomial(k, J)/k with standard error
+    sqrt(J(1−J)/k); the Mining of Massive Datasets ch.3 formulation).
+
+    Per LSH candidate pair (threshold 0 — the WHOLE candidate set, not
+    just accepted dups): est = |{i : hᵢ(a)=hᵢ(b)}|/k vs the exact
+    full-shingle-set Jaccard, both 6-dp rounded before the error
+    arithmetic so engine and oracle subtract identical values. The audit
+    reports MAE, worst error, and the fraction of pairs inside TWO
+    binomial standard errors of exact (per-pair σ, computed from the
+    exact J) — certified ⇔ that fraction ≥ 0.5, a deliberately loose
+    floor (the binomial 2σ expectation is ~95%, but σ = 0 ties at J = 1
+    and small candidate sets need slack; the floor catches a BROKEN
+    estimator — wrong hash family, misaligned components — not sampling
+    noise).
+
+    Scale contract: bounded by the LSH candidate set like every verify
+    path here — signatures are zero-shuffle projections, the candidate
+    join is (id,bucket)-keyed, the estimate is a k-term struct
+    comparison per candidate row, and the final report is one
+    aggregation to a single row.
+
+    Output: one row — (n_pairs, mae, max_err, frac_within_2se,
+    certified).
+    """
+    k = num_hashes
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, n, threshold=0.0, seed=seed
+    )
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    per = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.col("jaccard").alias("_j"),
+            F.round(matches / F.lit(float(k)), 6).alias("_est"),
+        )
+        .withColumn("_err", F.round(F.abs(F.col("_est") - F.col("_j")), 6))
+        .withColumn(
+            "_se", F.sqrt(F.col("_j") * (1.0 - F.col("_j")) / F.lit(float(k)))
+        )
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("_err"), 6).alias("mae"),
+        F.round(F.max("_err"), 6).alias("max_err"),
+        F.round(
+            F.avg((F.col("_err") <= 2.0 * F.col("_se")).cast("int")), 6
+        ).alias("frac_within_2se"),
+        (
+            F.avg((F.col("_err") <= 2.0 * F.col("_se")).cast("int")) >= 0.5
+        ).alias("certified"),
+    )

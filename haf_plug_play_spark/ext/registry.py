@@ -2364,6 +2364,209 @@ _UNIGRAM_SQL = (
 )
 
 
+
+def xt_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (ext/text.py:perplexity_gate):
+    per-language perplexity terciles from the corpus-trained bigram LM
+    (the LM is pluggable, as in CCNet's per-language KenLM swap), with
+    the cutoffs learned on a deterministic half-sample of the ids and
+    broadcast back — head/middle kept, tail cut."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    scored = xt.bigram_lm_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return xt.perplexity_gate(scored, sample_denom=2)
+
+
+def _ppl_gate_sql(lam: float = 0.7, sample_denom: int = 2, seed: int = 5) -> str:
+    """DuckDB mirror of xt_ppl_gate: the bigram-LM CTE chain, the same
+    6-dp exp, the identical hash half-sample, integer-rank tercile
+    cutoffs (floor BEFORE the int cast, matching the engine), the same
+    boundary comparisons over 6-dp values."""
+    base = _bigram_lm_sql(lam)
+    salted_id = f"'ppl{seed}:' || CAST(doc_id AS VARCHAR)"
+    samp_pred = f"{md5_int_sql(salted_id)} % {sample_denom} = 0"
+    bucket = (
+        "CASE WHEN ppl <= _cut1 THEN 'head' "
+        "WHEN ppl <= _cut2 THEN 'middle' ELSE 'tail' END"
+    )
+    return (
+        f"WITH base AS ({base}), "
+        "j AS (SELECT b.doc_id, b.n_words, b.avg_logp, d.lang "
+        "FROM base b JOIN documents d USING (doc_id)), "
+        "wp AS (SELECT *, round(exp(-avg_logp), 6) AS ppl FROM j), "
+        f"samp AS (SELECT * FROM wp WHERE {samp_pred}), "
+        "srt AS (SELECT lang, list_sort(list(ppl)) AS s FROM samp GROUP BY 1), "
+        "cuts AS (SELECT lang, "
+        "s[CAST(floor((len(s) - 1) * 1 / 3) AS INT) + 1] AS _cut1, "
+        "s[CAST(floor((len(s) - 1) * 2 / 3) AS INT) + 1] AS _cut2 FROM srt) "
+        f"SELECT doc_id, lang, n_words, ppl, {bucket} AS ppl_bucket, "
+        f"({bucket}) <> 'tail' AS keep "
+        "FROM wp JOIN cuts USING (lang) ORDER BY doc_id"
+    )
+
+
+def xt_clf_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-free classifier discrimination audit
+    (ext/classify.py:roc_auc): Mann-Whitney ROC-AUC of the seeded
+    quality scorer's p_keep against the 'is English' reference label,
+    computed from per-score (pos, neg) counts so the cumulative pass
+    never touches corpus-sized rows — the partner query to
+    XT-clf-calibration (calibration says the probabilities are honest,
+    AUC says they rank)."""
+    from haf_plug_play_spark.ext import classify
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    scored = classify.lr_score(docs, classify.seed_weights()).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return classify.roc_auc(scored, F.col("lang") == "en")
+
+
+def _clf_auc_sql() -> str:
+    """DuckDB mirror of xt_clf_auc: shared scoring CTEs, per-score
+    grouped counts, half-credit tie handling. The contribution terms
+    pos*(cumneg + neg/2) are all multiples of 0.5, so their sum is
+    EXACT in double arithmetic in both engines regardless of
+    aggregation order — no reassociation caveat on this one."""
+    return (
+        f"WITH {_clf_score_ctes()}, "
+        "sc AS (SELECT m.doc_id, "
+        "round(1.0 / (1.0 + exp(-margin)), 6) AS p, "
+        "CAST(d.lang = 'en' AS INT) AS y "
+        "FROM m JOIN documents d ON d.doc_id = m.doc_id), "
+        "ps AS (SELECT round(p, 6) AS s, CAST(sum(y) AS BIGINT) AS pos, "
+        "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM sc GROUP BY 1), "
+        "cw AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY s "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg "
+        "FROM ps), "
+        "ag AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos, "
+        "CAST(sum(neg) AS BIGINT) AS n_neg, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_scores, "
+        "sum(pos * (CAST(cumneg AS DOUBLE) + neg / 2.0)) AS u FROM cw) "
+        "SELECT n_pos, n_neg, n_distinct_scores, "
+        "CASE WHEN n_pos > 0 AND n_neg > 0 "
+        "THEN round(u / CAST(n_pos * n_neg AS DOUBLE), 6) END AS auc FROM ag"
+    )
+
+
+def xd_minhash_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator accuracy audit (ext/dedup.py:minhash_accuracy)
+    over the XD-minhash-pairs LSH candidate set (same k=8/4-band/3-gram
+    construction): signature-match estimate vs exact Jaccard, MAE /
+    worst error / fraction inside two binomial standard errors, the
+    2-sigma coverage floor certified in-query — the dedup analogue of
+    XS-recall. Threshold 1e-6 drops zero-overlap hash-collision
+    candidates, which the oracle's shared-shingle pair CTE cannot see."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return dedup.minhash_accuracy(docs, num_hashes=8, bands=4)
+
+
+def _minhash_acc_sql(
+    num_hashes: int = 8, bands: int = 4, n: int = 3, seed: int = 1
+) -> str:
+    """DuckDB mirror of xd_minhash_acc: the generated signature CTE, the
+    same band-OR candidate join, the shared-shingle exact-Jaccard CTE,
+    matching 6-dp rounds before the error arithmetic."""
+    k = num_hashes
+    r = num_hashes // bands
+    band_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"s1.h{bi * r + j} = s2.h{bi * r + j}" for j in range(r)
+        ) + ")"
+        for bi in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN x.h{i} = y.h{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return (
+        f"WITH sig AS ({_minhash_sig_sql(num_hashes, n, seed)}), "
+        f"cand AS (SELECT DISTINCT s1.doc_id AS id_a, s2.doc_id AS id_b "
+        f"FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id AND ({band_conds})), "
+        f"{_JACCARD_CTE.format(shingles=_shingles_sql(n))}, "
+        "per AS (SELECT p.jaccard AS j, "
+        f"round(({matches}) / {float(k)!r}, 6) AS est "
+        "FROM pairs p JOIN cand c ON c.id_a = p.id_a AND c.id_b = p.id_b "
+        "JOIN sig x ON x.doc_id = p.id_a JOIN sig y ON y.doc_id = p.id_b "
+        "WHERE p.jaccard >= 1e-06), "
+        "pe AS (SELECT j, est, round(abs(est - j), 6) AS err, "
+        f"sqrt(j * (1 - j) / {float(k)!r}) AS se FROM per) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+        "round(avg(err), 6) AS mae, round(max(err), 6) AS max_err, "
+        "round(avg(CAST(err <= 2 * se AS INT)), 6) AS frac_within_2se, "
+        "avg(CAST(err <= 2 * se AS INT)) >= 0.5 AS certified FROM pe"
+    )
+
+
+def xk_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-linear-histogram quantile sketch
+    (ext/sketch.py:loglinear_quantiles) over per-document token counts:
+    p50/p90/p99 document length read off a <= 512-bucket mergeable
+    histogram, relative-error bound (<= 1/16 at 8 sub-buckets) and
+    per-source-merge consistency certified in-query against the exact
+    quantiles — the fourth sketch beside CMS, Bloom and HLL."""
+    from haf_plug_play_spark.ext import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        "source", xt.n_tokens_ws(F.col("text")).alias("value")
+    )
+    return sketch.loglinear_quantiles(items)
+
+
+def _quantile_sql(sub_bits: int = 3) -> str:
+    """DuckDB mirror of xk_quantile: identical integer bucket algebra
+    (length(bin(x)) exponent, dyadic sub-bucket, integer ceil-rank),
+    identical dyadic bound arithmetic."""
+    from haf_plug_play_spark.ext.sketch import QUANTILE_TARGETS
+
+    S = 1 << sub_bits
+    qvals = ", ".join(
+        f"(CAST({qn / qd!r} AS DOUBLE), {qn}, {qd})"
+        for qn, qd in QUANTILE_TARGETS
+    )
+    cum = "sum(c) OVER (ORDER BY {o} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    return (
+        f"WITH t AS (SELECT source, greatest({_NTOK_SQL}, 1) AS x FROM documents), "
+        "e AS (SELECT source, x, CAST(length(bin(x)) - 1 AS INT) AS b FROM t), "
+        f"ky AS (SELECT source, x, CAST(b * {S} + "
+        f"CAST(floor(CAST(x * {S} AS DOUBLE) / pow(2.0, CAST(b AS DOUBLE))) "
+        f"- {S} AS INT) AS INT) AS key FROM e), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ky), "
+        f"qt AS (SELECT * FROM (VALUES {qvals}) AS v(q, qn, qd)), "
+        "r AS (SELECT q, n AS n_values, "
+        "CAST(floor((n * qn + qd - 1) / qd) AS BIGINT) AS rnk "
+        "FROM qt CROSS JOIN nn), "
+        "dh AS (SELECT key, count(*) AS c FROM ky GROUP BY 1), "
+        f"dc AS (SELECT key, {cum.format(o='key')} AS cum FROM dh), "
+        "sel AS (SELECT r.q, r.n_values, min(dc.key) AS k FROM r "
+        "JOIN dc ON dc.cum >= r.rnk GROUP BY 1, 2), "
+        "mh AS (SELECT key, sum(c) AS c FROM (SELECT source, key, "
+        "count(*) AS c FROM ky GROUP BY 1, 2) GROUP BY 1), "
+        f"mc AS (SELECT key, {cum.format(o='key')} AS cum FROM mh), "
+        "selm AS (SELECT r.q, min(mc.key) AS k_m FROM r "
+        "JOIN mc ON mc.cum >= r.rnk GROUP BY 1), "
+        "eh AS (SELECT x, count(*) AS c FROM ky GROUP BY 1), "
+        f"ec AS (SELECT x, {cum.format(o='x')} AS cum FROM eh), "
+        "ex AS (SELECT r.q, min(ec.x) AS exact_v FROM r "
+        "JOIN ec ON ec.cum >= r.rnk GROUP BY 1), "
+        f"f AS (SELECT s.q, s.n_values, s.k, sm.k_m, e.exact_v, "
+        f"CAST(floor(s.k / {S}) AS INT) AS kb, s.k % {S} AS ksub "
+        "FROM sel s JOIN selm sm ON sm.q = s.q JOIN ex e ON e.q = s.q), "
+        "g AS (SELECT *, "
+        f"pow(2.0, CAST(kb AS DOUBLE)) * (1.0 + CAST(ksub AS DOUBLE) / {S}) AS lo, "
+        f"pow(2.0, CAST(kb AS DOUBLE)) * (1.0 + CAST(ksub + 1 AS DOUBLE) / {S}) AS hi "
+        "FROM f) "
+        "SELECT q, n_values, round((lo + hi) / 2.0, 6) AS est, "
+        "CAST(exact_v AS BIGINT) AS exact_v, "
+        "round(abs((lo + hi) / 2.0 - exact_v) / CAST(exact_v AS DOUBLE), 6) AS rel_err, "
+        "round((hi - lo) / (2.0 * lo), 6) AS err_bound, "
+        "abs((lo + hi) / 2.0 - exact_v) / CAST(exact_v AS DOUBLE) "
+        "<= (hi - lo) / (2.0 * lo) AS certified, "
+        "k = k_m AS merge_consistent FROM g ORDER BY q"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -2435,6 +2638,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XK-hll": xk_hll,
     "XT-clf-calibration": xt_clf_calibration,
     "XA-pack-report": xa_pack_report,
+    "XT-ppl-gate": xt_ppl_gate,
+    "XT-clf-auc": xt_clf_auc,
+    "XD-minhash-acc": xd_minhash_acc,
+    "XK-quantile": xk_quantile,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2498,6 +2705,10 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XK-hll": _hll_sql(),
     "XT-clf-calibration": _clf_calibration_sql(),
     "XA-pack-report": _pack_report_sql(),
+    "XT-ppl-gate": _ppl_gate_sql(),
+    "XT-clf-auc": _clf_auc_sql(),
+    "XD-minhash-acc": _minhash_acc_sql(),
+    "XK-quantile": _quantile_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"

@@ -264,6 +264,57 @@ def bloom_sql(
 HLL_Y_BITS = 52  # md5_int is 60 bits; 8 go to the register index at m=256
 
 
+def hll_observables(item: Column, p: int = 8) -> Column:
+    """The per-item HLL observable as a struct (_idx, _rho): md5 hash
+    split into register index (low p bits) and suffix y, with rho =
+    trailing zeros of y + 1. Shared by the batch sketch and the
+    streaming register maintenance (integer shift, NOT x/m: double
+    division would round away the low bits of a 60-bit hash past 2^53).
+    """
+    m = 1 << p
+    x = md5_int(item)
+    y = F.shiftright(x, p)
+    rho = F.when(y == 0, F.lit(HLL_Y_BITS + 1)).otherwise(
+        F.log2((y.bitwiseAND(-y)).cast("double")).cast("int") + F.lit(1)
+    )
+    return F.struct(
+        (x % m).cast("int").alias("_idx"), rho.alias("_rho")
+    )
+
+
+def hll_register_estimate(
+    regs: DataFrame, p: int = 8, est_name: str = "_est"
+) -> DataFrame:
+    """Cardinality estimate from a register table (_idx, _m), one row
+    per NON-EMPTY register — the Flajolet et al. 2007 estimator with
+    the exact-integer harmonic sum and the linear-counting small-range
+    branch, factored out so any register producer (the batch sketch,
+    a streaming max-aggregation) shares the identical arithmetic.
+    Returns one row (_used, <est_name>)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # numerator of the raw estimate, scaled by 2^52 to match the integer
+    # harmonic sum; folded to one double literal shared with the oracle
+    num = alpha * m * m * float(1 << HLL_Y_BITS)
+    agg = regs.agg(
+        F.count("*").alias("_used"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(HLL_Y_BITS) - F.col("_m")).cast("double"))
+            .cast("bigint")
+        ).alias("_s_used"),
+    )
+    s_int = F.col("_s_used") + (F.lit(m) - F.col("_used")) * F.lit(
+        1 << HLL_Y_BITS
+    )
+    raw = F.lit(num) / s_int.cast("double")
+    v = F.lit(m) - F.col("_used")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(F.col("_used"), est.alias(est_name))
+
+
 def hll_distinct(
     items: DataFrame,
     item_col: str = "item",
@@ -300,48 +351,17 @@ def hll_distinct(
     (four standard errors of the paper's asymptotic bound).
     """
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    # numerator of the raw estimate, scaled by 2^52 to match the integer
-    # harmonic sum; folded to one double literal shared with the oracle
-    num = alpha * m * m * float(1 << HLL_Y_BITS)
     sigma4 = 4.0 * 1.04 / (m ** 0.5)
 
-    x = md5_int(F.col(item_col))
-    hashed = items.select(
-        F.col("source"),
-        F.col(item_col).alias("_it"),
-        (x % m).cast("int").alias("_idx"),
-        # integer shift, NOT x/m: double division would round away the
-        # low bits of a 60-bit hash past 2^53
-        F.shiftright(x, p).alias("_y"),
-    )
-    rho = F.when(F.col("_y") == 0, F.lit(HLL_Y_BITS + 1)).otherwise(
-        F.log2((F.col("_y").bitwiseAND(-F.col("_y"))).cast("double")).cast("int")
-        + F.lit(1)
-    )
-    distinct = hashed.select("source", "_it", "_idx", rho.alias("_rho")).distinct()
+    hashed = hll_observables(F.col(item_col), p).alias("_o")
+    distinct = items.select(
+        F.col("source"), F.col(item_col).alias("_it"), hashed
+    ).select(
+        "source", "_it", F.col("_o._idx").alias("_idx"), F.col("_o._rho").alias("_rho")
+    ).distinct()
 
     def estimate(regs: DataFrame, est_name: str) -> DataFrame:
-        """regs: (_idx, _m) one row per non-empty register."""
-        agg = regs.agg(
-            F.count("*").alias("_used"),
-            F.sum(
-                F.pow(F.lit(2.0), (F.lit(HLL_Y_BITS) - F.col("_m")).cast("double"))
-                .cast("bigint")
-            ).alias("_s_used"),
-        )
-        s_int = F.col("_s_used") + (F.lit(m) - F.col("_used")) * F.lit(
-            1 << HLL_Y_BITS
-        )
-        raw = F.lit(num) / s_int.cast("double")
-        v = F.lit(m) - F.col("_used")
-        est = F.when(
-            (raw <= F.lit(2.5 * m)) & (v > 0),
-            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
-        ).otherwise(raw)
-        return agg.select(
-            F.col("_used"), est.alias(est_name)
-        )
+        return hll_register_estimate(regs, p, est_name)
 
     # direct global sketch
     global_regs = distinct.groupBy("_idx").agg(F.max("_rho").alias("_m"))
@@ -371,10 +391,13 @@ def hll_distinct(
     )
 
 
-def hll_sql(item_sql: str, p: int = 8) -> str:
+def hll_sql(item_sql: str, p: int = 8, merge: bool = True) -> str:
     """DuckDB oracle for ``hll_distinct``: same hash split, same integer
     harmonic sum, same literals, same branch. ``item_sql`` is a CTE body
-    yielding (source, item) rows over the pre-registered views."""
+    yielding (source, item) rows over the pre-registered views.
+    ``merge=False`` drops the per-source-merge leg (and its
+    merge_consistent column) for single-register-producer callers like
+    the streaming sketch query."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     num = repr(alpha * m * m * float(1 << HLL_Y_BITS))
@@ -392,28 +415,191 @@ def hll_sql(item_sql: str, p: int = 8) -> str:
         "ga AS (SELECT count(*) AS used, CAST(sum(CAST(pow(2.0, "
         f"CAST({HLL_Y_BITS} - mj AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_used "
         "FROM gre), "
-        "mre AS (SELECT idx, max(mj) AS mj FROM (SELECT source, idx, "
-        "max(rho) AS mj FROM hd GROUP BY 1, 2) GROUP BY 1), "
-        "ma AS (SELECT count(*) AS used, CAST(sum(CAST(pow(2.0, "
-        f"CAST({HLL_Y_BITS} - mj AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_used "
-        "FROM mre), "
-        "gest AS (SELECT used, CASE WHEN "
+        + (
+            "mre AS (SELECT idx, max(mj) AS mj FROM (SELECT source, idx, "
+            "max(rho) AS mj FROM hd GROUP BY 1, 2) GROUP BY 1), "
+            "ma AS (SELECT count(*) AS used, CAST(sum(CAST(pow(2.0, "
+            f"CAST({HLL_Y_BITS} - mj AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_used "
+            "FROM mre), "
+            if merge
+            else ""
+        )
+        +         "gest AS (SELECT used, CASE WHEN "
         f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) <= {2.5 * m!r} "
         f"AND ({m} - used) > 0 THEN {float(m)!r} * ln({float(m)!r} / "
         f"CAST({m} - used AS DOUBLE)) ELSE "
         f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) END AS est "
         "FROM ga), "
-        "mest AS (SELECT CASE WHEN "
-        f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) <= {2.5 * m!r} "
-        f"AND ({m} - used) > 0 THEN {float(m)!r} * ln({float(m)!r} / "
-        f"CAST({m} - used AS DOUBLE)) ELSE "
-        f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) END AS est_m "
-        "FROM ma), "
-        "ex AS (SELECT CAST(count(DISTINCT it) AS BIGINT) AS n_exact FROM hd) "
+        + (
+            "mest AS (SELECT CASE WHEN "
+            f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) <= {2.5 * m!r} "
+            f"AND ({m} - used) > 0 THEN {float(m)!r} * ln({float(m)!r} / "
+            f"CAST({m} - used AS DOUBLE)) ELSE "
+            f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE)) END AS est_m "
+            "FROM ma), "
+            if merge
+            else ""
+        )
+        +         "ex AS (SELECT CAST(count(DISTINCT it) AS BIGINT) AS n_exact FROM hd) "
         "SELECT n_exact, round(est, 2) AS hll_est, "
         "round(abs(est / n_exact - 1.0), 4) AS rel_err, "
         "CAST(used AS INT) AS n_registers_used, "
-        f"abs(est / n_exact - 1.0) <= {sigma4} AS certified, "
-        "est = est_m AS merge_consistent "
-        "FROM ex CROSS JOIN gest CROSS JOIN mest"
+        f"abs(est / n_exact - 1.0) <= {sigma4} AS certified"
+        + (
+            ", est = est_m AS merge_consistent "
+            "FROM ex CROSS JOIN gest CROSS JOIN mest"
+            if merge
+            else " FROM ex CROSS JOIN gest"
+        )
+    )
+
+
+# --------------------------------------------------- log-linear quantiles
+
+QUANTILE_TARGETS = ((1, 2), (9, 10), (99, 100))  # q = num/den: p50, p90, p99
+
+
+def loglinear_quantiles(
+    items: DataFrame,
+    value_col: str = "value",
+    source_col: str = "source",
+    sub_bits: int = 3,
+) -> DataFrame:
+    """Mergeable log-linear-histogram quantile sketch with the exact
+    answer computed alongside and the relative-error guarantee certified
+    in-query — the fourth mergeable sketch beside CMS, Bloom and HLL
+    (public method: HdrHistogram's log-linear bucketing, Tene; the same
+    layout underlies Prometheus native histograms and the guarantee
+    analysis mirrors DDSketch, Masson/Lee/Rim 2019 — a value lands in a
+    bucket whose bounds straddle it within a fixed RELATIVE width, so
+    any quantile estimate read off the histogram is relative-error
+    bounded regardless of the distribution).
+
+    Bucketing is EXACT INTEGER arithmetic end to end (no log/exp, so
+    engine and oracle can never disagree on a boundary): value x ≥ 1
+    has exponent b = length(bin(x)) − 1 (= floor(log₂ x), via the binary
+    string — both engines print minimal binary) and sub-bucket
+    sub = floor(x·S / 2^b) − S ∈ [0, S) with S = 2^sub_bits; the powers
+    of two ride exact dyadic doubles. Bucket key b·S + sub is monotone
+    in x, so the quantile at rank r = ceil(q·N) (integer: (N·qn + qd −
+    1) DIV qd) is read from the first bucket whose cumulative count
+    reaches r; the estimate is the bucket midpoint (L+U)/2 and the
+    certified bound is (U−L)/(2L) ≤ 1/(2S) — every arithmetic step
+    identical dyadic FP in both engines.
+
+    Scale contract: ONE map-side-combinable hash aggregation of the
+    values into ≤ 64·S bucket rows; the cumulative window runs over
+    those bucket rows only. Registers MERGE by per-key SUM, certified by
+    building per-source histograms, merging, and asserting identical
+    estimates. The EXACT quantile (distinct-value histogram + window
+    over distinct values) is the leg you drop at 100 TB — it exists so
+    the guarantee is checked, not trusted.
+
+    ``items`` needs (source, value ≥ 1 integer). Output: one row per
+    target quantile — (q, n_values, est, exact_v, rel_err, err_bound,
+    certified, merge_consistent), ordered by q.
+    """
+    from pyspark.sql import Window as W
+
+    S = 1 << sub_bits
+    x = F.greatest(F.col(value_col).cast("long"), F.lit(1))
+    vals = items.select(F.col(source_col).alias("_src"), x.alias("_x"))
+    b = (F.length(F.bin(F.col("_x"))) - 1).cast("int")
+    pow2b = F.pow(F.lit(2.0), b.cast("double"))
+    sub = (
+        F.floor((F.col("_x") * S).cast("double") / pow2b) - F.lit(S)
+    ).cast("int")
+    keyed = vals.withColumn("_key", (b * S + sub).cast("int"))
+
+    n_df = keyed.agg(F.count("*").cast("long").alias("_n"))
+    qdf = (
+        n_df.select(
+            F.col("_n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(qn / qd).alias("q"),
+                            F.lit(qn).alias("_qn"),
+                            F.lit(qd).alias("_qd"),
+                        )
+                        for qn, qd in QUANTILE_TARGETS
+                    ]
+                )
+            ).alias("_t"),
+        )
+        .select(
+            F.col("_t.q").alias("q"),
+            F.col("_n").alias("n_values"),
+            # ceil(q*N) in pure integers
+            F.floor(
+                (F.col("_n") * F.col("_t._qn") + F.col("_t._qd") - 1)
+                / F.col("_t._qd")
+            ).cast("long").alias("_rank"),
+        )
+    )
+
+    cum_w = W.orderBy("_key").rowsBetween(W.unboundedPreceding, 0)
+
+    def first_key_at_rank(hist: DataFrame, out: str) -> DataFrame:
+        """hist: (_key, _c) bucket rows -> per-q first key whose
+        cumulative count reaches the rank."""
+        cum = hist.withColumn("_cum", F.sum("_c").over(cum_w))
+        return (
+            qdf.join(F.broadcast(cum), F.col("_cum") >= F.col("_rank"))
+            .groupBy("q", "n_values")
+            .agg(F.min("_key").alias(out))
+        )
+
+    direct_hist = keyed.groupBy("_key").agg(F.count("*").alias("_c"))
+    merged_hist = (
+        keyed.groupBy("_src", "_key")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("_key")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    sel = first_key_at_rank(direct_hist, "_k").join(
+        first_key_at_rank(merged_hist, "_k_m").select("q", "_k_m"), "q"
+    )
+
+    # exact quantile from the distinct-value histogram (the droppable leg)
+    ex_hist = keyed.groupBy("_x").agg(F.count("*").alias("_c"))
+    ex_cum = ex_hist.withColumn(
+        "_cum", F.sum("_c").over(W.orderBy("_x").rowsBetween(W.unboundedPreceding, 0))
+    )
+    exact = (
+        qdf.join(F.broadcast(ex_cum), F.col("_cum") >= F.col("_rank"))
+        .groupBy("q")
+        .agg(F.min("_x").alias("exact_v"))
+    )
+
+    kb = F.floor(F.col("_k") / S).cast("int")
+    ksub = (F.col("_k") % S).cast("int")
+    kpow = F.pow(F.lit(2.0), kb.cast("double"))
+    lo = kpow * (F.lit(1.0) + ksub.cast("double") / S)
+    hi = kpow * (F.lit(1.0) + (ksub + 1).cast("double") / S)
+    est = (lo + hi) / F.lit(2.0)
+    bound = (hi - lo) / (F.lit(2.0) * lo)
+    # |est - exact| / exact, NOT est/exact - 1: the numerators are exact
+    # dyadic values, so when the exact quantile sits exactly on the
+    # bucket's lower bound the comparison rel <= bound holds by IEEE
+    # division monotonicity; the quotient-minus-one form loses ulps in
+    # the subtraction and flipped certified at exactly that boundary
+    rel = (
+        F.abs(est - F.col("exact_v").cast("double"))
+        / F.col("exact_v").cast("double")
+    )
+    return (
+        sel.join(exact, "q")
+        .select(
+            F.col("q"),
+            F.col("n_values"),
+            F.round(est, 6).alias("est"),
+            F.col("exact_v").cast("long").alias("exact_v"),
+            F.round(rel, 6).alias("rel_err"),
+            F.round(bound, 6).alias("err_bound"),
+            (rel <= bound).alias("certified"),
+            (F.col("_k") == F.col("_k_m")).alias("merge_consistent"),
+        )
+        .orderBy("q")
     )

@@ -769,3 +769,89 @@ def topic_tag(
         expr.alias("topic"),
         F.greatest(*hits.values()).alias("n_hits"),
     ).orderBy(id_col)
+
+
+def perplexity_gate(
+    scored: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    logp_col: str = "avg_logp",
+    sample_denom: int = 1,
+    seed: int = 5,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (public method: Wenzek et al.
+    2020 §4.3 — per-language perplexity terciles from a corpus-trained
+    LM; the head/middle thirds feed pretraining, the tail is the
+    low-quality cut). ``scored`` is any LM scorer's output carrying
+    (id, group, n_words, avg_logp) — the LM is pluggable exactly as in
+    CCNet (they swap KenLM models per language); reference surface has
+    no LM gate, this is engine extension territory.
+
+    Perplexity = exp(−avg_logp), rounded 6 dp. Per-group tercile
+    CUTOFFS are learned from a deterministic hash sample (md5 of the id,
+    keep ``1/sample_denom`` — CCNet trains its cutoffs on a sample too,
+    and a pure function of the id keeps engine and oracle identical),
+    then broadcast back and applied corpus-wide by comparison. The
+    cutoff is the sample's value at integer rank ``((m−1)·j) DIV 3``
+    (0-based, j ∈ {1,2}) — pure integer indexing into the sorted sample,
+    NO interpolation, so both engines pick the identical element and the
+    boundary comparison is exact (both sides 6-dp rounded values).
+
+    Scale contract: the corpus-sized work is the LM scoring upstream and
+    one broadcast-join + CASE here; the per-group ``collect_list`` is
+    bounded by the SAMPLE size per group (dial ``sample_denom`` so the
+    per-group sample fits an executor — at crawl scale CCNet uses a few
+    hundred thousand paragraphs per language), never the corpus. No
+    window over corpus rows, no per-group global sort.
+
+    Output: (id, group, n_words, ppl, ppl_bucket ∈ head|middle|tail,
+    keep = bucket ≠ tail), ordered by id.
+    """
+    from haf_plug_play_spark.ext.hashing import md5_int
+
+    wp = scored.withColumn("ppl", F.round(F.exp(-F.col(logp_col)), 6))
+    samp = wp
+    if sample_denom > 1:
+        samp = wp.filter(
+            F.pmod(
+                md5_int(F.concat(F.lit(f"ppl{seed}:"), F.col(id_col).cast("string"))),
+                F.lit(sample_denom),
+            )
+            == 0
+        )
+    srt = F.array_sort(F.collect_list("ppl"))
+    cuts = (
+        samp.groupBy(group_col)
+        .agg(srt.alias("_s"))
+        .select(
+            F.col(group_col),
+            # floor() BEFORE the int cast: Spark casts double->int by
+            # truncation but DuckDB by rounding, so the shared form must
+            # be integral already when the cast happens
+            F.element_at(
+                F.col("_s"),
+                F.floor(((F.size("_s") - 1) * 1) / 3).cast("int") + 1,
+            ).alias("_cut1"),
+            F.element_at(
+                F.col("_s"),
+                F.floor(((F.size("_s") - 1) * 2) / 3).cast("int") + 1,
+            ).alias("_cut2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("ppl") <= F.col("_cut1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("_cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        wp.join(F.broadcast(cuts), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col("n_words"),
+            F.col("ppl"),
+            bucket.alias("ppl_bucket"),
+            (bucket != F.lit("tail")).alias("keep"),
+        )
+        .orderBy(id_col)
+    )

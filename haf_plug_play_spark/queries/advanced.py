@@ -1057,6 +1057,74 @@ def _audit_sql() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY col_name"
 
 
+
+def qsk_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HyperLogLog under the oracle gate: the events stream
+    maintains the m=256 HLL registers as a streaming max-aggregation
+    (complete mode), and the batch side turns the final register table
+    into the cardinality estimate — certified within 4 sigma of the
+    exact distinct count, which the DuckDB oracle recomputes with the
+    identical register algebra over the full table.
+
+    This is the streaming sketch pattern the batch XK-hll argues for:
+    register max is an incrementally-maintainable aggregate, so the
+    STREAMING STATE IS BOUNDED AT m ROWS at any stream volume — the
+    contrast with stream dedup (QSS), whose state grows with distinct
+    keys. A 100 TB firehose distinct-count keeps 256 rows of state and
+    never reprocesses history; estimate arithmetic is the shared
+    ext/sketch.py helper, bit-identical to the batch sketch's.
+    """
+    from haf_plug_play_spark.ext.sketch import (
+        hll_observables,
+        hll_register_estimate,
+    )
+
+    p = 8
+    m = 1 << p
+    sigma4 = 4.0 * 1.04 / (m ** 0.5)
+    item = F.concat(F.lit("u:"), F.col("user_id").cast("string"))
+
+    def build(s):
+        o = hll_observables(item, p).alias("_o")
+        return (
+            s.select(o)
+            .select(
+                F.col("_o._idx").alias("_idx"), F.col("_o._rho").alias("_rho")
+            )
+            .groupBy("_idx")
+            .agg(F.max("_rho").alias("_m"))
+        )
+
+    regs = _stream_replay(
+        spark, sf_dir, build, "qsk_stream_hll", "complete",
+        shuffle_partitions=8,
+    )
+    est = hll_register_estimate(regs, p, "_est")
+    exact = load_table(spark, sf_dir, "events").agg(
+        F.countDistinct(item).alias("n_exact")
+    )
+    rel = F.abs(F.col("_est") / F.col("n_exact") - 1.0)
+    return exact.crossJoin(F.broadcast(est)).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round("_est", 2).alias("hll_est"),
+        F.round(rel, 4).alias("rel_err"),
+        F.col("_used").cast("int").alias("n_registers_used"),
+        (rel <= F.lit(sigma4)).alias("certified"),
+    )
+
+
+def _stream_hll_sql() -> str:
+    """DuckDB mirror of qsk_stream_hll: the shared hll_sql algebra over
+    the full events table (merge leg dropped — one register producer)."""
+    from haf_plug_play_spark.ext.sketch import hll_sql
+
+    return hll_sql(
+        "SELECT 'events' AS source, "
+        "'u:' || CAST(user_id AS VARCHAR) AS item FROM events",
+        merge=False,
+    )
+
+
 ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QV1-audit": qv1_audit,
     "QG3-grouping-sets": qg3_grouping_sets,
@@ -1083,6 +1151,7 @@ ADVANCED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "QSJ-stream-join": qsj_stream_join,
     "QX6-map": qx6_map,
     "QSA-stream-stateful": qsa_stream_stateful,
+    "QSK-stream-hll": qsk_stream_hll,
     "QA5-stats": qa5_stats,
     "QH1-histogram": qh1_histogram,
     "QU2-unpivot": qu2_unpivot,
@@ -1308,6 +1377,7 @@ ADVANCED_ORACLE_SQL: dict[str, str] = {
         "max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n_events "
         "FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start"
     ),
+    "QSK-stream-hll": _stream_hll_sql(),
     "QSA-stream-stateful": (
         "SELECT user_id, count(*) AS n_events, max(event_id) AS last_event_id "
         "FROM events GROUP BY 1 ORDER BY 1"

@@ -1593,3 +1593,129 @@ def test_packing_report_accounts_for_fill(spark):
     assert a.docs_per_chunk == 2.0 and a.fill_ratio == 1.0
     assert (b.n_docs, b.n_chunks, b.n_tokens) == (3, 1, 120)
     assert b.fill_ratio == 1.2  # last doc straddles past the budget
+
+
+def test_perplexity_gate_terciles_and_monotone(spark):
+    """Perplexity gate (ext/text.py:perplexity_gate): with the whole
+    group sampled and 9 distinct perplexities per group, the integer-
+    rank cutoffs split exact thirds; buckets are monotone in ppl; keep
+    drops exactly the tail; groups compute independent cutoffs."""
+    from haf_plug_play_spark.ext.text import perplexity_gate
+
+    rows = []
+    for g, (lang, base) in enumerate([("en", 1.0), ("de", 3.0)]):
+        for i in range(9):
+            # distinct avg_logp per doc: ppl = exp(-logp) strictly
+            # increasing in i
+            rows.append((g * 100 + i, lang, 50, -(base + 0.1 * i)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_words long, avg_logp double"
+    )
+    out = perplexity_gate(df).collect()
+    assert len(out) == 18
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.ppl)
+        buckets = [r.ppl_bucket for r in rs]
+        assert buckets == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        assert [r.keep for r in rs] == [True] * 6 + [False] * 3
+
+
+def test_perplexity_gate_sampled_cutoffs_cover_all_rows(spark):
+    """sample_denom > 1: cutoffs are learned from the hash sample, but
+    EVERY row is bucketed (the sample only trains the cutoffs, as in
+    CCNet); the bucket stays monotone in ppl per group."""
+    from haf_plug_play_spark.ext.text import perplexity_gate
+
+    df = spark.createDataFrame(
+        [(i, "en", 10, -(1.0 + 0.01 * i)) for i in range(60)],
+        "doc_id long, lang string, n_words long, avg_logp double",
+    )
+    out = sorted(perplexity_gate(df, sample_denom=2).collect(),
+                 key=lambda r: r.ppl)
+    assert len(out) == 60  # no row lost to the sampling
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ranks = [order[r.ppl_bucket] for r in out]
+    assert ranks == sorted(ranks)
+    assert ranks[0] == 0 and ranks[-1] == 2
+
+
+def test_roc_auc_separation_ties_and_degenerate(spark):
+    """ROC-AUC (ext/classify.py:roc_auc): perfect separation -> 1.0;
+    inverted -> 0.0; a single shared score -> 0.5 by half-credit ties;
+    a hand-computed mixed case matches the rank formula; no negatives
+    -> NULL, not a fabricated value."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext.classify import roc_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "p_keep double, y boolean")
+        return roc_auc(df, F.col("y")).collect()[0]
+
+    perfect = [(0.9, True)] * 3 + [(0.1, False)] * 4
+    assert auc_of(perfect).auc == 1.0
+    inverted = [(0.1, True)] * 3 + [(0.9, False)] * 4
+    assert auc_of(inverted).auc == 0.0
+    ties = [(0.5, True)] * 3 + [(0.5, False)] * 4
+    r = auc_of(ties)
+    assert r.auc == 0.5 and r.n_distinct_scores == 1
+    # mixed: pos at .8,.6, neg at .7,.2 -> pairs: (.8 beats both)=2,
+    # (.6 beats .2)=1 -> U=3 of 4 -> 0.75
+    mixed = [(0.8, True), (0.6, True), (0.7, False), (0.2, False)]
+    r = auc_of(mixed)
+    assert r.auc == 0.75 and (r.n_pos, r.n_neg) == (2, 2)
+    assert auc_of([(0.5, True), (0.9, True)]).auc is None
+
+
+def test_minhash_accuracy_exact_duplicates_zero_error(spark):
+    """MinHash accuracy (ext/dedup.py:minhash_accuracy): byte-identical
+    docs have identical signatures AND Jaccard 1, so their pair
+    contributes zero error; the audit over a corpus of two dup pairs
+    reports mae 0 and full 2-sigma coverage."""
+    from haf_plug_play_spark.ext.dedup import minhash_accuracy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine"),
+            (4, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    r = minhash_accuracy(docs, num_hashes=8, bands=4).collect()[0]
+    assert r.n_pairs == 2
+    assert r.mae == 0.0 and r.max_err == 0.0
+    assert r.frac_within_2se == 1.0 and r.certified
+
+
+def test_loglinear_quantiles_known_values(spark):
+    """Log-linear quantile sketch (ext/sketch.py:loglinear_quantiles):
+    (a) for 1..100 across two sources, exact quantiles are the integer
+    ranks, every estimate is certified within its bucket bound, and the
+    per-source merge equals the direct sketch; (b) a power-of-two value
+    sits on its bucket's lower bound (the boundary the difference-based
+    rel_err exists for) and still certifies; (c) the relative-error
+    bound never exceeds 1/(2S) = 1/16."""
+    from haf_plug_play_spark.ext.sketch import loglinear_quantiles
+
+    items = spark.createDataFrame(
+        [(f"s{v % 2}", v) for v in range(1, 101)], "source string, value long"
+    )
+    rows = loglinear_quantiles(items).collect()
+    assert [r.q for r in rows] == [0.5, 0.9, 0.99]
+    assert [r.exact_v for r in rows] == [50, 90, 99]
+    for r in rows:
+        assert r.certified and r.merge_consistent
+        assert r.err_bound <= 1 / 16 + 1e-12
+        assert abs(r.est - r.exact_v) / r.exact_v <= r.err_bound + 1e-12
+
+    # every value = 64: p50 exact IS the bucket lower bound
+    const = spark.createDataFrame(
+        [("s", 64)] * 10, "source string, value long"
+    )
+    r = loglinear_quantiles(const).collect()[0]
+    assert r.exact_v == 64 and r.certified

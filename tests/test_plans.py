@@ -569,3 +569,35 @@ def test_pack_report_window_plus_bounded_agg(spark):
     plan = _plan(EXT_QUERIES["XA-pack-report"](spark, SF_ORACLE))
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_ppl_gate_no_corpus_window(spark):
+    """The perplexity gate's scale contract: NO window over corpus rows
+    anywhere (CCNet bucketing via broadcast cutoffs, not per-group
+    ranking) and the tercile cutoffs attach by broadcast."""
+    plan = _plan(EXT_QUERIES["XT-ppl-gate"](spark, SF_ORACLE))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_clf_auc_single_bounded_window(spark):
+    """AUC runs its cumulative pass over DISTINCT-SCORE rows: exactly
+    one Window, fed by a hash aggregation (the per-score pos/neg
+    grouping), never a corpus-row window or a sort-merge join."""
+    plan = _plan(EXT_QUERIES["XT-clf-auc"](spark, SF_ORACLE))
+    # formatted output prints each node twice (tree + detail): count
+    # distinct Window NODES via the detail headers
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_quantile_sketch_bounded_joins(spark):
+    """The quantile sketch's rank probes and result legs are all
+    broadcast joins over bucket-bounded rows — no sort-merge join; the
+    only corpus-sized operations are hash aggregations."""
+    plan = _plan(EXT_QUERIES["XK-quantile"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
