@@ -1321,3 +1321,54 @@ def minhash_accuracy(
             F.avg((F.col("_err") <= 2.0 * F.col("_se")).cast("int")) >= 0.5
         ).alias("certified"),
     )
+
+
+def dedup_decision_by_quality(
+    df: DataFrame,
+    pairs: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Quality-aware dedup census: like :func:`dedup_decision`, but the
+    canonical keeper per near-dup cluster is the HIGHEST-QUALITY copy
+    (ties → minimum id), not the minimum id — the selection rule
+    production pipelines actually want (RefinedWeb/FineWeb keep the
+    best-scoring duplicate; min-id keeps whichever crawled first).
+
+    ``score`` is any per-row quality expression over ``df`` (6-dp
+    rounded scores recommended so engine and oracle compare identical
+    doubles). Keeper selection is ``max(struct(score, −id))`` per
+    cluster — one map-side-combinable aggregation (lexicographic struct
+    max), NO window, so a million-document cluster costs the same as a
+    pair. The keeper table joins back on cluster_id (keyed shuffle,
+    same family as the census itself).
+
+    Output: (id_col, cluster_id, best_id, keep) for EVERY document,
+    keep ⇔ id == best_id; singleton clusters keep themselves.
+    """
+    cc = connected_components(
+        pairs, all_ids=df.select(id_col), max_iters=max_iters
+    )
+    scored = df.select(F.col(id_col).alias("_sid"), score.alias("_q"))
+    labeled = cc.join(scored, cc["id"] == scored["_sid"]).select(
+        "id", "cluster_id", "_q"
+    )
+    best = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(F.struct(F.col("_q"), (-F.col("id")).alias("_ni"))).alias(
+                "_b"
+            )
+        )
+        .select("cluster_id", (-F.col("_b._ni")).alias("best_id"))
+    )
+    return (
+        labeled.join(best, "cluster_id")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster_id",
+            "best_id",
+            (F.col("id") == F.col("best_id")).alias("keep"),
+        )
+    )

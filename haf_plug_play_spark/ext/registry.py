@@ -2567,6 +2567,46 @@ def _quantile_sql(sub_bits: int = 3) -> str:
     )
 
 
+
+def xd_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decision (ext/dedup.py:
+    dedup_decision_by_quality): the XD-cluster component closure with
+    the canonical keeper switched from min-id to HIGHEST QUALITY SCORE
+    (ties -> min id) — the RefinedWeb/FineWeb selection rule (keep the
+    best-scoring duplicate, not whichever crawled first). Keeper
+    selection is one lexicographic struct-max aggregation per cluster —
+    no window, so a million-document cluster costs what a pair does."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    return dedup.dedup_decision_by_quality(
+        xt.with_quality(docs), pairs, F.col("q_score")
+    ).orderBy("doc_id")
+
+
+def _cluster_best_sql() -> str:
+    """DuckDB mirror of xd_cluster_best: the XD-cluster recursive
+    closure, the XT-quality q_score expression, and the identical
+    (score, -id) lexicographic struct max per cluster."""
+    pairs = _minhash_pairs_sql(8, 4, 3, 0.5, 1).replace(
+        " ORDER BY p.id_a, p.id_b", ""
+    )
+    return (
+        f"WITH RECURSIVE pr AS (SELECT id_a, id_b FROM ({pairs})), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr "
+        "UNION ALL SELECT id_b, id_a FROM pr), "
+        "cc(id, comp) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.dst, cc.comp FROM cc JOIN edges e ON e.src = cc.id), "
+        "lab AS (SELECT id, min(comp) AS cluster_id FROM cc GROUP BY id), "
+        f"qs AS (SELECT doc_id, {_QSCORE_SQL} AS q FROM documents), "
+        "best AS (SELECT cluster_id, max(struct_pack(q := q, ni := -id)) AS b "
+        "FROM lab JOIN qs ON qs.doc_id = lab.id GROUP BY 1) "
+        "SELECT lab.id AS doc_id, lab.cluster_id, "
+        "CAST(-((best.b).ni) AS BIGINT) AS best_id, "
+        "lab.id = -((best.b).ni) AS keep "
+        "FROM lab JOIN best USING (cluster_id) ORDER BY doc_id"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -2642,6 +2682,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-clf-auc": xt_clf_auc,
     "XD-minhash-acc": xd_minhash_acc,
     "XK-quantile": xk_quantile,
+    "XD-cluster-best": xd_cluster_best,
     # driver-green in r2 only (rotated out in r3)
     "XS-ivf": xs_ivf,
     "XD-embcos-lsh": xd_embcos_lsh,
@@ -2709,6 +2750,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-clf-auc": _clf_auc_sql(),
     "XD-minhash-acc": _minhash_acc_sql(),
     "XK-quantile": _quantile_sql(),
+    "XD-cluster-best": _cluster_best_sql(),
     "XA-split": (
         f"SELECT doc_id, source, {_split_sql('doc_id', _SPLIT_FRACTIONS, 7)} "
         "AS split FROM documents ORDER BY doc_id"
