@@ -36,20 +36,32 @@ def entry(spark: SparkSession) -> DataFrame:
 #   tier 0: never driver-checked (no green CORRECTNESS row in any round),
 #           and any query whose MOST RECENT driver row failed;
 #   tier 1: implementation changed since the query's last driver row
-#           ("changed since last checked" counts as unchecked) — derived
-#           from GIT as of round 7: a query is tier 1 iff any of its
-#           defining module files has a commit AFTER the commit that
+#           ("changed since last checked" counts as unchecked). TWO
+#           signals, OR-ed (round 9; closes the registry.py oracle hole
+#           VERDICT r8 flagged):
+#           (a) GIT file signal (round 7): a query is tier 1 iff any of
+#           its defining module files has a commit AFTER the commit that
 #           banked its last green CORRECTNESS row. Defining modules come
 #           from introspecting each query callable (its own module plus
 #           every engine module/function it references), so the mapping
 #           maintains itself; entries retire the moment a fresh row
 #           lands, because the row's bank commit then postdates the
-#           change. ext/registry.py is deliberately EXCLUDED from the
+#           change. ext/registry.py is deliberately EXCLUDED from this
 #           signal: it is the wrapper+oracle glue shared by ~100
 #           queries, so a file-level signal over it would front-load
-#           everything every round — semantic edits there accompany an
-#           op-module edit in practice (and are caught at the next
-#           driver round regardless).
+#           everything every round.
+#           (b) CONTENT-HASH signal (round 9): sha256 over the wrapper
+#           function's source + the RESOLVED oracle-SQL string, banked
+#           per query in EVIDENCE_HASHES.json by scripts/bank_evidence.py
+#           at round start (when HEAD is exactly the tree the previous
+#           driver run tested). A mismatch fronts exactly that query —
+#           so an oracle-only edit inside registry.py, or an edit to a
+#           shared SQL builder that registry merely calls, invalidates
+#           precisely the queries whose oracle text actually changed.
+#           Within tier 1 the order is STALEST FIRST (ascending
+#           last-green round): if tier 1 ever exceeds the 50-slot
+#           window, the spillover lands on the queries with the
+#           freshest — hence least-at-risk — driver evidence.
 #   tier 2: everything else, STALEST FIRST (ascending last-green round).
 #
 # The ordering is computed from the banked CORRECTNESS_r*.json files +
@@ -60,6 +72,58 @@ def entry(spark: SparkSession) -> DataFrame:
 # test_ext.py).
 
 _EXCLUDED_DEP_FILES = ("haf_plug_play_spark/ext/registry.py",)
+
+EVIDENCE_HASH_FILE = "EVIDENCE_HASHES.json"
+
+
+def query_evidence_hash(fn: Callable, oracle: str | None) -> str | None:
+    """Per-query evidence fingerprint: sha256 over the wrapper function's
+    source text + the RESOLVED oracle-SQL string (empty for rows-only
+    queries). Hashing the resolved SQL — not the builder's source —
+    means an edit anywhere in the oracle-generation chain (registry.py
+    literals, shared SQL builders like hll_sql) changes exactly the
+    hashes of the queries whose oracle text actually changed. Returns
+    None when the wrapper's source is unavailable (builtin/exec'd), in
+    which case no hash is banked and only the git file signal applies."""
+    import hashlib
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return None
+    payload = src + "\x00" + (oracle or "")
+    return hashlib.sha256(payload.encode("utf-8")).hexdigest()
+
+
+def _current_evidence_hashes(
+    queries_by_name: dict[str, Callable], oracles: dict[str, str]
+) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name, fn in queries_by_name.items():
+        h = query_evidence_hash(fn, oracles.get(name))
+        if h is not None:
+            out[name] = h
+    return out
+
+
+def _banked_evidence_hashes(here: str | None = None) -> dict[str, str]:
+    """query id → hash banked at the round start following that query's
+    last green driver row (scripts/bank_evidence.py). Missing file or
+    malformed entries mean "no information" — never tier 1 on their own."""
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, EVIDENCE_HASH_FILE), encoding="utf-8") as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    if not isinstance(data, dict):
+        return {}
+    return {
+        name: row["hash"]
+        for name, row in data.items()
+        if isinstance(row, dict) and isinstance(row.get("hash"), str)
+    }
 
 _ENGINE_MODULE_INDEX: dict[str, str] | None = None
 
@@ -168,16 +232,24 @@ def _tier1_changed(
     file_ts: dict[str, int | None] | None = None,
     row_ts: dict[int, int | None] | None = None,
     dep_files: dict[str, tuple[str, ...]] | None = None,
+    banked_hashes: dict[str, str] | None = None,
+    current_hashes: dict[str, str] | None = None,
 ) -> set[str]:
     """Queries whose defining modules changed after the commit that
-    banked their last green driver row. ``file_ts``/``row_ts``/
-    ``dep_files`` are injectable for tests; by default they come from
-    git + introspection. Missing timestamps on either side mean "no
+    banked their last green driver row (git file signal), OR whose
+    wrapper+oracle content hash no longer matches the banked one
+    (content-hash signal — catches registry.py oracle edits the file
+    signal deliberately excludes). ``file_ts``/``row_ts``/``dep_files``/
+    ``banked_hashes``/``current_hashes`` are injectable for tests; by
+    default they come from git + introspection + EVIDENCE_HASHES.json.
+    Missing information on either side of either signal means "no
     information" → not tier 1 (tier 2 staleness still rotates it in)."""
     if repo is None:
         repo = os.path.dirname(os.path.abspath(__file__))
     if dep_files is None:
         dep_files = _query_dep_files(queries_by_name or {}, repo)
+    if banked_hashes is None:
+        banked_hashes = _banked_evidence_hashes(repo)
     if row_ts is None:
         rounds = {rnd for rnd in last.values()}
         row_ts = {
@@ -192,6 +264,12 @@ def _tier1_changed(
         rnd = last.get(name)
         if rnd is None:
             continue  # tier 0 already
+        if current_hashes is not None:
+            bh = banked_hashes.get(name)
+            ch = current_hashes.get(name)
+            if bh is not None and ch is not None and bh != ch:
+                changed.add(name)
+                continue
         banked = row_ts.get(rnd)
         if banked is None:
             continue
@@ -242,18 +320,28 @@ def _evidence_order(
     last: dict[str, int] | None = None,
     changed: set[str] | None = None,
     queries_by_name: dict[str, Callable] | None = None,
+    oracles: dict[str, str] | None = None,
 ) -> list[str]:
     if last is None:
         last = _last_green_round()
     if changed is None:
-        changed = _tier1_changed(names, last, queries_by_name)
+        current = (
+            _current_evidence_hashes(queries_by_name, oracles)
+            if queries_by_name is not None and oracles is not None
+            else None
+        )
+        changed = _tier1_changed(
+            names, last, queries_by_name, current_hashes=current
+        )
 
     def prio(pair: tuple[int, str]) -> tuple[int, int, int]:
         i, name = pair
         if name not in last:
             return (0, 0, i)
         if name in changed:
-            return (1, 0, i)
+            # stalest first within tier 1: window spillover, if any,
+            # falls on the freshest (least-at-risk) banked evidence
+            return (1, last[name], i)
         return (2, last[name], i)
 
     return [name for _, name in sorted(enumerate(names), key=prio)]
@@ -276,7 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q.update(EXT_QUERIES)
     except ImportError:
         pass
-    return {name: q[name] for name in _evidence_order(list(q), queries_by_name=q)}
+    return {
+        name: q[name]
+        for name in _evidence_order(list(q), queries_by_name=q, oracles=oracle_sql())
+    }
 
 
 def oracle_sql() -> dict[str, str]:

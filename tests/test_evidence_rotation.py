@@ -155,16 +155,21 @@ def test_r8_window_fronts_weakest_evidence():
     (VERDICT r7 #8). Concrete r8 pin: every never-driver-checked query
     (the r8 additions) leads the order, as one contiguous block, until
     a round banks them."""
+    import __spark_entry__ as e
+
     q = entry_mod.queries()
     names = list(q)
     last = entry_mod._last_green_round()
-    changed = entry_mod._tier1_changed(names, last, queries_by_name=q)
+    current = entry_mod._current_evidence_hashes(q, e.oracle_sql())
+    changed = entry_mod._tier1_changed(
+        names, last, queries_by_name=q, current_hashes=current
+    )
 
     def tier(n: str) -> tuple[int, int]:
         if n not in last:
             return (0, 0)
         if n in changed:
-            return (1, 0)
+            return (1, last[n])
         return (2, last[n])
 
     keys = [tier(n) for n in names]
@@ -201,3 +206,108 @@ def test_dep_discovery_resolves_unloaded_modules(monkeypatch):
     )
     deps = entry_mod._query_dep_files({"q": q}, repo)
     assert "haf_plug_play_spark/ext/classify.py" in deps["q"]
+
+
+# ------------------------------------------------- content-hash signal (r9)
+
+
+def test_hash_signal_fronts_exactly_the_edited_oracle():
+    """VERDICT r8 #2's done-criterion: editing ONE oracle literal (hash
+    drift) re-fronts exactly that query — even though the git file
+    signal sees nothing (registry.py is excluded from it)."""
+
+    def qa(spark, sf):
+        return None
+
+    def qb(spark, sf):
+        return None
+
+    names = ["a", "b"]
+    last = {"a": 7, "b": 7}
+    ha = entry_mod.query_evidence_hash(qa, "SELECT 1 AS x")
+    hb = entry_mod.query_evidence_hash(qb, "SELECT 2 AS y")
+    hb_edited = entry_mod.query_evidence_hash(qb, "SELECT 2.0 AS y")
+    assert hb_edited != hb
+    changed = entry_mod._tier1_changed(
+        names,
+        last,
+        dep_files={"a": (), "b": ()},
+        file_ts={},
+        row_ts={7: 100},
+        banked_hashes={"a": ha, "b": hb},
+        current_hashes={"a": ha, "b": hb_edited},
+    )
+    assert changed == {"b"}
+
+
+def test_hash_signal_missing_information_is_not_tier1():
+    """No banked hash, or no computable current hash, must not front a
+    query on its own — the git file signal still applies."""
+
+    changed = entry_mod._tier1_changed(
+        ["a", "b"],
+        {"a": 7, "b": 7},
+        dep_files={"a": (), "b": ()},
+        file_ts={},
+        row_ts={7: 100},
+        banked_hashes={"a": "deadbeef"},
+        current_hashes={"b": "cafef00d"},
+    )
+    assert changed == set()
+
+
+def test_hash_covers_wrapper_source_and_oracle_separately():
+    """The hash must move when EITHER the wrapper source or the oracle
+    SQL changes, and be stable across recomputation."""
+
+    def qa(spark, sf):
+        return 1
+
+    def qb(spark, sf):
+        return 2
+
+    h1 = entry_mod.query_evidence_hash(qa, "SELECT 1")
+    assert h1 == entry_mod.query_evidence_hash(qa, "SELECT 1")
+    assert h1 != entry_mod.query_evidence_hash(qb, "SELECT 1")
+    assert h1 != entry_mod.query_evidence_hash(qa, "SELECT 1 ")
+    # rows-only queries (no oracle) hash the wrapper alone
+    assert entry_mod.query_evidence_hash(qa, None) == entry_mod.query_evidence_hash(
+        qa, ""
+    )
+
+
+def test_banked_hashes_loader_tolerates_junk(tmp_path):
+    (tmp_path / entry_mod.EVIDENCE_HASH_FILE).write_text(
+        '{"a": {"round": 8, "hash": "h1"}, "b": "junk", "c": {"round": 8}}'
+    )
+    assert entry_mod._banked_evidence_hashes(str(tmp_path)) == {"a": "h1"}
+    assert entry_mod._banked_evidence_hashes(str(tmp_path / "missing")) == {}
+
+
+def test_banked_hashes_match_head_at_round_start():
+    """Freeze audit: every hash banked in EVIDENCE_HASHES.json must match
+    the current source once the round's ext edits have been re-banked or
+    fronted. Queries whose hash drifts mid-round are exactly the ones the
+    rotation fronts — so this asserts consistency of the two views, not
+    zero drift: any banked-vs-current mismatch must appear in tier 1."""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.abspath(e.__file__))
+    banked = entry_mod._banked_evidence_hashes(repo)
+    if not banked:
+        return
+    q = e.queries()
+    current = entry_mod._current_evidence_hashes(q, e.oracle_sql())
+    last = entry_mod._last_green_round()
+    names = list(q)
+    changed = entry_mod._tier1_changed(
+        names, last, queries_by_name=q, current_hashes=current
+    )
+    drifted = {
+        n
+        for n, h in banked.items()
+        if n in current and current[n] != h
+    }
+    assert drifted <= changed, sorted(drifted - changed)
