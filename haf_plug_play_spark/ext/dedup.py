@@ -1260,8 +1260,11 @@ def minhash_accuracy(
     over k components is Binomial(k, J)/k with standard error
     sqrt(J(1−J)/k); the Mining of Massive Datasets ch.3 formulation).
 
-    Per LSH candidate pair (threshold 0 — the WHOLE candidate set, not
-    just accepted dups): est = |{i : hᵢ(a)=hᵢ(b)}|/k vs the exact
+    Per LSH candidate pair (threshold 1e-6 — the whole candidate set
+    minus rounded-Jaccard-0 band collisions, the IDENTICAL cutoff the
+    DuckDB oracle applies; ADVICE r8 flagged the engine passing 0.0
+    here as an engine/oracle asymmetry): est = |{i : hᵢ(a)=hᵢ(b)}|/k
+    vs the exact
     full-shingle-set Jaccard, both 6-dp rounded before the error
     arithmetic so engine and oracle subtract identical values. The audit
     reports MAE, worst error, and the fraction of pairs inside TWO
@@ -1283,7 +1286,7 @@ def minhash_accuracy(
     """
     k = num_hashes
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, n, threshold=0.0, seed=seed
+        df, id_col, text_col, num_hashes, bands, n, threshold=1e-6, seed=seed
     )
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
     sa = sig.select(
@@ -1338,11 +1341,15 @@ def dedup_decision_by_quality(
 
     ``score`` is any per-row quality expression over ``df`` (6-dp
     rounded scores recommended so engine and oracle compare identical
-    doubles). Keeper selection is ``max(struct(score, −id))`` per
+    doubles). Keeper selection is ``min(struct(−score, id))`` per
     cluster — one map-side-combinable aggregation (lexicographic struct
-    max), NO window, so a million-document cluster costs the same as a
-    pair. The keeper table joins back on cluster_id (keyed shuffle,
-    same family as the census itself).
+    min), NO window, so a million-document cluster costs the same as a
+    pair. Negating the SCORE (numeric by definition) rather than the id
+    keeps the tie-break order-agnostic: ``id_col`` may be any orderable
+    type, including string doc ids (ADVICE r8 — the previous
+    ``max(struct(score, −id))`` assumed a numeric id). The keeper table
+    joins back on cluster_id (keyed shuffle, same family as the census
+    itself).
 
     Output: (id_col, cluster_id, best_id, keep) for EVERY document,
     keep ⇔ id == best_id; singleton clusters keep themselves.
@@ -1357,11 +1364,11 @@ def dedup_decision_by_quality(
     best = (
         labeled.groupBy("cluster_id")
         .agg(
-            F.max(F.struct(F.col("_q"), (-F.col("id")).alias("_ni"))).alias(
-                "_b"
-            )
+            F.min(
+                F.struct((-F.col("_q")).alias("_nq"), F.col("id").alias("_i"))
+            ).alias("_b")
         )
-        .select("cluster_id", (-F.col("_b._ni")).alias("best_id"))
+        .select("cluster_id", F.col("_b._i").alias("best_id"))
     )
     return (
         labeled.join(best, "cluster_id")

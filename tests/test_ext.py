@@ -1719,3 +1719,34 @@ def test_loglinear_quantiles_known_values(spark):
     )
     r = loglinear_quantiles(const).collect()[0]
     assert r.exact_v == 64 and r.certified
+
+
+def test_cluster_best_tiebreak_is_order_agnostic(spark):
+    """dedup_decision_by_quality (ext/dedup.py): the keeper tie-break is
+    min(struct(-score, id)) — max score, ties to MINIMUM id — and must
+    work for STRING doc ids too (ADVICE r8: the previous max(struct(
+    score, -id)) assumed a numeric id and failed at -F.col(id))."""
+    from haf_plug_play_spark.ext.dedup import dedup_decision_by_quality
+    from pyspark.sql import functions as F
+
+    for ids, typ in [
+        ((10, 20, 30), "long"),
+        (("d10", "d20", "d30"), "string"),
+    ]:
+        df = spark.createDataFrame(
+            [(ids[0], 0.5), (ids[1], 0.5), (ids[2], 0.9)],
+            f"doc_id {typ}, q double",
+        )
+        pairs = spark.createDataFrame(
+            [(ids[0], ids[1])], f"id_a {typ}, id_b {typ}"
+        )
+        out = {
+            r.doc_id: (r.best_id, r.keep)
+            for r in dedup_decision_by_quality(
+                df, pairs, score=F.col("q")
+            ).collect()
+        }
+        # tie on q=0.5 → minimum id wins the 2-cluster; singleton keeps
+        assert out[ids[0]] == (ids[0], True)
+        assert out[ids[1]] == (ids[0], False)
+        assert out[ids[2]] == (ids[2], True)

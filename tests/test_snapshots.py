@@ -519,3 +519,43 @@ def test_s3_adapter_swap_closes_read_put_window(tmp_path):
         fs.swap_if_current(p, b"a", b"mine")
     assert client.fired
     assert ObjectStoreFS(EmulatedObjectStore()).read_bytes(p) == b"competitor"
+
+
+def test_s3_fake_pagination_stable_under_concurrent_mutation(tmp_path):
+    """ADVICE r8: the fake's continuation token anchors on the LAST
+    RETURNED KEY (StartAfter semantics), not a positional index — a key
+    inserted or deleted between pages must neither skip nor repeat the
+    survivors. Drives list_objects_v2 page-by-page, mutating the keyspace
+    between pages."""
+    client = FakeBoto3S3Client()
+    base = str(tmp_path / "mut").lstrip("/")
+    for i in range(5):
+        client.put_object(Bucket="b", Key=f"{base}/k{i}", Body=b"x")
+
+    # page 1 (fake pages at 2): k0, k1
+    r1 = client.list_objects_v2(Bucket="b", Prefix=base)
+    got = [c["Key"] for c in r1["Contents"]]
+    assert got == [f"{base}/k0", f"{base}/k1"] and r1["IsTruncated"]
+
+    # DELETE one already-returned key and one not-yet-returned key,
+    # INSERT a key sorting between the cursor and the remainder
+    client.delete_object(Bucket="b", Key=f"{base}/k0")
+    client.delete_object(Bucket="b", Key=f"{base}/k3")
+    client.put_object(Bucket="b", Key=f"{base}/k1a", Body=b"x")
+
+    seen = list(got)
+    token = r1["NextContinuationToken"]
+    while True:
+        r = client.list_objects_v2(
+            Bucket="b", Prefix=base, ContinuationToken=token
+        )
+        seen += [c["Key"] for c in r["Contents"]]
+        if not r["IsTruncated"]:
+            break
+        token = r["NextContinuationToken"]
+
+    # no repeats, and every surviving not-yet-listed key appears exactly
+    # once (k1a inserted after the cursor, k2, k4; k3 deleted mid-scan)
+    assert len(seen) == len(set(seen))
+    assert set(seen) >= {f"{base}/k1a", f"{base}/k2", f"{base}/k4"}
+    assert f"{base}/k3" not in seen[2:]
