@@ -248,8 +248,15 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
     XT-trigram-lm — the heaviest new query, whose 6-join token-stream
     shape is exactly what the alpha gate exists to certify, on the dedup
     corpus whose vocabulary grows per Heaps' law — and XS-recall, the
-    two-top-k + k×k comparison whose cost should be scale-FLAT. All but
-    the dial-scaled LSH run the shipped registry callables."""
+    two-top-k + k×k comparison whose cost should be scale-FLAT. Round 9
+    adds the r8 heavies (VERDICT r8 #4): XK-hll — whose m-bounded
+    register aggregation should measure near-flat, the harness's best
+    demonstration that alpha reflects plan shape, not just size —
+    XT-trigram-lm-pruned (the KenLM-style count-cutoff variant whose
+    whole point is bounding the count-table footprint as the corpus
+    grows), XT-ppl-gate (broadcast-join + CASE, no corpus window), and
+    XD-minhash-acc (LSH-candidate-bounded audit). All but the
+    dial-scaled LSH run the shipped registry callables."""
     from haf_plug_play_spark.ext import registry as reg
 
     return {
@@ -258,9 +265,13 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XD-span-removal": ("dedup", reg.xd_span_removal),
         "XD-cluster": ("dedup", reg.xd_cluster),
         "XD-embcos-lsh": ("dedup", _embcos_lsh_scaled(n_vecs)),
+        "XD-minhash-acc": ("dedup", reg.xd_minhash_acc),
         "XS-ivfadc": ("dedup", reg.xs_ivfadc),
         "XS-recall": ("dedup", reg.xs_recall),
         "XT-trigram-lm": ("dedup", reg.xt_trigram_lm),
+        "XT-trigram-lm-pruned": ("dedup", reg.xt_trigram_lm_pruned),
+        "XT-ppl-gate": ("vocab", reg.xt_ppl_gate),
+        "XK-hll": ("dedup", reg.xk_hll),
         "XP-pipeline5": ("vocab", reg.xp_pipeline5),
         "XP-pipeline6": ("vocab", reg.xp_pipeline6),
     }
@@ -274,28 +285,45 @@ def measure(
     factor: int = 10,
     runs: int = 2,
     vocab_sf_dir: str = "/root/testdata/sf0.01",
+    only: set[str] | None = None,
 ) -> dict:
     """Run the heavy tail at 1× and ``factor``× and compute per-query
     scaling exponents. Timing is min-of-``runs`` end-to-end (plan +
     execute + Arrow collect), matching bench.py's estimator; a warm-up
     query runs against each corpus dir first so scan/codegen bootstrap
-    lands outside the timings.
+    lands outside the timings. ``only`` restricts to a query subset (the
+    100× spot-check runs just the two highest-alpha queries; building
+    and sweeping the whole tail at 500k docs would measure nothing new).
 
     Returns {query: {"t_base": s, "t_big": s, "rows_base": k, "rows_big":
     k, "exponent": alpha}} plus a "_meta" entry."""
     sizes = {"base": (base_docs, base_vecs), "big": (base_docs * factor, base_vecs * factor)}
+    tail_all = heavy_tail(base_vecs)
+    if only is not None:
+        missing = only - set(tail_all)
+        if missing:
+            raise ValueError(f"unknown heavy-tail queries: {sorted(missing)}")
+    kinds_needed = {
+        kind
+        for name, (kind, _fn) in tail_all.items()
+        if only is None or name in only
+    }
     dirs: dict[tuple[str, str], str] = {}
     for label, (nd, nv) in sizes.items():
-        for kind in ("dedup", "vocab"):
+        for kind in sorted(kinds_needed):
             d = os.path.join(work_dir, f"{kind}_{label}")
             make_corpus_dir(spark, d, kind, nd, nv, vocab_sf_dir)
             dirs[(kind, label)] = d
 
     results: dict[str, dict] = {}
     for label, (nd, nv) in sizes.items():
-        tail = heavy_tail(nv)
-        # warm-up: touch both corpora so file listing + footer reads are paid
-        for kind in ("dedup", "vocab"):
+        tail = {
+            name: spec
+            for name, spec in heavy_tail(nv).items()
+            if only is None or name in only
+        }
+        # warm-up: touch each corpus so file listing + footer reads are paid
+        for kind in sorted(kinds_needed):
             spark.read.parquet(
                 os.path.join(dirs[(kind, label)], "documents.parquet")
             ).count()

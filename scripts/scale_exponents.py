@@ -5,6 +5,11 @@ docs / 2000 vectors) and 10x (50,000 / 20,000), prints the markdown table
 for SCALE.md and one JSON line. ~5 minutes on local[32].
 
 Usage: python scripts/scale_exponents.py [factor] [base_docs] [base_vecs]
+           [--only Q1,Q2]
+
+``--only`` restricts to a comma-separated query subset — the 100×
+spot-check (VERDICT r8 #7) runs
+``python scripts/scale_exponents.py 100 5000 2000 --only XD-containment,XD-cluster``.
 """
 
 from __future__ import annotations
@@ -25,9 +30,15 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEMORY", "8g")
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 5_000
-    base_vecs = int(sys.argv[3]) if len(sys.argv) > 3 else 2_000
+    args = list(sys.argv[1:])
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    factor = int(args[0]) if len(args) > 0 else 10
+    base_docs = int(args[1]) if len(args) > 1 else 5_000
+    base_vecs = int(args[2]) if len(args) > 2 else 2_000
 
     from haf_plug_play_spark import scalebench
     from haf_plug_play_spark.session import get_spark
@@ -36,7 +47,8 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="scale_exp_")
     try:
         res = scalebench.measure(
-            spark, work, base_docs=base_docs, base_vecs=base_vecs, factor=factor
+            spark, work, base_docs=base_docs, base_vecs=base_vecs,
+            factor=factor, only=only,
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
