@@ -59,3 +59,13 @@ def test_planted_structure_scales_linearly(exponents):
 def test_exponent_below_quadratic(exponents, name):
     e = exponents[name]
     assert e["exponent"] <= MAX_EXPONENT, e
+
+
+def test_measure_only_rejects_unknown_queries(spark, tmp_path):
+    """--only with a typo'd query id must fail loudly BEFORE building
+    corpora, not silently measure nothing."""
+    with pytest.raises(ValueError, match="XD-typo"):
+        scalebench.measure(
+            spark, str(tmp_path), base_docs=10, base_vecs=10, factor=2,
+            only={"XD-typo"},
+        )
