@@ -248,8 +248,10 @@ def _tier1_changed(
         repo = os.path.dirname(os.path.abspath(__file__))
     if dep_files is None:
         dep_files = _query_dep_files(queries_by_name or {}, repo)
-    if banked_hashes is None:
+    if banked_hashes is None and current_hashes is not None:
+        # only load the bank when the hash signal can actually fire
         banked_hashes = _banked_evidence_hashes(repo)
+    banked_hashes = banked_hashes or {}
     if row_ts is None:
         rounds = {rnd for rnd in last.values()}
         row_ts = {
@@ -281,6 +283,22 @@ def _tier1_changed(
     return changed
 
 
+def row_is_green(row) -> bool:
+    """THE pass predicate for a driver CORRECTNESS row, shared with
+    scripts/bank_evidence.py so the banker and the rotation can never
+    disagree on what counts as verified: no field explicitly failed
+    (rows-only checks carry no hash_match; None/missing is not a
+    failure) and no error."""
+    return (
+        isinstance(row, dict)
+        and row.get("err") is None
+        and not any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+    )
+
+
 def _last_green_round(here: str | None = None) -> dict[str, int]:
     """query id → most recent round with a passing driver CORRECTNESS row.
     A row passes when no field explicitly failed (rows-only checks carry
@@ -303,10 +321,7 @@ def _last_green_round(here: str | None = None) -> dict[str, int]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            ok = row.get("err") is None and not any(
-                row.get(k) is False
-                for k in ("rows_match", "schema_match", "hash_match")
-            )
+            ok = row_is_green(row)
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
                 latest[name] = (rnd, ok)

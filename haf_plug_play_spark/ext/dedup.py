@@ -1347,9 +1347,12 @@ def dedup_decision_by_quality(
     pair. Negating the SCORE (numeric by definition) rather than the id
     keeps the tie-break order-agnostic: ``id_col`` may be any orderable
     type, including string doc ids (ADVICE r8 — the previous
-    ``max(struct(score, −id))`` assumed a numeric id). The keeper table
-    joins back on cluster_id (keyed shuffle, same family as the census
-    itself).
+    ``max(struct(score, −id))`` assumed a numeric id). NULL scores are
+    coalesced to −inf BEFORE negation so an unscored copy can never win
+    a cluster (struct ordering sorts a NULL field first under min, which
+    would otherwise invert the keep-the-best rule); an all-NULL cluster
+    degrades to minimum id. The keeper table joins back on cluster_id
+    (keyed shuffle, same family as the census itself).
 
     Output: (id_col, cluster_id, best_id, keep) for EVERY document,
     keep ⇔ id == best_id; singleton clusters keep themselves.
@@ -1365,7 +1368,12 @@ def dedup_decision_by_quality(
         labeled.groupBy("cluster_id")
         .agg(
             F.min(
-                F.struct((-F.col("_q")).alias("_nq"), F.col("id").alias("_i"))
+                F.struct(
+                    (-F.coalesce(F.col("_q"), F.lit(float("-inf")))).alias(
+                        "_nq"
+                    ),
+                    F.col("id").alias("_i"),
+                )
             ).alias("_b")
         )
         .select("cluster_id", F.col("_b._i").alias("best_id"))

@@ -32,19 +32,20 @@ import __spark_entry__ as entry  # noqa: E402
 
 
 def latest_correctness() -> tuple[int, dict] | None:
-    paths = sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")))
-    if not paths:
+    """Highest ROUND NUMBER wins — parsed, not lexicographic: sorted()
+    on names would rank CORRECTNESS_r99.json above r100."""
+    best: tuple[int, str] | None = None
+    for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
+        try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            continue
+        if best is None or rnd > best[0]:
+            best = (rnd, path)
+    if best is None:
         return None
-    path = paths[-1]
-    rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-    with open(path, encoding="utf-8") as f:
-        return rnd, json.load(f)
-
-
-def green(row: dict) -> bool:
-    return isinstance(row, dict) and row.get("err") is None and not any(
-        row.get(k) is False for k in ("rows_match", "schema_match", "hash_match")
-    )
+    with open(best[1], encoding="utf-8") as f:
+        return best[0], json.load(f)
 
 
 def main() -> int:
@@ -57,18 +58,23 @@ def main() -> int:
     banked: dict[str, dict] = {}
     if os.path.exists(bank_path):
         with open(bank_path, encoding="utf-8") as f:
-            banked = json.load(f)
+            raw = json.load(f)
+        if isinstance(raw, dict):  # tolerate junk like the rotation's loader
+            banked = {k: v for k, v in raw.items() if isinstance(v, dict)}
 
     if check_only:
+        # same junk tolerance as __spark_entry__._banked_evidence_hashes,
+        # so the two readers of the bank can never disagree
+        clean = entry._banked_evidence_hashes(HERE)
         stale = sorted(
             name
-            for name, row in banked.items()
-            if name in current and row.get("hash") != current[name]
+            for name, h in clean.items()
+            if name in current and h != current[name]
         )
         if stale:
             print(f"STALE ({len(stale)}): {', '.join(stale)}")
             return 1
-        print(f"OK: {len(banked)} banked hashes all match current source")
+        print(f"OK: {len(clean)} banked hashes all match current source")
         return 0
 
     latest = latest_correctness()
@@ -78,7 +84,7 @@ def main() -> int:
     rnd, rows = latest
     updated = 0
     for name, row in rows.items():
-        if green(row) and name in current:
+        if entry.row_is_green(row) and name in current:
             banked[name] = {"round": rnd, "hash": current[name]}
             updated += 1
     with open(bank_path, "w", encoding="utf-8") as f:

@@ -34,6 +34,9 @@ def main() -> None:
     only = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            print("usage: --only Q1,Q2  (comma-separated query ids)")
+            sys.exit(2)
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
     factor = int(args[0]) if len(args) > 0 else 10

@@ -1750,3 +1750,17 @@ def test_cluster_best_tiebreak_is_order_agnostic(spark):
         assert out[ids[0]] == (ids[0], True)
         assert out[ids[1]] == (ids[0], False)
         assert out[ids[2]] == (ids[2], True)
+
+    # a NULL score must LOSE to any scored copy (struct-min sorts NULL
+    # fields first, which un-coalesced would keep the unscored dup and
+    # drop the best copy); an all-NULL cluster degrades to min id
+    df = spark.createDataFrame(
+        [(1, None), (2, 0.9), (5, None), (6, None)], "doc_id long, q double"
+    )
+    pairs = spark.createDataFrame([(1, 2), (5, 6)], "id_a long, id_b long")
+    out = {
+        r.doc_id: (r.best_id, r.keep)
+        for r in dedup_decision_by_quality(df, pairs, score=F.col("q")).collect()
+    }
+    assert out[1] == (2, False) and out[2] == (2, True)
+    assert out[5] == (5, True) and out[6] == (5, False)
