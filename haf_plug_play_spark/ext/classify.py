@@ -350,7 +350,25 @@ def train_lr_crawl(
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    # training-pool sizes, as the docstring promises (review r9: they
+    # were computed implicitly but never recorded, so the subsample's
+    # effect was unobservable) — one bounded 4-scalar aggregation
+    sizes = (
+        pool.select(is_holdout.alias("_h"), F.col("_y_bool"))
+        .agg(
+            F.count("*").alias("n_pool"),
+            F.sum((~F.col("_h")).cast("long")).alias("n_train"),
+            F.sum((~F.col("_h") & F.col("_y_bool")).cast("long")).alias(
+                "n_train_pos"
+            ),
+        )
+        .first()
+    )
     metrics = {
+        "n_pool": int(sizes["n_pool"] or 0),
+        "n_train": int(sizes["n_train"] or 0),
+        "n_train_pos": int(sizes["n_train_pos"] or 0),
+        "n_train_neg": int((sizes["n_train"] or 0) - (sizes["n_train_pos"] or 0)),
         "n_holdout": int(conf["n"]),
         "tp": tp,
         "fp": fp,
@@ -374,9 +392,16 @@ def classifier_quality_gate(
     text_col: str = "text",
 ) -> DataFrame:
     """The GPT-3-style end-to-end gate: train positives=``reference``
-    docs vs negatives=a matching slice of ``docs``, then score ``docs``
-    and keep reference-like ones. Ids in ``reference`` must not collide
-    with ``docs`` (caller relabels; same contract as incremental dedup).
+    docs vs negatives=the FULL ``docs`` corpus, then score ``docs`` and
+    keep reference-like ones. Ids in ``reference`` must not collide with
+    ``docs`` (caller relabels; same contract as incremental dedup).
+
+    Scale note (review r9): every GD iteration aggregates the whole
+    ``docs`` feature stream — fine at the fixture sizes this gate is
+    certified at, but at crawl scale use :func:`train_lr_crawl`, which
+    hash-subsamples the negative pool to a rate you choose and records
+    what the subsample did in its metrics; this function deliberately
+    stays the simple, oracle-mirrorable formulation.
     """
     ref = reference.select(
         F.col(id_col), F.col(text_col), F.lit(True).alias("_is_ref")
@@ -425,7 +450,10 @@ def calibration_report(
 
     Output: one row per non-empty bin, ordered — (bin, n_docs, mean_p,
     frac_pos, gap, ece) with the scalar ECE repeated per row (the
-    driver-friendly single-result shape).
+    driver-friendly single-result shape). Rows whose LABEL is NULL are
+    EXCLUDED up front (review r9): avg ignores NULLs but count does not,
+    so keeping them would weight bins by a different population than
+    frac_pos was measured on — an unknown label is not a negative.
     """
     k = int(n_bins)
     p = F.col(p_col)
@@ -436,6 +464,7 @@ def calibration_report(
             p.alias("_p"),
             label.cast("int").alias("_y"),
         )
+        .where(F.col("_y").isNotNull())
         .groupBy("bin")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -480,7 +509,10 @@ def roc_auc(
 
     Output: one row — (n_pos, n_neg, n_distinct_scores, auc) with auc
     rounded 6 dp. Degenerate inputs (no positives or no negatives) yield
-    auc NULL rather than a fabricated 0.5.
+    auc NULL rather than a fabricated 0.5. Rows whose LABEL is NULL are
+    EXCLUDED (review r9): ``count(*) − sum(_y)`` would silently count
+    them as negatives and corrupt the statistic — an unknown label
+    belongs in neither class.
     """
     from pyspark.sql import Window as W
 
@@ -488,6 +520,7 @@ def roc_auc(
         scored.select(
             F.round(F.col(p_col), 6).alias("s"), label.cast("int").alias("_y")
         )
+        .where(F.col("_y").isNotNull())
         .groupBy("s")
         .agg(
             F.sum("_y").cast("long").alias("pos"),

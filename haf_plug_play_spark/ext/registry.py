@@ -707,6 +707,10 @@ def xt_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_sql(size: int = 16, overlap: int = 4) -> str:
+    # starts stop at greatest(len - overlap, 1), mirroring
+    # chunk_documents: a start inside the previous chunk's overlap tail
+    # would emit a pure-subset chunk (duplicated text); range() end is
+    # exclusive, hence the +1
     stride = size - overlap
     return (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) "
@@ -714,7 +718,8 @@ def _chunk_sql(size: int = 16, overlap: int = 4) -> str:
         f"CAST((s - 1) / {stride} AS BIGINT) AS chunk_idx, "
         f"CAST(len(ws[s : s + {size - 1}]) AS BIGINT) AS n_tok, "
         f"array_to_string(ws[s : s + {size - 1}], ' ') AS chunk_text "
-        f"FROM w, unnest(range(1, len(ws) + 1, {stride})) AS t(s) "
+        f"FROM w, unnest(range(1, greatest(len(ws) - {overlap}, 1) + 1, "
+        f"{stride})) AS t(s) "
         "ORDER BY doc_id, chunk_idx"
     )
 
@@ -761,7 +766,8 @@ def _pipeline4_sql() -> str:
         "w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM train), "
         "ch AS (SELECT doc_id, source, CAST((s - 1) / 12 AS BIGINT) AS chunk_idx, "
         "CAST(len(ws[s : s + 15]) AS BIGINT) AS n_tok "
-        "FROM w, unnest(range(1, len(ws) + 1, 12)) AS t(s)), "
+        # starts stop at greatest(len-overlap,1) like chunk_documents
+        "FROM w, unnest(range(1, greatest(len(ws) - 4, 1) + 1, 12)) AS t(s)), "
         "packed AS (SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source "
         "ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) "
         "AS chunk_offset FROM ch) "
@@ -1071,7 +1077,7 @@ def _gopher_sql() -> str:
         "round(n_alpha / g_n_words, 6) AS g_alpha_frac, g_stop_hits FROM g) "
         "SELECT doc_id, g_n_words, g_mean_word_len, g_alpha_frac, g_stop_hits, "
         "(g_n_words >= 50 AND g_n_words <= 100000 AND g_mean_word_len >= 3.0 "
-        "AND g_mean_word_len <= 10.0 AND g_alpha_frac > 0.8 AND g_stop_hits >= 2) "
+        "AND g_mean_word_len <= 10.0 AND g_alpha_frac >= 0.8 AND g_stop_hits >= 2) "
         "AS g_pass FROM m ORDER BY doc_id"
     )
 
@@ -1737,7 +1743,7 @@ def _clf_calibration_sql(n_bins: int = 10) -> str:
         f"{n_bins}), {n_bins - 1}) AS BIGINT) AS bin, "
         "CAST(count(*) AS BIGINT) AS n_docs, "
         "round(avg(p), 6) AS mean_p, round(avg(y), 6) AS frac_pos "
-        "FROM sc GROUP BY 1), "
+        "FROM sc WHERE y IS NOT NULL GROUP BY 1), "
         "pg AS (SELECT *, round(abs(mean_p - frac_pos), 6) AS gap FROM pb), "
         "tot AS (SELECT round(sum(n_docs * gap) / sum(n_docs), 6) AS ece "
         "FROM pg) "
@@ -2386,8 +2392,12 @@ def _ppl_gate_sql(lam: float = 0.7, sample_denom: int = 2, seed: int = 5) -> str
     base = _bigram_lm_sql(lam)
     salted_id = f"'ppl{seed}:' || CAST(doc_id AS VARCHAR)"
     samp_pred = f"{md5_int_sql(salted_id)} % {sample_denom} = 0"
+    # NULL cutoffs = group absent from the hash sample → 'unsampled',
+    # kept via LEFT JOIN (mirrors perplexity_gate's review-r9 contract:
+    # you don't cut what you haven't measured)
     bucket = (
-        "CASE WHEN ppl <= _cut1 THEN 'head' "
+        "CASE WHEN _cut1 IS NULL THEN 'unsampled' "
+        "WHEN ppl <= _cut1 THEN 'head' "
         "WHEN ppl <= _cut2 THEN 'middle' ELSE 'tail' END"
     )
     return (
@@ -2402,7 +2412,7 @@ def _ppl_gate_sql(lam: float = 0.7, sample_denom: int = 2, seed: int = 5) -> str
         "s[CAST(floor((len(s) - 1) * 2 / 3) AS INT) + 1] AS _cut2 FROM srt) "
         f"SELECT doc_id, lang, n_words, ppl, {bucket} AS ppl_bucket, "
         f"({bucket}) <> 'tail' AS keep "
-        "FROM wp JOIN cuts USING (lang) ORDER BY doc_id"
+        "FROM wp LEFT JOIN cuts USING (lang) ORDER BY doc_id"
     )
 
 
@@ -2436,7 +2446,8 @@ def _clf_auc_sql() -> str:
         "CAST(d.lang = 'en' AS INT) AS y "
         "FROM m JOIN documents d ON d.doc_id = m.doc_id), "
         "ps AS (SELECT round(p, 6) AS s, CAST(sum(y) AS BIGINT) AS pos, "
-        "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM sc GROUP BY 1), "
+        "CAST(count(*) - sum(y) AS BIGINT) AS neg FROM sc "
+        "WHERE y IS NOT NULL GROUP BY 1), "
         "cw AS (SELECT *, coalesce(sum(neg) OVER (ORDER BY s "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg "
         "FROM ps), "

@@ -416,8 +416,16 @@ def temperature_mix(
         ).alias("_rate"),
     )
     u = _uniform(F.col(key_col), seed)
+    # NULL-SAFE join (review r9): a NULL stratum groups into its own
+    # counts row but never equi-joins, so a plain join silently dropped
+    # every NULL-stratum document — even at alpha=1, which contractually
+    # keeps the natural distribution
     return (
-        df.join(F.broadcast(rates), stratum_col)
+        df.join(
+            F.broadcast(rates.withColumnRenamed(stratum_col, "_s")),
+            F.col(stratum_col).eqNullSafe(F.col("_s")),
+        )
+        .drop("_s")
         .filter(u < F.col("_rate"))
         .withColumn("mix_rate", F.round(F.col("_rate"), 6))
         .drop("_rate")
@@ -436,7 +444,8 @@ def temperature_mix_sql(
         "rates AS (SELECT s, pow(CAST(n AS DOUBLE) / min(n) OVER (), "
         f"{alpha - 1.0!r}) AS rate FROM counts) "
         f"SELECT doc_id, {stratum_col}, source, round(rate, 6) AS mix_rate "
-        f"FROM documents JOIN rates ON {stratum_col} = rates.s "
+        # IS NOT DISTINCT FROM mirrors the engine's null-safe join
+        f"FROM documents JOIN rates ON {stratum_col} IS NOT DISTINCT FROM rates.s "
         f"WHERE {u} < rate ORDER BY doc_id"
     )
 

@@ -27,6 +27,16 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_PRIORITY = ("en", "de", "fr", "es")
 
 
+def word_grams(ws: Column, n: int) -> Column:
+    """THE positional word-n-gram array: one gram per start position,
+    duplicates kept, and a document shorter than ``n`` words clamps to a
+    single sub-n gram (``greatest(size-n+1, 1)``). One definition shared
+    by winnowing, the repetition signals, and top-n-grams so the
+    short-document clamp can never silently diverge between operators."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+
 def n_tokens_ws(text: Column) -> Column:
     """Whitespace token count (single-space-delimited corpora).
     BIGINT: Spark length() is INT but every SQL engine counts in BIGINT."""
@@ -115,11 +125,7 @@ def winnow_fingerprints(
     # the raw k-gram SEQUENCE (duplicates kept, positions intact) — true
     # winnowing is position-sensitive, unlike the set-based mod-p sampler
     words = F.split(F.lower(F.col(text_col)), " ")
-    cnt = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - F.lit(k - 1), F.lit(1)))
-    hs_expr = F.transform(
-        idx, lambda i: md5_int(F.concat_ws(" ", F.slice(words, i, k)))
-    )
+    hs_expr = F.transform(word_grams(words, k), md5_int)
     # Materialize the shingle-hash array in its OWN projection before the
     # window-min pass. Inlined, `hs` is an expression tree that codegen
     # re-evaluates at every reference — i.e. the full md5 array was being
@@ -197,7 +203,10 @@ def gopher_gates(
         & (n_words <= max_words)
         & (mean_wl >= min_mean_word_len)
         & (mean_wl <= max_mean_word_len)
-        & (alpha_frac > min_alpha_frac)
+        # inclusive like every other bound: Gopher cuts docs with LESS
+        # than 80% alphabetic words, so the exact-boundary doc (common at
+        # small denominators, e.g. 4/5) passes (review r9)
+        & (alpha_frac >= min_alpha_frac)
         & (stop_hits >= min_stop_hits)
     )
     return df.select(
@@ -233,8 +242,7 @@ def repetition_signals(
     words = F.split(F.lower(F.col(text_col)), " ")
 
     def tagged(ws: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1)))
-        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+        grams = word_grams(ws, n)
         return F.concat(
             F.transform(ws, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("tok"))),
             F.transform(
@@ -342,7 +350,12 @@ def chunk_documents(
     long-document preprocessing step before sequence packing (a context
     window can't hold a book; overlapping chunk starts preserve the
     continuations that a hard cut would sever). Chunk k starts at word
-    ``k * (size - overlap)``; the final chunk may be short.
+    ``k * (size - overlap)``; the final chunk may be short. Chunk starts
+    stop at ``greatest(n_words - overlap, 1)``: a start inside the last
+    chunk's overlap tail would emit a chunk that is a strict SUBSET of
+    its predecessor — pure duplicated text injected into the training
+    set for every document whose length lands in the overlap window past
+    a stride boundary (review r9).
 
     All per-row expression work: the word array is let-bound once, chunk
     starts are a stride sequence, and chunks are sliced + re-joined
@@ -356,7 +369,11 @@ def chunk_documents(
     words = F.split(F.col(text_col), " ")
 
     def build(ws: Column) -> Column:
-        starts = F.sequence(F.lit(1), F.size(ws), F.lit(stride))
+        starts = F.sequence(
+            F.lit(1),
+            F.greatest(F.size(ws) - F.lit(overlap), F.lit(1)),
+            F.lit(stride),
+        )
         return F.transform(starts, lambda s: F.slice(ws, s, size))
 
     carry = list(carry_cols or [])  # columns to thread through join-free
@@ -699,13 +716,13 @@ def top_ngrams(
     """
     words = F.split(F.lower(F.col(text_col)), " ")
 
-    def build(ws: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(n - 1), F.lit(1)))
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
-
     grams = df.select(
         F.col(id_col),
-        F.explode(F.get(F.transform(F.array(words), build), 0)).alias("ngram"),
+        F.explode(
+            F.get(
+                F.transform(F.array(words), lambda ws: word_grams(ws, n)), 0
+            )
+        ).alias("ngram"),
     )
     counts = grams.groupBy("ngram").agg(
         F.count("*").alias("n_occurrences"),
@@ -804,8 +821,10 @@ def perplexity_gate(
     hundred thousand paragraphs per language), never the corpus. No
     window over corpus rows, no per-group global sort.
 
-    Output: (id, group, n_words, ppl, ppl_bucket ∈ head|middle|tail,
-    keep = bucket ≠ tail), ordered by id.
+    Output: (id, group, n_words, ppl, ppl_bucket ∈ head|middle|tail|
+    unsampled, keep = bucket ≠ tail), ordered by id. 'unsampled' marks
+    rows of a group whose hash sample was EMPTY (or a NULL group value):
+    no cutoffs exist, so they are kept, not silently dropped or cut.
     """
     from haf_plug_play_spark.ext.hashing import md5_int
 
@@ -839,12 +858,18 @@ def perplexity_gate(
         )
     )
     bucket = (
-        F.when(F.col("ppl") <= F.col("_cut1"), F.lit("head"))
+        # a group whose hash sample came up EMPTY (tiny group, or a NULL
+        # group value, which never equi-joins) has no cutoffs: keep it as
+        # 'unsampled' rather than silently dropping it through an inner
+        # join or defaulting the CASE to 'tail' (= cut) — you don't cut
+        # what you haven't measured (review r9)
+        F.when(F.col("_cut1").isNull(), F.lit("unsampled"))
+        .when(F.col("ppl") <= F.col("_cut1"), F.lit("head"))
         .when(F.col("ppl") <= F.col("_cut2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return (
-        wp.join(F.broadcast(cuts), group_col)
+        wp.join(F.broadcast(cuts), group_col, "left")
         .select(
             F.col(id_col),
             F.col(group_col),

@@ -1764,3 +1764,95 @@ def test_cluster_best_tiebreak_is_order_agnostic(spark):
     }
     assert out[1] == (2, False) and out[2] == (2, True)
     assert out[5] == (5, True) and out[6] == (5, False)
+
+
+def test_chunk_no_redundant_final_chunk(spark):
+    """chunk_documents (review r9): a doc whose length lands in the
+    overlap window past a stride boundary must NOT emit a final chunk
+    that is a strict subset of its predecessor (pure duplicated text)."""
+    from haf_plug_play_spark.ext.text import chunk_documents
+
+    # size=8, overlap=4, stride=4: a 10-word doc previously produced
+    # starts [1,5,9] where chunk@9 (words 9-10) ⊂ chunk@5 (words 5-10)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(1, 11)))], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, size=8, overlap=4).orderBy("chunk_idx").collect()
+    texts = [r.chunk_text for r in rows]
+    assert texts == ["w1 w2 w3 w4 w5 w6 w7 w8", "w5 w6 w7 w8 w9 w10"]
+    # every word still covered, no chunk a subset of another
+    for i, t in enumerate(texts):
+        for j, u in enumerate(texts):
+            assert i == j or not set(t.split()) <= set(u.split())
+
+
+def test_ppl_gate_keeps_unsampled_groups(spark):
+    """perplexity_gate (review r9): a group whose hash sample is empty
+    (or a NULL group) is kept as 'unsampled', not dropped by the join or
+    cut as 'tail'."""
+    from pyspark.sql import functions as F
+    from haf_plug_play_spark.ext.text import perplexity_gate
+
+    scored = spark.createDataFrame(
+        [(i, 3, -1.0 - 0.1 * i, "en") for i in range(1, 13)]
+        + [(100, 3, -1.5, "pt"), (101, 3, -1.5, None)],
+        "doc_id long, n_words long, avg_logp double, lang string",
+    )
+    # denom so large that tiny groups will certainly miss the sample for
+    # SOME denominator; find one deterministically for the pt/None docs
+    out = None
+    for denom in (7, 11, 13, 17, 19, 23):
+        res = perplexity_gate(scored, sample_denom=denom)
+        got = {r.doc_id: r for r in res.collect()}
+        if 100 in got and got[100].ppl_bucket == "unsampled":
+            out = got
+            break
+    assert out is not None, "no denominator left pt unsampled; widen the list"
+    assert out[100].keep is True
+    assert out[101].ppl_bucket == "unsampled" and out[101].keep is True
+    assert len(out) == 14  # nothing silently dropped
+
+
+def test_roc_auc_and_calibration_exclude_null_labels(spark):
+    """roc_auc / calibration_report (review r9): NULL labels are neither
+    negatives (count inflation) nor weight (population mismatch)."""
+    from pyspark.sql import functions as F
+    from haf_plug_play_spark.ext.classify import calibration_report, roc_auc
+
+    scored = spark.createDataFrame(
+        [(0.9, True), (0.8, False), (0.7, None), (0.6, None)],
+        "p_keep double, y boolean",
+    )
+    auc = roc_auc(scored, F.col("y")).collect()[0]
+    assert (auc.n_pos, auc.n_neg) == (1, 1) and auc.auc == 1.0
+    cal = calibration_report(scored, F.col("y"), n_bins=10).collect()
+    assert sum(r.n_docs for r in cal) == 2  # NULL-labeled rows excluded
+
+
+def test_temperature_mix_keeps_null_stratum(spark):
+    """temperature_mix (review r9): NULL-stratum rows survive via the
+    null-safe join; at alpha=1 every row is kept with rate 1.0."""
+    from haf_plug_play_spark.ext.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, None), (4, "de")],
+        "doc_id long, lang string",
+    )
+    out = temperature_mix(df, "lang", "doc_id", alpha=1.0).collect()
+    assert len(out) == 4
+    assert all(r.mix_rate == 1.0 for r in out)
+    assert {r.doc_id for r in out} == {1, 2, 3, 4}
+
+
+def test_gopher_alpha_frac_boundary_inclusive(spark):
+    """gopher_gates (review r9): a doc at exactly min_alpha_frac passes,
+    matching every other inclusive bound."""
+    from haf_plug_play_spark.ext.text import gopher_gates
+
+    # 5 words, 4 alphabetic → alpha_frac = 0.8 exactly; lots of stopwords
+    docs = spark.createDataFrame(
+        [(1, "the and that with 42")], "doc_id long, text string"
+    )
+    r = gopher_gates(docs, min_words=3).collect()[0]
+    assert r.g_alpha_frac == 0.8
+    assert r.g_pass is True
