@@ -24,8 +24,18 @@ from haf_plug_play_spark.ext.hashing import hash_params, md5_int
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep the first row (by ``order_col``) per exact key — the
-    first-create-wins pattern (T7) applied to content dedup."""
-    w = W.partitionBy(*key_cols).orderBy(order_col)
+    first-create-wins pattern (T7) applied to content dedup.
+
+    Ties on ``order_col`` break by a content hash over ALL columns
+    (review r9): without it, row_number assigns tied rows by
+    partition-arrival order and reruns keep different rows — violating
+    the determinism rule this function exists to uphold over
+    dropDuplicates (SURVEY §4.3.2; stream_exact_dedup's batch path
+    routinely ties on its timestamp). Full-row duplicates hash equal, so
+    either physical row yields the identical output row."""
+    w = W.partitionBy(*key_cols).orderBy(
+        order_col, F.xxhash64(*[F.col(c) for c in df.columns])
+    )
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -85,6 +95,71 @@ def _jaccard_verify(
     )
 
 
+def _capped_candidate_pairs(sh, threshold: float, cap, denom) -> DataFrame:
+    """THE df-capped inverted-index candidate machinery, shared by the
+    Jaccard and containment pair builders (review r9 — it was duplicated
+    ~verbatim, and the 1e-6 threshold-margin fix had to be written
+    twice): hot shingles (df > cap) drop from the candidate INDEX only;
+    count-only per-doc stats (sz, n_hot) feed a sound upper bound
+    ``ub_inter = c_inter + min(hot_a, hot_b)``; ``denom(ub_inter)`` is
+    the caller's bound denominator (|A|+|B|−ub for Jaccard, min(|A|,|B|)
+    for containment — refs sz_a/sz_b by name). ``cap=None`` skips the
+    corpus-wide hot census entirely (n_hot ≡ 0; the bound is then exact
+    index arithmetic). The 1e-6 margin keeps a pair whose exact score
+    rounds up onto the threshold from being pruned before its verify.
+
+    Returns (id_a, id_b) with id_a < id_b."""
+    if cap is not None:
+        # Hot shingles are FEW by definition (df > cap bounds their
+        # number by corpus_shingles / cap) — broadcast the anti-join.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # Count-only stats (no arrays shuffled): capped inter from the
+        # capped index self-join, full size + hot count per doc.
+        stats = sh.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
+        ).groupBy("_id").agg(
+            F.count("*").alias("sz"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
+        )
+    else:
+        idx = sh
+        stats = (
+            sh.groupBy("_id")
+            .agg(F.count("*").alias("sz"))
+            .withColumn("n_hot", F.lit(0))
+        )
+    x, y = idx.alias("a"), idx.alias("b")
+    capped = (
+        x.join(
+            y,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("c_inter"))
+    )
+    sa = stats.select(
+        F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("n_hot").alias("hot_a"),
+    )
+    sb = stats.select(
+        F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("n_hot").alias("hot_b"),
+    )
+    ub_inter = F.col("c_inter") + F.least("hot_a", "hot_b")
+    return (
+        capped.join(sa, "id_a").join(sb, "id_b")
+        .filter(ub_inter / denom(ub_inter) >= threshold - 1e-6)
+        .select("id_a", "id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n: int = 3, threshold: float = 0.5, max_shingle_df: int | None = None,
@@ -119,43 +194,14 @@ def ngram_jaccard_pairs(
     """
     sh = _shingle_rows(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        # Hot shingles are FEW by definition (df > cap bounds their number
-        # by corpus_shingles / cap) — broadcast the anti-join.
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        # Count-only stats (no arrays shuffled): capped inter from the
-        # capped index self-join, full size + hot count per doc.
-        stats = sh.join(
-            F.broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
-        ).groupBy("_id").agg(
-            F.count("*").alias("sz"),
-            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
-        )
-        x, y = idx.alias("a"), idx.alias("b")
-        capped = (
-            x.join(y, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
-            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-            .agg(F.count("*").alias("c_inter"))
-        )
-        sa = stats.select(F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("n_hot").alias("hot_a"))
-        sb = stats.select(F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("n_hot").alias("hot_b"))
-        # Sound prefilter: true inter ≤ c_inter + min(hot_a, hot_b), so the
-        # upper bound below dominates the true jaccard; only pairs whose
-        # bound clears the threshold pay for the full-array verify.
-        ub_inter = F.col("c_inter") + F.least("hot_a", "hot_b")
-        upper = ub_inter / (F.col("sz_a") + F.col("sz_b") - ub_inter)
-        # threshold margin covers the verify stage's 6-dp rounding (see
-        # ngram_containment_pairs) — the bound must not prune a pair whose
-        # exact score rounds up onto the threshold
-        candidates = (
-            capped.join(sa, "id_a").join(sb, "id_b")
-            .filter(upper >= threshold - 1e-6)
-            .select("id_a", "id_b")
+        # Sound prefilter: true inter ≤ c_inter + min(hot_a, hot_b), so
+        # the Jaccard upper bound ub/( |A|+|B|−ub ) dominates the true
+        # score; only pairs whose bound clears the threshold pay verify.
+        candidates = _capped_candidate_pairs(
+            sh,
+            threshold,
+            max_shingle_df,
+            lambda ub: F.col("sz_a") + F.col("sz_b") - ub,
         )
         return _jaccard_verify(df, id_col, text_col, n, candidates, threshold)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
@@ -202,6 +248,33 @@ def minhash_signatures(
     return df.withColumn("_xs", xs).select(F.col(id_col), *sig_cols)
 
 
+def _band_bucket_rows(
+    df: DataFrame, id_col: str, text_col: str,
+    num_hashes: int, bands: int, n: int, seed: int,
+) -> DataFrame:
+    """THE LSH band-bucket construction — signature split into bands of
+    r = num_hashes/bands components, each band's key the ``_``-joined
+    component values — shared by the full and incremental pair builders
+    (review r9: it was copy-pasted, and the DuckDB oracle replicates the
+    key encoding bit-for-bit, so a drift between the two copies breaks
+    both the incremental-vs-full equality property and oracle parity).
+    Returns (_id, bk=struct(band, key)) rows."""
+    r = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"h{bi * r + j}") for j in range(r)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 16, bands: int = 4, n: int = 3,
@@ -214,17 +287,13 @@ def minhash_lsh_pairs(
     1-(1-s^r)^bands). Candidates are then verified with exact Jaccard, so
     the output has no false positives — LSH only bounds the candidate set.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws("_", *[F.col(f"h{bi * r + j}") for j in range(r)]).alias("key"),
+    if num_hashes % bands:  # ValueError, not assert: -O strips asserts
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) or the top signature components silently escape "
+            "every band and the collision curve degrades"
         )
-        for bi in range(bands)
-    ]
-    buckets = sig.select(F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk"))
+    buckets = _band_bucket_rows(df, id_col, text_col, num_hashes, bands, n, seed)
     x, y = buckets.alias("x"), buckets.alias("y")
     candidates = (
         x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x._id") < F.col("y._id")))
@@ -242,9 +311,14 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     fingerprint is 1 iff sum over words of ±1 (sign of bit b of h) > 0.
 
     Pure projection: word hashes in a per-row array, each bit-sum an
-    aggregate over it — no explode, no shuffle at any scale."""
+    aggregate over it — no explode, no shuffle at any scale.
+
+    NULL-text rows are DROPPED (review r9), matching the Jaccard/MinHash
+    paths, which lose them in their explode: a NULL text previously
+    collapsed to fingerprint 0, making every pair of NULL-text docs a
+    hamming-0 "duplicate" with no verify stage on this path to catch it."""
     hs = F.transform(F.split(F.lower(F.col(text_col)), " "), md5_int)
-    with_h = df.withColumn("_hs", hs)
+    with_h = df.where(F.col(text_col).isNotNull()).withColumn("_hs", hs)
     fp = None
     for b in range(bits):
         s = F.aggregate(
@@ -345,6 +419,21 @@ def embedding_cosine_pairs_exact(
     """
     import numpy as np
 
+    from pyspark.sql.types import NumericType
+
+    # fail LOUDLY on a non-numeric id (review r9): the cast below would
+    # turn string ids into NULLs and die with an opaque TypeError inside
+    # the numpy kernel; the LSH siblings (embedding_cosine_pairs,
+    # semantic_dedup) carry the caller's id type — use those for string
+    # ids, or pre-map ids to longs for this exact baseline
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"embedding_cosine_pairs_exact requires a numeric {id_col!r} "
+            f"(got {id_type.simpleString()}); embedding_cosine_pairs and "
+            "semantic_dedup accept any id type"
+        )
+
     n = df.count()
     # block_rows caps memory per task; the sqrt(2P) floor guarantees at
     # least ~P block-pair tasks so small corpora still use the whole cluster
@@ -383,7 +472,11 @@ def embedding_cosine_pairs_exact(
                 ids_x, U = unpack(row.items_x)
                 diag = row.bx == row.by
                 ids_y, V = (ids_x, U) if diag else unpack(row.items_y)
-                sims = np.round(U @ V.T, 6)
+                # HALF_UP to 6 dp like F.round/DuckDB round (semantic_dedup's
+                # BLAS path uses the identical fix): np.round's banker's
+                # rounding flips presence at exact 5e-7 threshold boundaries
+                raw = U @ V.T
+                sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
                 hit = sims >= threshold
                 if diag:
                     hit &= ids_x[:, None] < ids_y[None, :]
@@ -891,22 +984,15 @@ def incremental_minhash_pairs(
     jaccard) restricted to pairs with at least one new id — equality with
     the full-corpus run is property-tested (tests/test_ext.py).
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-
+    if num_hashes % bands:  # ValueError, not assert: -O strips asserts
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) or the top signature components silently escape "
+            "every band and the collision curve degrades"
+        )
     def band_buckets(df: DataFrame) -> DataFrame:
-        sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
-        band_cols = [
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(
-                    "_", *[F.col(f"h{bi * r + j}") for j in range(r)]
-                ).alias("key"),
-            )
-            for bi in range(bands)
-        ]
-        return sig.select(
-            F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
+        return _band_bucket_rows(
+            df, id_col, text_col, num_hashes, bands, n, seed
         )
 
     nb = band_buckets(new_docs)
@@ -944,6 +1030,28 @@ def incremental_minhash_pairs(
     return _jaccard_verify(both, id_col, text_col, n, candidates, threshold)
 
 
+def _span_hash_expr(text_col: str, window: int) -> Column:
+    """Let-bound md5 span-hash array: stride-1 windows over LOWERCASED
+    words, truncated tail span for short docs — shared by the span
+    census and the region-assembly removal (review r9: the two copies
+    must stay bit-identical or their census/removal agreement and the
+    DuckDB oracle parity silently break). The word array is let-bound
+    via a single-element transform (the winnowing trick): referencing
+    the raw split inside the span lambda would re-split the text once
+    per span position — O(words²)/row, the documented HOF re-eval trap."""
+    ws = F.split(F.lower(F.col(text_col)), " ")
+
+    def build(wsb):
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(wsb) - F.lit(window - 1), F.lit(1))
+        )
+        return F.transform(
+            idx, lambda i: md5_int(F.concat_ws(" ", F.slice(wsb, i, window)))
+        )
+
+    return F.get(F.transform(F.array(ws), build), 0)
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -971,23 +1079,9 @@ def duplicated_spans(
     (the winnowing convention) so every doc appears in the output.
     Output: (id, n_spans, n_dup_spans, dup_frac) ordered by id.
     """
-    from haf_plug_play_spark.ext.hashing import md5_int
-
-    # LET-BIND the word array (the word_shingles trick): referencing the
-    # raw split inside the span lambda would re-split the text once per
-    # span position — O(words²)/row, the documented HOF re-eval trap
-    words = F.split(F.lower(F.col(text_col)), " ")
-
-    def build(ws):
-        idx = F.sequence(
-            F.lit(1), F.greatest(F.size(ws) - F.lit(window - 1), F.lit(1))
-        )
-        return F.transform(
-            idx, lambda i: md5_int(F.concat_ws(" ", F.slice(ws, i, window)))
-        )
-
-    hs_expr = F.get(F.transform(F.array(words), build), 0)
-    spans = df.select(F.col(id_col), hs_expr.alias("__spans")).select(
+    spans = df.select(
+        F.col(id_col), _span_hash_expr(text_col, window).alias("__spans")
+    ).select(
         F.col(id_col), F.explode("__spans").alias("h")
     )
     census = spans.groupBy("h").agg(F.count("*").alias("_n"))
@@ -1034,46 +1128,11 @@ def ngram_containment_pairs(
     when max(cont_a, cont_b) >= threshold; cont_a = inter/|A|.
     """
     sh = _shingle_rows(df, id_col, text_col, n)
-    cap = (1 << 62) if max_shingle_df is None else max_shingle_df
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("shingle")
-    )
-    idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    stats = sh.join(
-        F.broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
-    ).groupBy("_id").agg(
-        F.count("*").alias("sz"),
-        F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
-    )
-    x, y = idx.alias("a"), idx.alias("b")
-    capped = (
-        x.join(
-            y,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("c_inter"))
-    )
-    sa = stats.select(
-        F.col("_id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("n_hot").alias("hot_a")
-    )
-    sb = stats.select(
-        F.col("_id").alias("id_b"), F.col("sz").alias("sz_b"), F.col("n_hot").alias("hot_b")
-    )
-    ub_inter = F.col("c_inter") + F.least("hot_a", "hot_b")
-    upper = ub_inter / F.least("sz_a", "sz_b")
-    # margin covers the verify stage's 6-dp rounding: a pair whose exact
-    # score sits just under the threshold but ROUNDS onto it must survive
-    # the unrounded prefilter, or the oracle (which has no prune) keeps a
-    # pair the engine dropped
-    candidates = (
-        capped.join(sa, "id_a").join(sb, "id_b")
-        .filter(upper >= threshold - 1e-6)
-        .select("id_a", "id_b")
+    # the bound ub/min(|A|,|B|) dominates BOTH directed containments;
+    # cap=None now skips the hot census entirely instead of running a
+    # full corpus-wide shingle groupBy against an unreachable 2^62 cap
+    candidates = _capped_candidate_pairs(
+        sh, threshold, max_shingle_df, lambda ub: F.least("sz_a", "sz_b")
     )
     shing = df.select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh")
@@ -1139,7 +1198,6 @@ def remove_duplicated_spans(
     Output: (id, n_words, n_removed, clean_text) ordered by id.
     """
     from pyspark.sql.window import Window
-    from haf_plug_play_spark.ext.hashing import md5_int
 
     if window < 1:
         # w=0 would hash the empty string at every position (one corpus-
@@ -1147,17 +1205,9 @@ def remove_duplicated_spans(
         # error); w<0 dies mid-job as an opaque negative-slice exception
         raise ValueError(f"span window must be >= 1, got {window}")
     w = window
-    ws = F.split(F.lower(F.col(text_col)), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(w - 1), F.lit(1)))
-
-    def build(wsb):
-        return F.transform(
-            idx, lambda i: md5_int(F.concat_ws(" ", F.slice(wsb, i, w)))
-        )
-
-    # let-bind ws (the winnowing trick): inlining would re-split per span
-    hs_expr = F.get(F.transform(F.array(ws), build), 0)
-    spans = df.select(F.col(id_col), hs_expr.alias("__spans")).select(
+    spans = df.select(
+        F.col(id_col), _span_hash_expr(text_col, window).alias("__spans")
+    ).select(
         F.col(id_col), F.posexplode("__spans").alias("_p0", "h")
     ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "h")
     census = spans.groupBy("h").agg(
@@ -1229,13 +1279,23 @@ def remove_duplicated_spans(
     return (
         staged.select(
             F.col(id_col),
-            F.size("_wo").cast("long").alias("n_words"),
+            # NULL text → 0 counters (review r9); explicit isNull, not
+            # coalesce — under legacy sizeOfNull (this engine's session)
+            # size(NULL) is -1, not NULL. clean_text stays NULL, faithful
+            # to the input.
+            F.when(F.col("_wo").isNull(), F.lit(0))
+            .otherwise(F.size("_wo"))
+            .cast("long")
+            .alias("n_words"),
             kept.alias("_kept"),
         )
         .select(
             id_col,
             "n_words",
-            (F.col("n_words") - F.size("_kept")).cast("long").alias("n_removed"),
+            F.when(F.col("_kept").isNull(), F.lit(0))
+            .otherwise(F.col("n_words") - F.size("_kept"))
+            .cast("long")
+            .alias("n_removed"),
             F.array_join("_kept", " ").alias("clean_text"),
         )
         .orderBy(id_col)
@@ -1289,6 +1349,23 @@ def minhash_accuracy(
         df, id_col, text_col, num_hashes, bands, n, threshold=1e-6, seed=seed
     )
     sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    matches = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    # prune the signature table to CANDIDATE ids before the two joins
+    # (review r9): the audit's result is bounded by the LSH candidate
+    # set, so shuffling the full corpus-wide signature table into each
+    # join paid a corpus-sized exchange for a candidate-sized answer —
+    # the same semi-join discipline incremental_minhash_pairs documents
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("_cid"))
+        .unionByName(pairs.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sig = sig.join(
+        cand_ids, sig[id_col] == F.col("_cid"), "left_semi"
+    )
     sa = sig.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"h{i}").alias(f"_a{i}") for i in range(k)],
@@ -1296,10 +1373,6 @@ def minhash_accuracy(
     sb = sig.select(
         F.col(id_col).alias("id_b"),
         *[F.col(f"h{i}").alias(f"_b{i}") for i in range(k)],
-    )
-    matches = sum(
-        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
-        for i in range(k)
     )
     per = (
         pairs.join(sa, "id_a")
@@ -1320,8 +1393,12 @@ def minhash_accuracy(
         F.round(
             F.avg((F.col("_err") <= 2.0 * F.col("_se")).cast("int")), 6
         ).alias("frac_within_2se"),
-        (
-            F.avg((F.col("_err") <= 2.0 * F.col("_se")).cast("int")) >= 0.5
+        # empty candidate set → vacuously certified TRUE, never the
+        # tri-state NULL a gate would misread (review r9); mae/max_err
+        # stay NULL — there is honestly no error to report
+        F.coalesce(
+            F.avg((F.col("_err") <= 2.0 * F.col("_se")).cast("int")) >= 0.5,
+            F.lit(True),
         ).alias("certified"),
     )
 

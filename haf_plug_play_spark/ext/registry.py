@@ -2505,7 +2505,8 @@ def _minhash_acc_sql(
         "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
         "round(avg(err), 6) AS mae, round(max(err), 6) AS max_err, "
         "round(avg(CAST(err <= 2 * se AS INT)), 6) AS frac_within_2se, "
-        "avg(CAST(err <= 2 * se AS INT)) >= 0.5 AS certified FROM pe"
+        "coalesce(avg(CAST(err <= 2 * se AS INT)) >= 0.5, true) "
+        "AS certified FROM pe"
     )
 
 

@@ -1856,3 +1856,98 @@ def test_gopher_alpha_frac_boundary_inclusive(spark):
     r = gopher_gates(docs, min_words=3).collect()[0]
     assert r.g_alpha_frac == 0.8
     assert r.g_pass is True
+
+
+def test_simhash_drops_null_text(spark):
+    """simhash (review r9): NULL-text rows are dropped, not fingerprinted
+    as 0 (which made every NULL pair a hamming-0 'duplicate' with no
+    verify stage on this path)."""
+    from haf_plug_play_spark.ext.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    out = simhash(df).collect()
+    assert {r.doc_id for r in out} == {3}
+
+
+def test_exact_dedup_deterministic_under_order_ties(spark):
+    """exact_dedup (review r9): tied order_col values break by content
+    hash, so reruns (and different partitionings) keep the same row."""
+    from haf_plug_play_spark.ext.dedup import exact_dedup
+
+    rows = [("k", 5, "payload-a"), ("k", 5, "payload-b"), ("k", 9, "later")]
+    outs = set()
+    for parts in (1, 2, 3):
+        df = spark.createDataFrame(
+            rows, "key string, ts long, payload string"
+        ).repartition(parts)
+        kept = exact_dedup(df, ["key"], "ts").collect()
+        assert len(kept) == 1
+        outs.add(kept[0].payload)
+    assert len(outs) == 1  # same winner under every partitioning
+
+
+def test_embedding_exact_rejects_string_ids(spark):
+    """embedding_cosine_pairs_exact (review r9): a non-numeric id fails
+    loudly at plan time, not as an opaque numpy TypeError mid-job."""
+    import pytest as _pytest
+    from haf_plug_play_spark.ext.dedup import embedding_cosine_pairs_exact
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with _pytest.raises(TypeError, match="numeric"):
+        embedding_cosine_pairs_exact(df)
+
+
+def test_minhash_bands_divisibility_is_value_error(spark):
+    """review r9: misconfigured bands raise ValueError (asserts vanish
+    under python -O and would silently degrade the collision curve)."""
+    import pytest as _pytest
+    from haf_plug_play_spark.ext.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divide evenly"):
+        minhash_lsh_pairs(df, num_hashes=16, bands=3)
+    with _pytest.raises(ValueError, match="divide evenly"):
+        incremental_minhash_pairs(df, df, num_hashes=16, bands=3)
+
+
+def test_minhash_accuracy_empty_candidate_set_certifies_true(spark):
+    """minhash_accuracy (review r9): zero LSH candidates → certified is
+    an explicit True (vacuous), never the tri-state NULL a gate would
+    misread; mae/max_err honestly NULL."""
+    from haf_plug_play_spark.ext.dedup import minhash_accuracy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    r = minhash_accuracy(docs, num_hashes=8, bands=4).collect()[0]
+    assert r.n_pairs == 0
+    assert r.certified is True
+    assert r.mae is None and r.max_err is None
+
+
+def test_span_removal_null_text_zero_counters(spark):
+    """remove_duplicated_spans (review r9): NULL-text docs report zero
+    counters (not NULL arithmetic); clean_text stays NULL, faithful to
+    the input."""
+    from haf_plug_play_spark.ext.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicated_spans(df).collect()}
+    assert out[1].n_words == 0 and out[1].n_removed == 0
+    assert out[1].clean_text is None
+    assert out[2].n_words == 10 and out[2].clean_text is not None
