@@ -10,7 +10,10 @@ Reference parity (/root/reference/haf_plug_play/database/sql/sync.sql):
   last; a replayed chunk rewrites the same partitions byte-identically, so
   retries are exactly-once in effect.
 - massive vs live sync (T4): one code path — ``backfill`` over a large range
-  IS massive sync; the streaming wrapper calls the same ``process_range``.
+  IS massive sync; the streaming wrapper drives ``backfill`` per
+  micro-batch (runner/streaming.py), so every path inherits backfill's
+  bucket alignment. ``process_range`` itself is a single-bucket primitive
+  — see its guard.
 - fork recovery (J6): FK-cascade becomes recompute-tail — drop derived
   partitions past the fork point, reset the cursor, re-run.
 
@@ -93,10 +96,21 @@ class PlugRunner:
     def read_table(self, table: str) -> DataFrame:
         """Cumulative silver table (all processed chunks). A table whose
         chunks were all empty has no parquet footers to infer from — fall
-        back to the transform's schema on a zero-row parse."""
+        back to the transform's schema on a zero-row parse. ONLY the
+        path-missing case falls back (review r9): a corrupt footer,
+        permission failure, or transient FS error must surface, not get
+        served as an empty-but-200 table."""
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(self._table_dir(table)).drop("block_bucket")
-        except Exception:
+        except AnalysisException as e:
+            # PATH_NOT_FOUND: never synced; UNABLE_TO_INFER_SCHEMA: synced
+            # but every chunk was empty (dir exists, no footers)
+            if not any(
+                c in str(e) for c in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            ):
+                raise
             empty_parsed = parse_custom_json(
                 self.spark.read.parquet(self.ops_path).limit(0)
             )
@@ -125,7 +139,20 @@ class PlugRunner:
 
     def process_range(self, first: int, last: int) -> None:
         """One micro-batch: parse → plug silver transform → idempotent
-        partition-aligned writes → cursor (last)."""
+        partition-aligned writes → cursor (last).
+
+        SINGLE-BUCKET primitive (review r9): the write path replaces
+        whole ``block_bucket`` partitions, so a range that only partially
+        covers a bucket silently deletes that bucket's previously-synced
+        rows outside the range. ``backfill`` aligns its chunks; a direct
+        caller crossing a bucket boundary is refused loudly."""
+        if first // self.step != last // self.step:
+            raise ValueError(
+                f"process_range({first}, {last}) crosses a block_bucket "
+                f"boundary (step={self.step}): the dynamic partition "
+                "overwrite would replace whole buckets with partial data — "
+                "use backfill(), which aligns chunks to bucket boundaries"
+            )
         # per-plug scheduler pool ≙ the reference's process-per-plug
         # isolation (database/plugs.py:14,99): concurrent plugs running in
         # separate driver threads get fair-shared executor slots instead of
@@ -133,24 +160,33 @@ class PlugRunner:
         self.spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", f"plug-{self.plug.name}"
         )
-        parsed = self._parsed_range(first, last)
-        out = dict(self.plug.silver_transform(parsed))
-        # T14: malformed-but-matched ops land in a queryable dead-letter
-        # table instead of being silently skipped (functions.sql:91-96 logs
-        # and drops; we keep the evidence).
-        out["_dead_letter"] = dead_letter(parsed, self.plug.cj_ids)
-        max_row = (
-            parsed.agg(
-                F.max("block_num").alias("b"), F.max("created").alias("t")
-            ).first()
-        )
-        for table, df in out.items():
-            self._write_append_table(table, df)
+        # persist: the parse feeds the max-agg plus one write per output
+        # table — uncached that is N+2 full source scans + JSON parses per
+        # chunk (review r9); cached it is one
+        parsed = self._parsed_range(first, last).persist()
+        try:
+            out = dict(self.plug.silver_transform(parsed))
+            # T14: malformed-but-matched ops land in a queryable dead-letter
+            # table instead of being silently skipped (functions.sql:91-96
+            # logs and drops; we keep the evidence).
+            out["_dead_letter"] = dead_letter(parsed, self.plug.cj_ids)
+            max_row = (
+                parsed.agg(
+                    F.max("block_num").alias("b"), F.max("created").alias("t")
+                ).first()
+            )
+            for table, df in out.items():
+                self._write_append_table(table, df)
+        finally:
+            parsed.unpersist()
         state = self.store.load(self.plug.name)
         # monotonic: replaying an old chunk (idempotent retry) must not
-        # rewind the cursor
+        # rewind the cursor — NOR the block time (review r9: the time
+        # rode every replay while the cursor held, leaving status/health
+        # showing a months-old time at a current block)
+        advanced = last > state.latest_block_num
         state.latest_block_num = max(state.latest_block_num, last)
-        if max_row and max_row.t is not None:
+        if advanced and max_row and max_row.t is not None:
             state.latest_block_time = max_row.t.strftime("%Y-%m-%dT%H:%M:%S")
         self.store.save(state)
 
@@ -162,6 +198,13 @@ class PlugRunner:
         cursor = state.latest_block_num
         begin = max(start_block, cursor + 1)
         if end_block <= cursor:  # stale range → no-op (T10)
+            return []
+        if begin > end_block:
+            # empty range (e.g. inverted args on a fresh store): a no-op
+            # that must not persist a resume floor or massive_synced for
+            # blocks that were never synced (review r9: a bad
+            # backfill(1000, 500) used to permanently block 100-999 from
+            # a later correct backfill(100, 2000))
             return []
         if state.start_block is None:  # first-ever sync: record the floor
             state.start_block = begin
@@ -198,6 +241,22 @@ class PlugRunner:
             tdir = self._table_dir(table)
             if not self.fs.isdir(tdir):
                 continue
+            # re-entrancy pre-pass (review r9): a crash mid-boundary-swap
+            # leaves a '.rewrite' dir that would wedge the int() parse
+            # below on every rerun. Ordering makes recovery unambiguous —
+            # the rewrite is fully written BEFORE its source is deleted:
+            #   source present  → rewrite may be partial → discard it,
+            #                     the rewrite below redoes the work;
+            #   source missing  → rewrite is complete → finish the rename.
+            for entry in list(self.fs.listdir(tdir)):
+                if not entry.endswith(".rewrite"):
+                    continue
+                leftover = os.path.join(tdir, entry)
+                source = leftover[: -len(".rewrite")]
+                if self.fs.isdir(source):
+                    self.fs.delete(leftover)
+                else:
+                    self.fs.rename(leftover, source)
             boundary = None
             for entry in self.fs.listdir(tdir):
                 if not entry.startswith("block_bucket="):

@@ -564,6 +564,7 @@ class HadoopFS:
     def __init__(self, spark) -> None:
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self._gateway = spark.sparkContext._gateway
 
     def swap_if_current(
         self, path: str, expected: bytes | None, data: bytes
@@ -627,16 +628,32 @@ class HadoopFS:
             stream.close()
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
-        # tmp + delete + rename: readers see old-or-new; a crash between
-        # delete and rename leaves no state file, which load() treats as
-        # fresh — acceptable for a replay-idempotent cursor (see module
-        # docstring). On S3 a direct overwrite PUT would be the atomic form.
+        # Preferred path: FileContext.rename(OVERWRITE) — a true atomic
+        # replace on HDFS and the local FS (public Hadoop API), so readers
+        # see old-or-new with NO missing-file window and a crash leaves
+        # the old file intact (review r9: the delete+rename fallback has a
+        # window in which the target is GONE — for the snapshot pointer
+        # that read as "no committed snapshot" until manual repair).
+        # Object stores without atomic rename fall back to delete+rename;
+        # there the store's own overwrite PUT (via ObjectStoreFS) is the
+        # right seam anyway.
         tmp = path + ".tmp"
         out = self._fs(tmp).create(self._path(tmp), True)
         try:
             out.write(bytearray(data))
         finally:
             out.close()
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs(path).getUri(), self._conf
+            )
+            rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
+            opts = self._gateway.new_array(rename_enum, 1)
+            opts[0] = rename_enum.OVERWRITE
+            fc.rename(self._path(tmp), self._path(path), opts)
+            return
+        except Exception:
+            pass  # store without FileContext atomic rename → portable path
         fs = self._fs(path)
         p = self._path(path)
         if fs.exists(p):

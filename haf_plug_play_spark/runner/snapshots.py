@@ -201,19 +201,30 @@ def _commit(
         if expected is not None
         else None
     )
+    # per-writer high-water marks, carried forward by EVERY commit
+    # (appends, full commits, compaction) so a retried batch is
+    # recognized even when other commits landed in between — checking
+    # only the head manifest (the pre-r9 shape) silently re-appended a
+    # retried batch after any interleaved commit or rewrite (review r9).
+    # This is the txnAppId→latest-txnVersion ACROSS HISTORY shape of
+    # Delta's public foreachBatch idempotency pattern; batch ids are
+    # monotonic per writer (Structured Streaming epochs), hence <=.
+    writers: dict[str, int] = dict(cur.get("writers", {})) if cur else {}
+    if cur is not None and cur.get("writer_id") is not None:
+        # fold in a pre-writers-map head manifest (legacy tables)
+        w = cur["writer_id"]
+        writers[w] = max(writers.get(w, -1), int(cur.get("batch_id", -1)))
     if (
         batch_id is not None
-        and cur is not None
-        and cur.get("batch_id") == batch_id
-        and cur.get("writer_id") == writer_id
+        and writer_id is not None
+        and batch_id <= writers.get(writer_id, -1)
     ):
         # idempotent re-commit: an at-least-once stream retrying a batch
-        # whose pointer swap already landed must not append it twice. The
-        # key is (writer_id, batch_id) — batch_id alone would silently
-        # drop batch 0 of a DIFFERENT stream (fresh checkpoint, second
-        # pipeline) that happens to collide with the table's current
-        # batch number (the txnAppId+txnVersion shape of Delta's public
-        # foreachBatch idempotency pattern).
+        # that already landed (now or any number of commits ago) must not
+        # append it twice. The key is (writer_id, batch_id) — batch_id
+        # alone would silently drop batch 0 of a DIFFERENT stream (fresh
+        # checkpoint, second pipeline) that happens to collide with an
+        # already-recorded batch number.
         return cur
     known = _manifest_ids(table_dir, fs)
     # next id rides on the manifest listing, not the pointer, so a crashed
@@ -241,6 +252,10 @@ def _commit(
     if batch_id is not None:
         manifest["batch_id"] = batch_id
         manifest["writer_id"] = writer_id
+        if writer_id is not None:
+            writers[writer_id] = max(writers.get(writer_id, -1), batch_id)
+    if writers:
+        manifest["writers"] = writers
     mname = f"manifest-{snap_id:08d}-{tag}.json"
     fs.write_bytes_atomic(
         os.path.join(table_dir, _MANIFESTS, mname),
@@ -348,9 +363,19 @@ def read_snapshot(
                 f"(committed chain: {sorted(chain)})"
             )
         manifest = chain[snapshot_id]
-    return spark.read.parquet(
-        *[os.path.join(table_dir, d) for d in _data_dirs(manifest)]
-    )
+    dirs = [os.path.join(table_dir, d) for d in _data_dirs(manifest)]
+    # read with the MANIFEST's recorded schema (review r9): an append
+    # chain whose batches evolved the schema would otherwise take its
+    # schema from an arbitrary file footer and silently drop columns
+    # present only in newer dirs; the manifest faithfully recorded the
+    # schema at commit time — honor it (files missing a column fill NULL)
+    schema = manifest.get("schema")
+    reader = spark.read
+    if schema:
+        reader = reader.schema(
+            ", ".join(f"`{name}` {typ}" for name, typ in schema)
+        )
+    return reader.parquet(*dirs)
 
 
 def rewrite_snapshot(

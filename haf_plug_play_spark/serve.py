@@ -313,13 +313,19 @@ def build_flask_app(context: dict):
         def view(**path_kwargs):
             kwargs = dict(path_kwargs)
             body = request.get_json(silent=True) if request.method == "POST" else None
-            for name, param in sig.parameters.items():
-                if name in kwargs:
-                    continue
-                if body is not None and name in body:
-                    kwargs[name] = body[name]
-                elif name in request.args:
-                    kwargs[name] = _coerce(request.args[name], param)
+            # coercion INSIDE the error boundary (review r9): int('abc')
+            # from ?limit=abc must surface as a 4xx validation error like
+            # the FastAPI adapter (and the reference), not a werkzeug 500
+            try:
+                for name, param in sig.parameters.items():
+                    if name in kwargs:
+                        continue
+                    if body is not None and name in body:
+                        kwargs[name] = body[name]
+                    elif name in request.args:
+                        kwargs[name] = _coerce(request.args[name], param)
+            except (ValueError, TypeError) as e:
+                return jsonify({"detail": f"invalid query parameter: {e}"}), 422
             try:
                 return jsonify(fn(**kwargs))
             except ApiError as e:

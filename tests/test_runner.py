@@ -370,3 +370,84 @@ def test_watchdog(spark, oplog, tmp_path):
     store.save(st)
     old = datetime.datetime.now(datetime.timezone.utc) + datetime.timedelta(seconds=120)
     assert dog.check(now=old).stale_plugs == ["podping"]
+
+def test_fork_recovery_reentrant_after_crash(spark, oplog, tmp_path):
+    """review r9: a crash mid-boundary-swap leaves a '.rewrite' dir that
+    used to wedge every rerun (int('N.rewrite') ValueError). Both crash
+    positions recover: source present → partial rewrite discarded and
+    redone; source missing → completed rewrite renamed into place."""
+    import os
+    import shutil
+
+    ops_path, trx_path, lo, hi = oplog
+    fork = lo + (hi - lo) * 2 // 3
+    runner = PlugRunner(
+        spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path), step=STEP
+    )
+    runner.backfill(lo, hi)
+
+    # simulate crash A: rewrite dir written, source still present
+    tdir = runner._table_dir("polls_ops")
+    boundary = os.path.join(tdir, f"block_bucket={fork // STEP}")
+    shutil.copytree(boundary, boundary + ".rewrite")
+    runner.recover_fork(fork)
+    assert not os.path.exists(boundary + ".rewrite")
+    truncated = _expected(spark, ops_path, trx_path, PLUGS["polls"], max_block=fork)
+    _check_plug_outputs(runner, truncated)
+
+    # simulate crash B: source deleted, completed rewrite left behind —
+    # recovery must restore it by rename, losing nothing
+    runner.backfill(lo, hi)
+    boundary2 = os.path.join(tdir, f"block_bucket={fork // STEP}")
+    os.rename(boundary2, boundary2 + ".rewrite")
+    runner.recover_fork(fork)
+    assert os.path.isdir(boundary2)
+    _check_plug_outputs(runner, truncated)
+
+
+def test_process_range_refuses_cross_bucket_ranges(spark, oplog, tmp_path):
+    """review r9: process_range replaces whole block_bucket partitions, so
+    a direct call crossing a bucket boundary would silently delete
+    previously-synced rows — refused loudly; backfill's aligned chunks
+    still pass."""
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(
+        spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path), step=STEP
+    )
+    with pytest.raises(ValueError, match="crosses a block_bucket"):
+        runner.process_range(STEP - 1, STEP)
+
+
+def test_backfill_empty_range_records_no_floor(spark, oplog, tmp_path):
+    """review r9: an inverted/empty range on a fresh store must not
+    persist start_block or massive_synced — it used to permanently block
+    earlier blocks from a later correct backfill."""
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(
+        spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path), step=STEP
+    )
+    assert runner.backfill(hi, lo) == []  # inverted args → no-op
+    st = runner.store.load("polls")
+    assert st.start_block is None and not st.massive_synced
+    # a later correct backfill covers the full range from lo
+    ranges = runner.backfill(lo, lo + 2 * STEP)
+    assert ranges and ranges[0][0] <= lo
+
+
+def test_replayed_chunk_does_not_rewind_block_time(spark, oplog, tmp_path):
+    """review r9: the monotonic guard covers latest_block_time too — a
+    replayed old chunk must not pair a months-old time with a current
+    cursor in status/health."""
+    ops_path, trx_path, lo, hi = oplog
+    runner = PlugRunner(
+        spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path), step=STEP
+    )
+    runner.backfill(lo, hi)
+    st = runner.store.load("polls")
+    head_time, head_block = st.latest_block_time, st.latest_block_num
+    # replay the first chunk (idempotent retry)
+    first_bucket = (lo // STEP) * STEP
+    runner.process_range(first_bucket, first_bucket + STEP - 1)
+    st2 = runner.store.load("polls")
+    assert st2.latest_block_num == head_block
+    assert st2.latest_block_time == head_time

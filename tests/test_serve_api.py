@@ -274,3 +274,16 @@ def test_http_menu_complete(http):
     for method, path in paths:
         r = http.open(path, method=method)
         assert r.status_code in (200, 400), (method, path, r.status_code)
+
+
+def test_http_malformed_query_param_is_422_not_500(http):
+    """review r9: Flask adapter coerced query params OUTSIDE its error
+    boundary, so ?limit=abc became an unhandled ValueError → HTTP 500;
+    the reference (and the FastAPI adapter) return a 4xx validation
+    error."""
+    r = http.get(
+        "/api/podping/history/counts",
+        query_string={"block_range": "[1000, 2500]", "limit": "abc"},
+    )
+    assert r.status_code == 422
+    assert "invalid query parameter" in r.get_json()["detail"]

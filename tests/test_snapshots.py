@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from haf_plug_play_spark.runner import snapshots as sn
 from haf_plug_play_spark.runner.fs import (
@@ -559,3 +560,51 @@ def test_s3_fake_pagination_stable_under_concurrent_mutation(tmp_path):
     assert len(seen) == len(set(seen))
     assert set(seen) >= {f"{base}/k1a", f"{base}/k2", f"{base}/k4"}
     assert f"{base}/k3" not in seen[2:]
+
+
+def test_retried_batch_after_interleaved_commit_is_still_idempotent(
+    spark, fs, tmp_path
+):
+    """review r9: the idempotency key rides a per-writer high-water map
+    carried by EVERY manifest, so a batch retry is recognized even after
+    another stream's commit or a compaction landed in between (checking
+    only the head manifest re-appended the batch — broken exactly-once)."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark, _df(spark, 1, rows=10), t, fs,
+                       batch_id=5, writer_id="A")
+    # interleaved: a DIFFERENT stream commits...
+    sn.append_snapshot(spark, _df(spark, 2, rows=20), t, fs,
+                       batch_id=9, writer_id="B")
+    # ...and A retries its already-landed batch 5 → must be a no-op
+    sn.append_snapshot(spark, _df(spark, 1, rows=10), t, fs,
+                       batch_id=5, writer_id="A")
+    assert sn.read_snapshot(spark, t, fs).count() == 30
+
+    # same through COMPACTION, which drops batch_id/writer_id but must
+    # carry the writers map forward
+    sn.rewrite_snapshot(spark, t, fs, target_files=1)
+    sn.append_snapshot(spark, _df(spark, 2, rows=20), t, fs,
+                       batch_id=9, writer_id="B")
+    assert sn.read_snapshot(spark, t, fs).count() == 30
+    # a genuinely NEW batch still lands
+    sn.append_snapshot(spark, _df(spark, 3, rows=5), t, fs,
+                       batch_id=10, writer_id="B")
+    assert sn.read_snapshot(spark, t, fs).count() == 35
+
+
+def test_read_snapshot_honors_manifest_schema_on_evolved_appends(
+    spark, fs, tmp_path
+):
+    """review r9: an append chain whose later batches added a column must
+    read with the committing manifest's schema — old files fill NULL —
+    instead of taking an arbitrary file footer and dropping the column."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark, _df(spark, 1, rows=4), t, fs, batch_id=0)
+    evolved = _df(spark, 2, rows=6).withColumn("medium", F.lit("podcast"))
+    sn.append_snapshot(spark, evolved, t, fs, batch_id=1)
+    got = sn.read_snapshot(spark, t, fs)
+    assert "medium" in got.columns
+    rows = got.collect()
+    assert len(rows) == 10
+    assert sum(1 for r in rows if r.medium == "podcast") == 6
+    assert sum(1 for r in rows if r.medium is None) == 4
