@@ -112,7 +112,9 @@ def curate_documents(
             threshold=near_dup_threshold,
         )
         nd_keep = (
-            xdedup.dedup_decision(survivors0, pairs, id_col=id_col)
+            xdedup.dedup_decision(
+                survivors0, pairs, id_col=id_col, deterministic_order=False
+            )
             .filter(F.col("keep"))
             .select(F.col(id_col), F.lit(True).alias("_keep_nd"))
         )

@@ -32,11 +32,31 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     the determinism rule this function exists to uphold over
     dropDuplicates (SURVEY §4.3.2; stream_exact_dedup's batch path
     routinely ties on its timestamp). Full-row duplicates hash equal, so
-    either physical row yields the identical output row."""
-    w = W.partitionBy(*key_cols).orderBy(
-        order_col, F.xxhash64(*[F.col(c) for c in df.columns])
-    )
+    either physical row yields the identical output row.
+
+    Map-typed columns are excluded from the tie-break hash: xxhash64
+    raises AnalysisException on MapType (maps have no canonical element
+    order), and this is a public operator — inputs with map columns must
+    still dedup. Ties that differ ONLY in a map column fall back to
+    arbitrary-but-single-row selection, which is the pre-r9 behavior and
+    the best any engine can do without a map canonicalization pass."""
+    hashable = [c for c in df.columns if not _contains_map(df.schema[c].dataType)]
+    tie = [F.xxhash64(*[F.col(c) for c in hashable])] if hashable else []
+    w = W.partitionBy(*key_cols).orderBy(order_col, *tie)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _contains_map(dt) -> bool:
+    """True if the type is, or nests, a MapType (unhashable by xxhash64)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -657,17 +677,27 @@ def dedup_decision(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    deterministic_order: bool = True,
 ) -> DataFrame:
     """Full-corpus dedup census from a near-dup pair list: every document
     labeled with its cluster and whether it is the canonical keeper
     (minimum id in its cluster — deterministic, mirroring the exact-dedup
-    census keep rule). Downstream training-data prep filters on ``keep``."""
+    census keep rule). Downstream training-data prep filters on ``keep``.
+
+    ``deterministic_order=True`` (the default, for oracle/replay parity)
+    ends the plan with a global sort on ``id_col`` — a range-partitioned
+    TeraSort shape whose O(n log n) was the ENTIRE super-linear factor in
+    the 100× scale run (SCALE.md: α 1.09 with the sort, linear joins
+    without). Production consumers that only filter on ``keep`` (the
+    curate funnel) pass ``False`` and pay pure linear joins; the output
+    SET is identical either way, only row order differs."""
     cc = connected_components(pairs, all_ids=df.select(id_col), max_iters=max_iters)
-    return cc.select(
+    out = cc.select(
         F.col("id").alias(id_col),
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("keep"),
     )
+    return out.orderBy(id_col) if deterministic_order else out
 
 
 def segment_dedup(
@@ -1409,6 +1439,7 @@ def dedup_decision_by_quality(
     score: Column,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    deterministic_order: bool = False,
 ) -> DataFrame:
     """Quality-aware dedup census: like :func:`dedup_decision`, but the
     canonical keeper per near-dup cluster is the HIGHEST-QUALITY copy
@@ -1433,6 +1464,9 @@ def dedup_decision_by_quality(
 
     Output: (id_col, cluster_id, best_id, keep) for EVERY document,
     keep ⇔ id == best_id; singleton clusters keep themselves.
+    ``deterministic_order`` as in :func:`dedup_decision` (default False:
+    this variant's only in-repo consumers sort at the presentation layer
+    or not at all — don't pay the TeraSort twice).
     """
     cc = connected_components(
         pairs, all_ids=df.select(id_col), max_iters=max_iters
@@ -1455,7 +1489,7 @@ def dedup_decision_by_quality(
         )
         .select("cluster_id", F.col("_b._i").alias("best_id"))
     )
-    return (
+    out = (
         labeled.join(best, "cluster_id")
         .select(
             F.col("id").alias(id_col),
@@ -1464,3 +1498,4 @@ def dedup_decision_by_quality(
             (F.col("id") == F.col("best_id")).alias("keep"),
         )
     )
+    return out.orderBy(id_col) if deterministic_order else out

@@ -846,7 +846,7 @@ def xd_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     component closure provides."""
     docs = _spread(load_table(spark, sf_dir, "documents"))
     pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
-    return dedup.dedup_decision(docs, pairs).orderBy("doc_id")
+    return dedup.dedup_decision(docs, pairs)  # deterministic_order=True default sorts
 
 
 def _cluster_sql() -> str:

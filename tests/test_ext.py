@@ -1951,3 +1951,35 @@ def test_span_removal_null_text_zero_counters(spark):
     assert out[1].n_words == 0 and out[1].n_removed == 0
     assert out[1].clean_text is None
     assert out[2].n_words == 10 and out[2].clean_text is not None
+
+
+def test_exact_dedup_tolerates_map_columns(spark):
+    """ADVICE r9: exact_dedup is a public operator; a map-typed payload
+    column must not break it (xxhash64 raises on MapType, so map columns
+    are excluded from the tie-break hash). Determinism on the HASHABLE
+    columns is preserved: ties that differ in a non-map column still
+    resolve by content."""
+    from haf_plug_play_spark.ext.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            ("k", 1, "b", {"x": 1}),
+            ("k", 1, "a", {"y": 2}),
+            ("k", 2, "z", {"z": 3}),
+        ],
+        "key string, ts int, payload string, meta map<string,int>",
+    )
+    kept = exact_dedup(df, ["key"], "ts").collect()
+    assert len(kept) == 1
+    # tie on ts=1 resolves by the hash over (key, ts, payload): stable
+    # across reruns regardless of arrival order
+    again = exact_dedup(df.orderBy(F.rand(7)), ["key"], "ts").collect()
+    assert kept[0].payload == again[0].payload
+
+    # all-map tie (only unhashable columns differ): must still dedup to
+    # one row rather than raise
+    allmap = spark.createDataFrame(
+        [("k", 1, {"x": 1}), ("k", 1, {"y": 2})],
+        "key string, ts int, meta map<string,int>",
+    )
+    assert exact_dedup(allmap, ["key"], "ts").count() == 1

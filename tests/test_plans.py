@@ -612,3 +612,24 @@ def test_quantile_sketch_bounded_joins(spark):
     plan = _plan(EXT_QUERIES["XK-quantile"](spark, SF_ORACLE))
     assert "SortMergeJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_dedup_decision_production_path_sort_free(spark):
+    """The curate funnel's dedup census (deterministic_order=False) must
+    be pure keyed joins — no range-partitioned global sort. The 100×
+    scale run decomposed XD-cluster's α=1.09 into linear joins plus
+    exactly this presentation sort (SCALE.md); production filters on
+    ``keep`` and never pays it. The oracle path (default True) keeps the
+    sort for replay determinism."""
+    from haf_plug_play_spark.ext.dedup import dedup_decision
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    prod = _plan(dedup_decision(docs, pairs, deterministic_order=False))
+    assert "rangepartitioning" not in prod.lower()
+    oracle = _plan(dedup_decision(docs, pairs))
+    assert "rangepartitioning" in oracle.lower()
