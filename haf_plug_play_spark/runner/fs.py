@@ -42,6 +42,8 @@ import os
 import shutil
 import tempfile
 
+from py4j.protocol import Py4JError
+
 
 class ConcurrentWriteError(RuntimeError):
     """A compare-and-swap found the target changed since it was read —
@@ -627,6 +629,19 @@ class HadoopFS:
         finally:
             stream.close()
 
+    def _filecontext_rename(self, tmp: str, path: str) -> None:
+        """Atomic replace via FileContext.rename(OVERWRITE). A seam: the
+        fallback in write_bytes_atomic must behave correctly even when
+        this SUCCEEDED on disk but raised on the way back (Py4J
+        marshaling) — tested by injecting exactly that."""
+        fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            self._fs(path).getUri(), self._conf
+        )
+        rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
+        opts = self._gateway.new_array(rename_enum, 1)
+        opts[0] = rename_enum.OVERWRITE
+        fc.rename(self._path(tmp), self._path(path), opts)
+
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
         # Preferred path: FileContext.rename(OVERWRITE) — a true atomic
         # replace on HDFS and the local FS (public Hadoop API), so readers
@@ -644,18 +659,26 @@ class HadoopFS:
         finally:
             out.close()
         try:
-            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-                self._fs(path).getUri(), self._conf
-            )
-            rename_enum = self._jvm.org.apache.hadoop.fs.Options.Rename
-            opts = self._gateway.new_array(rename_enum, 1)
-            opts[0] = rename_enum.OVERWRITE
-            fc.rename(self._path(tmp), self._path(path), opts)
+            self._filecontext_rename(tmp, path)
             return
-        except Exception:
-            pass  # store without FileContext atomic rename → portable path
+        except Py4JError:
+            # store without FileContext atomic rename → portable path.
+            # Narrowed to Py4J/Java errors (ADVICE r9): a Python-side bug
+            # must propagate, not silently reroute into delete+rename.
+            pass
         fs = self._fs(path)
         p = self._path(path)
+        # Guard the exact window the atomic path exists to close (ADVICE
+        # r9): if the FileContext rename TOOK EFFECT before its Py4J call
+        # failed (tmp gone, target present), the write is already
+        # committed — falling through would delete the fresh target and
+        # then die on the missing tmp, leaving NO pointer file.
+        if not fs.exists(self._path(tmp)):
+            if fs.exists(p):
+                return
+            raise OSError(
+                f"atomic rename failed and staged file vanished: {tmp}"
+            )
         if fs.exists(p):
             fs.delete(p, False)
         if not fs.rename(self._path(tmp), p):

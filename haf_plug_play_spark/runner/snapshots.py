@@ -226,6 +226,30 @@ def _commit(
         # checkpoint, second pipeline) that happens to collide with an
         # already-recorded batch number.
         return cur
+    # the recorded schema is the UNION of the inherited chain's schema and
+    # this batch's (by name, parent order first) — recording only
+    # df.schema (the pre-r10 shape, ADVICE r9) let an append whose batch
+    # lacked a column present in earlier data_dirs silently drop that
+    # column from every read of the snapshot (the explicit-schema parquet
+    # read prunes to the recorded names). Type disagreements fail HERE,
+    # before the parquet write (no burned table write, no orphan dir per
+    # retry), rather than committing a snapshot whose read dies later.
+    schema_entries = [
+        [f.name, f.dataType.simpleString()] for f in df.schema.fields
+    ]
+    if inherit_dirs and cur is not None and cur.get("schema"):
+        parent = {name: typ for name, typ in cur["schema"]}
+        for name, typ in schema_entries:
+            if name in parent and parent[name] != typ:
+                raise ValueError(
+                    f"append batch changes column '{name}' from "
+                    f"{parent[name]} to {typ}; type evolution is not "
+                    "supported on an inherited data chain (the earlier "
+                    "files cannot be read with the new type)"
+                )
+        schema_entries = [list(e) for e in cur["schema"]] + [
+            e for e in schema_entries if e[0] not in parent
+        ]
     known = _manifest_ids(table_dir, fs)
     # next id rides on the manifest listing, not the pointer, so a crashed
     # commit's orphan manifest can never be ambiguous with a live id
@@ -246,7 +270,7 @@ def _commit(
         "parent_manifest": (
             expected.decode("utf-8").strip() if expected is not None else None
         ),
-        "schema": [[f.name, f.dataType.simpleString()] for f in df.schema.fields],
+        "schema": schema_entries,
         "committed_utc": datetime.now(timezone.utc).isoformat(),
     }
     if batch_id is not None:

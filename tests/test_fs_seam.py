@@ -164,3 +164,70 @@ def test_cross_protocol_recovery_through_hadoop_fs(spark, tmp_path):
     assert (
         spark.read.parquet(os.path.join(tdir, "block_bucket=0")).count() == 200
     )
+
+
+def test_write_bytes_atomic_survives_rename_that_landed_then_raised(
+    spark, tmp_path
+):
+    """ADVICE r9: if FileContext.rename took effect on disk but its Py4J
+    call raised on the way back, the fallback must recognize the commit
+    (tmp gone, target present) instead of deleting the freshly-committed
+    target and dying on the missing tmp — which left NO pointer file."""
+    from py4j.protocol import Py4JError
+
+    hfs = HadoopFS(spark)
+    target = str(tmp_path / "ptr")
+    hfs.write_bytes_atomic(target, b"old")
+
+    real = HadoopFS._filecontext_rename
+
+    def landed_then_raised(self, tmp, path):
+        real(self, tmp, path)  # the rename DID take effect
+        raise Py4JError("marshaling failed after the fact")
+
+    try:
+        HadoopFS._filecontext_rename = landed_then_raised
+        hfs.write_bytes_atomic(target, b"new")  # must not raise
+    finally:
+        HadoopFS._filecontext_rename = real
+    assert hfs.read_bytes(target) == b"new"
+
+
+def test_write_bytes_atomic_portable_fallback_and_loud_losses(spark, tmp_path):
+    """The fallback triad: (a) a rename that raised WITHOUT landing falls
+    through to delete+rename and commits; (b) tmp gone AND no target is a
+    loud OSError, never silence; (c) a Python-side bug propagates instead
+    of being swallowed into the fallback."""
+    from py4j.protocol import Py4JError
+
+    hfs = HadoopFS(spark)
+    real = HadoopFS._filecontext_rename
+
+    def never_landed(self, tmp, path):
+        raise Py4JError("no FileContext on this store")
+
+    target = str(tmp_path / "a")
+    try:
+        HadoopFS._filecontext_rename = never_landed
+        hfs.write_bytes_atomic(target, b"v1")
+        hfs.write_bytes_atomic(target, b"v2")  # overwrite via delete+rename
+        assert hfs.read_bytes(target) == b"v2"
+
+        def landed_no_target(self, tmp, path):
+            hfs.delete(tmp)  # tmp vanished, target never appeared
+            raise Py4JError("lost both")
+
+        HadoopFS._filecontext_rename = landed_no_target
+        import pytest as _pytest
+
+        with _pytest.raises(OSError, match="staged file vanished"):
+            hfs.write_bytes_atomic(str(tmp_path / "b"), b"x")
+
+        def python_bug(self, tmp, path):
+            raise TypeError("a real bug")
+
+        HadoopFS._filecontext_rename = python_bug
+        with _pytest.raises(TypeError):
+            hfs.write_bytes_atomic(str(tmp_path / "c"), b"x")
+    finally:
+        HadoopFS._filecontext_rename = real

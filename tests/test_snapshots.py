@@ -608,3 +608,41 @@ def test_read_snapshot_honors_manifest_schema_on_evolved_appends(
     assert len(rows) == 10
     assert sum(1 for r in rows if r.medium == "podcast") == 6
     assert sum(1 for r in rows if r.medium is None) == 4
+
+
+def test_append_missing_column_keeps_union_schema(spark, fs, tmp_path):
+    """ADVICE r9: the manifest records the UNION of the inherited chain's
+    schema and the batch's, not the committing batch's alone — an append
+    whose batch LACKS a column present in earlier data_dirs must not drop
+    that column from every subsequent read."""
+    t = str(tmp_path / "tbl")
+    wide = _df(spark, 1, rows=4).withColumn("medium", F.lit("podcast"))
+    sn.append_snapshot(spark, wide, t, fs, batch_id=0)
+    narrow = _df(spark, 2, rows=6)  # no 'medium'
+    m = sn.append_snapshot(spark, narrow, t, fs, batch_id=1)
+    assert ["medium", "string"] in m["schema"]
+    got = sn.read_snapshot(spark, t, fs)
+    assert "medium" in got.columns
+    rows = got.collect()
+    assert len(rows) == 10
+    assert sum(1 for r in rows if r.medium == "podcast") == 4
+    assert sum(1 for r in rows if r.medium is None) == 6
+
+
+def test_append_type_change_fails_at_commit(spark, fs, tmp_path):
+    """ADVICE r9: a cross-batch type change on an inherited chain must
+    fail AT COMMIT (the earlier files cannot be read with the new type),
+    not commit a snapshot whose every read then dies — and the failed
+    attempt must not have moved the pointer."""
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark, _df(spark, 1, rows=4), t, fs, batch_id=0)
+    retyped = _df(spark, 2, rows=6).withColumn("v", F.col("v").cast("string"))
+    with pytest.raises(ValueError, match="type evolution"):
+        sn.append_snapshot(spark, retyped, t, fs, batch_id=1)
+    got = sn.read_snapshot(spark, t, fs)
+    assert got.count() == 4  # chain still the pre-append snapshot
+    assert dict(got.dtypes)["v"] == "int"
+    # the validation fires BEFORE the parquet write: a failed append must
+    # not leave an orphan data dir per retry
+    if os.path.isdir(os.path.join(t, "data")):
+        assert len(os.listdir(os.path.join(t, "data"))) == 1
