@@ -4,10 +4,18 @@
 Run at ROUND START, before any code edits — at that moment HEAD is exactly
 the tree the previous round's driver tested (the driver commits the
 end-of-round snapshot, runs correctness against it, then commits only
-verdict/bench/correctness files). For every query with a green row in the
-LATEST CORRECTNESS_r*.json, this records
-``sha256(wrapper source + resolved oracle SQL)`` into EVIDENCE_HASHES.json,
-keeping prior entries for queries the latest window didn't recheck.
+verdict/bench/correctness files). For EVERY query whose latest driver row
+across the union of CORRECTNESS_r*.json files is green (VERDICT r9 #1 —
+not just the latest window: the window-only bank left ~40 r5–r7 queries
+with no hash baseline, and for registry-inlined wrappers that was a blind
+spot in BOTH rotation signals), this records
+``sha256(wrapper source + resolved oracle SQL)`` into EVIDENCE_HASHES.json.
+Banking the HEAD hash for a query last driver-checked rounds ago is sound
+because pytest at HEAD re-proves every query against the identical DuckDB
+oracle each round — the HEAD hash is a valid baseline for detecting FUTURE
+change. An existing entry is only overwritten when the query has a green
+row in a NEWER round than the one banked, so a mid-round re-run can never
+erase a pending hash-mismatch signal.
 ``__spark_entry__._tier1_changed`` then fronts any query whose current hash
 differs from its banked one — so an oracle-only edit (e.g. a literal in
 ext/registry.py, which the git file signal deliberately excludes)
@@ -20,7 +28,6 @@ Usage: python scripts/bank_evidence.py [--check]
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import sys
@@ -29,23 +36,6 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 import __spark_entry__ as entry  # noqa: E402
-
-
-def latest_correctness() -> tuple[int, dict] | None:
-    """Highest ROUND NUMBER wins — parsed, not lexicographic: sorted()
-    on names would rank CORRECTNESS_r99.json above r100."""
-    best: tuple[int, str] | None = None
-    for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
-        try:
-            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        except (IndexError, ValueError):
-            continue
-        if best is None or rnd > best[0]:
-            best = (rnd, path)
-    if best is None:
-        return None
-    with open(best[1], encoding="utf-8") as f:
-        return best[0], json.load(f)
 
 
 def main() -> int:
@@ -77,22 +67,27 @@ def main() -> int:
         print(f"OK: {len(clean)} banked hashes all match current source")
         return 0
 
-    latest = latest_correctness()
-    if latest is None:
-        print("no CORRECTNESS_r*.json found; nothing to bank")
+    last_green = entry._last_green_round(HERE)
+    if not last_green:
+        print("no green CORRECTNESS rows found; nothing to bank")
         return 0
-    rnd, rows = latest
     updated = 0
-    for name, row in rows.items():
-        if entry.row_is_green(row) and name in current:
-            banked[name] = {"round": rnd, "hash": current[name]}
-            updated += 1
+    for name, rnd in last_green.items():
+        if name not in current:
+            continue  # wrapper source unavailable — git file signal only
+        prior = banked.get(name)
+        if isinstance(prior, dict) and prior.get("round", -1) >= rnd:
+            # never overwrite same-or-newer-round entries: a mid-round
+            # re-run must not erase a pending hash-mismatch signal
+            continue
+        banked[name] = {"round": rnd, "hash": current[name]}
+        updated += 1
     with open(bank_path, "w", encoding="utf-8") as f:
         json.dump(banked, f, indent=1, sort_keys=True)
         f.write("\n")
     print(
-        f"banked {updated} hashes from CORRECTNESS_r{rnd:02d} "
-        f"({len(banked)} total in {entry.EVIDENCE_HASH_FILE})"
+        f"banked {updated} hashes (union of latest-green rows; "
+        f"{len(banked)} total in {entry.EVIDENCE_HASH_FILE})"
     )
     return 0
 

@@ -313,3 +313,56 @@ def test_banked_hashes_match_head_at_round_start():
         if n in current and current[n] != h and n in last
     }
     assert drifted <= changed, sorted(drifted - changed)
+
+
+def test_bank_covers_every_latest_green_query():
+    """VERDICT r9 #1: the bank must hold an entry for EVERY query whose
+    latest driver row is green — not just the latest window — so no
+    query can lack a hash baseline. (The r5–r7 tail previously had none,
+    and registry-inlined wrappers then escaped BOTH rotation signals.)"""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.abspath(e.__file__))
+    banked = entry_mod._banked_evidence_hashes(repo)
+    if not banked:
+        return  # fresh clone before any banking — nothing to pin
+    last = entry_mod._last_green_round()
+    current = entry_mod._current_evidence_hashes(e.queries(), e.oracle_sql())
+    unbanked = {n for n in last if n in current and n not in banked}
+    assert unbanked == set(), sorted(unbanked)
+
+
+def test_editing_registry_inlined_wrapper_refronts_exactly_it():
+    """VERDICT r9 #1 done-criterion: a registry-INLINED wrapper (dep-set
+    has no engine module beyond shared glue, e.g. XD-exact-census) is
+    invisible to the git file signal (registry.py excluded) — after the
+    backfill, a source edit to it must re-front exactly that query via
+    the hash signal."""
+    import os
+
+    import __spark_entry__ as e
+
+    repo = os.path.dirname(os.path.abspath(e.__file__))
+    banked = entry_mod._banked_evidence_hashes(repo)
+    if "XD-exact-census" not in banked:
+        return  # bank not yet backfilled in this tree
+    q = e.queries()
+    names = list(q)
+    last = entry_mod._last_green_round()
+    current = dict(entry_mod._current_evidence_hashes(q, e.oracle_sql()))
+    # use the bank as if freshly written at HEAD: baseline = current, so
+    # only the simulated edit below can produce a mismatch
+    baseline = dict(current)
+    before = entry_mod._tier1_changed(
+        names, last, queries_by_name=q,
+        banked_hashes=baseline, current_hashes=current,
+    )
+    edited = dict(current)
+    edited["XD-exact-census"] = "0" * 64  # the wrapper was edited
+    after = entry_mod._tier1_changed(
+        names, last, queries_by_name=q,
+        banked_hashes=baseline, current_hashes=edited,
+    )
+    assert after - before == {"XD-exact-census"}
