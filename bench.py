@@ -214,6 +214,13 @@ def main() -> None:
         "all_queries_first_run_sec": round(sum(first_run.values()), 4),
         "canonical_suite_runs": canonical_suite_runs,
         "sync_blocks_per_sec": sync_blocks_per_sec,
+        # self-describing estimator (VERDICT r9 #5): `value` is min-of-3
+        # for sub-2s queries / min-of-2 for the heavy tail; `value_first_run`
+        # is the r1–r5 single-shot series. Cross-round comparisons must key
+        # on this field so a methodology change can never silently read as
+        # a perf delta (the r8→r9 headline mixed estimators).
+        "value_methodology": "min3-micro/min2-heavy",
+        "value_first_run_methodology": "single-shot",
     }
     if canonical_incomplete:
         headline["canonical_incomplete"] = True
