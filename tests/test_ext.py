@@ -1983,3 +1983,25 @@ def test_exact_dedup_tolerates_map_columns(spark):
         "key string, ts int, meta map<string,int>",
     )
     assert exact_dedup(allmap, ["key"], "ts").count() == 1
+
+
+def test_pgm_parse_agrees_with_pil_when_present():
+    """Opportunistic real-codec cross-check (VERDICT r9 #8, mirroring
+    tests/test_s3_real_client.py's boto3 pattern): when Pillow is
+    installed, the pure-NumPy P5 parser must decode byte-identical pixels
+    to PIL on the same PGM bytes. Skips cleanly in codec-less containers —
+    zero behavior change when PIL is absent."""
+    pytest.importorskip("PIL")
+    import numpy as np
+    from PIL import Image
+
+    px = np.arange(16, dtype=np.uint8).reshape(2, 8) * 16 + 3
+    buf = multimodal.make_pgm(px)
+    w, h, ours = multimodal._parse_pgm(buf)
+    import io
+
+    theirs = np.asarray(Image.open(io.BytesIO(buf)))
+    assert (w, h) == (8, 2)
+    assert theirs.shape == ours.shape
+    assert (theirs == ours).all()
+    assert (ours == px).all()
