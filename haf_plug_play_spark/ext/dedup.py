@@ -580,6 +580,7 @@ def connected_components(
     edges: DataFrame,
     all_ids: DataFrame | None = None,
     max_iters: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected dup-pair graph: every node
     gets ``cluster_id`` = the minimum id reachable from it. This is the step
@@ -608,24 +609,31 @@ def connected_components(
     rounds converges rather than raising. At 100 TB the per-round cost is
     the unavoidable edge shuffle plus the (node-sized, much smaller)
     halving self-join; ``localCheckpoint`` truncates the lineage each
-    round so the plan stays O(1) deep instead of O(iters) (on a cluster,
-    prefer ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    executor-loss resilience; localCheckpoint trades that for speed).
+    round so the plan stays O(1) deep instead of O(iters).
+    ``reliable_checkpoint=True`` switches every truncation point to
+    ``DataFrame.checkpoint()`` (requires the caller to have set
+    ``spark.sparkContext.setCheckpointDir``) — on a real cluster an
+    executor loss mid-iteration otherwise discards localCheckpoint blocks
+    and fails the job (localCheckpoint trades resilience for speed; the
+    right default in local mode and for short 2-3 round closures, the
+    wrong one for hour-long 100 TB runs — now a flag, not just advice).
 
     Reference analog: the reference has no graph ops at all — this extends
     the engine surface for the LLM-pipeline dedup flow (SURVEY §2 ext).
     """
+    def _chk(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     # Checkpoint the symmetrized edge list ONCE: the pair generator behind
     # ``edges`` is typically an expensive lineage (LSH banding + verify),
     # and every propagation round joins against it — without the
     # checkpoint, Spark re-executes that whole pipeline per round.
-    sym = (
+    sym = _chk(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .localCheckpoint()
     )
     nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint()
+    labels = _chk(nodes.select("id", F.col("id").alias("label")))
     # max_iters + 1 probes: the last round a fixpoint is REACHED still
     # reports changed > 0; confirming it needs one more (free) probe.
     for it in range(max_iters + 1):
@@ -646,14 +654,13 @@ def connected_components(
         )
         # one checkpointed delta serves both the next labels and the
         # convergence probe — no second join, no extra pass
-        delta = (
+        delta = _chk(
             prop.join(par, prop.mid_label == par.p_id, "left")
             .select(
                 "id",
                 "label",
                 F.least("mid_label", "p_label").alias("new_label"),
             )
-            .localCheckpoint()
         )
         changed = delta.filter(F.col("new_label") < F.col("label")).limit(1).count()
         labels = delta.select("id", F.col("new_label").alias("label"))
@@ -678,6 +685,7 @@ def dedup_decision(
     id_col: str = "doc_id",
     max_iters: int = 20,
     deterministic_order: bool = True,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Full-corpus dedup census from a near-dup pair list: every document
     labeled with its cluster and whether it is the canonical keeper
@@ -691,7 +699,10 @@ def dedup_decision(
     without). Production consumers that only filter on ``keep`` (the
     curate funnel) pass ``False`` and pay pure linear joins; the output
     SET is identical either way, only row order differs."""
-    cc = connected_components(pairs, all_ids=df.select(id_col), max_iters=max_iters)
+    cc = connected_components(
+        pairs, all_ids=df.select(id_col), max_iters=max_iters,
+        reliable_checkpoint=reliable_checkpoint,
+    )
     out = cc.select(
         F.col("id").alias(id_col),
         "cluster_id",
@@ -1440,6 +1451,7 @@ def dedup_decision_by_quality(
     id_col: str = "doc_id",
     max_iters: int = 20,
     deterministic_order: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Quality-aware dedup census: like :func:`dedup_decision`, but the
     canonical keeper per near-dup cluster is the HIGHEST-QUALITY copy
@@ -1469,7 +1481,8 @@ def dedup_decision_by_quality(
     or not at all — don't pay the TeraSort twice).
     """
     cc = connected_components(
-        pairs, all_ids=df.select(id_col), max_iters=max_iters
+        pairs, all_ids=df.select(id_col), max_iters=max_iters,
+        reliable_checkpoint=reliable_checkpoint,
     )
     scored = df.select(F.col(id_col).alias("_sid"), score.alias("_q"))
     labeled = cc.join(scored, cc["id"] == scored["_sid"]).select(

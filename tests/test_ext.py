@@ -2005,3 +2005,22 @@ def test_pgm_parse_agrees_with_pil_when_present():
     assert theirs.shape == ours.shape
     assert (theirs == ours).all()
     assert (ours == px).all()
+
+
+def test_connected_components_reliable_checkpoint_equivalence(spark, tmp_path):
+    """reliable_checkpoint=True (the 100 TB executor-loss posture) must
+    produce the identical census as the local-mode default — the flag
+    changes lineage-truncation durability, never results. Requires a
+    checkpoint dir, which the caller owns."""
+    from haf_plug_play_spark.ext.dedup import dedup_decision
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9), (6, 8)], "id_a long, id_b long"
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "chk"))
+    fast = dedup_decision(docs, pairs).collect()
+    durable = dedup_decision(docs, pairs, reliable_checkpoint=True).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, durable))
