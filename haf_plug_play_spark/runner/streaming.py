@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from haf_plug_play_spark.ingest.envelope import parse_custom_json
+from haf_plug_play_spark.ingest.envelope import dead_letter, parse_custom_json
 from haf_plug_play_spark.plugs.framework import Plug
 from haf_plug_play_spark.runner.state import PlugStateStore
 
@@ -75,18 +75,38 @@ class StreamingPlugRunner:
             ).first()
             if rng is not None and rng.lo is not None:
                 trx = self._trx_for_range(int(rng.lo), int(rng.hi))
-        parsed = parse_custom_json(batch_df, trx)
-        out = self.plug.silver_transform(parsed)
-        for table, df in out.items():
-            # overwrite-by-epoch: replaying epoch N rewrites only its own dir
-            df.write.mode("overwrite").parquet(
-                os.path.join(self._table_dir(table), f"_epoch={epoch_id}")
-            )
-        head = parsed.agg(F.max("block_num").alias("b"), F.max("created").alias("t")).first()
+        # persist: the parse feeds one write per output table plus the
+        # head agg — the same N+1-scans-per-chunk defect review r9 fixed
+        # in PlugRunner.process_range, which this path had missed
+        parsed = parse_custom_json(batch_df, trx).persist()
+        try:
+            out = dict(self.plug.silver_transform(parsed))
+            # T14 parity with the batch runner: malformed-but-matched ops
+            # land in a queryable dead-letter table on the LIVE path too —
+            # a stream that silently drops evidence diverges from the
+            # backfill of the same log
+            out["_dead_letter"] = dead_letter(parsed, self.plug.cj_ids)
+            for table, df in out.items():
+                # overwrite-by-epoch: replaying epoch N rewrites only its own dir
+                df.write.mode("overwrite").parquet(
+                    os.path.join(self._table_dir(table), f"_epoch={epoch_id}")
+                )
+            head = parsed.agg(
+                F.max("block_num").alias("b"), F.max("created").alias("t")
+            ).first()
+        finally:
+            parsed.unpersist()
         state = self.store.load(self.plug.name)
         if head and head.b is not None:
+            # monotonic cursor AND time: a replayed epoch (restart after a
+            # crash between write and checkpoint commit) must not rewind
+            # either — the time previously rode every replay while the
+            # cursor held (the review-r9 batch fix, missed here), and a
+            # NULL created max must not kill the stream in foreachBatch
+            advanced = int(head.b) > state.latest_block_num
             state.latest_block_num = max(state.latest_block_num, int(head.b))
-            state.latest_block_time = head.t.strftime("%Y-%m-%dT%H:%M:%S")
+            if advanced and head.t is not None:
+                state.latest_block_time = head.t.strftime("%Y-%m-%dT%H:%M:%S")
         self.store.save(state)
 
     def start(self, ops_schema, available_now: bool = True) -> StreamingQuery:

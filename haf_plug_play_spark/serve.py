@@ -140,7 +140,10 @@ def api_routes(context: dict) -> dict[tuple[str, str], Callable]:
         return {
             "feed_updates": feed_updates,
             "iri": iri,
-            "time_since_last_update": since.seconds,  # podping.py:57-58
+            # .seconds (the <1-day component, not total_seconds) is BIT
+            # PARITY with the reference (podping.py:57-58), including its
+            # >24h wraparound quirk — deliberate, not an oversight here
+            "time_since_last_update": since.seconds,
         }
 
     def new_permlink(author: str, question: str):

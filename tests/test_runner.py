@@ -451,3 +451,46 @@ def test_replayed_chunk_does_not_rewind_block_time(spark, oplog, tmp_path):
     st2 = runner.store.load("polls")
     assert st2.latest_block_num == head_block
     assert st2.latest_block_time == head_time
+
+
+def test_streaming_dead_letter_and_replay_monotonicity(spark, oplog, tmp_path):
+    """Two r10 live-path fixes (parity with the review-r9 batch fixes):
+    (a) T14 on the stream — malformed-but-matched ops land in the same
+    queryable _dead_letter table the backfill writes, so live and batch
+    derivations of one log never diverge on evidence; (b) a REPLAYED
+    epoch (restart after a crash between write and checkpoint commit)
+    must rewind neither the cursor nor latest_block_time."""
+    from haf_plug_play_spark.ingest.envelope import dead_letter
+
+    ops_path, trx_path, lo, hi = oplog
+    srunner = StreamingPlugRunner(
+        spark, PLUGS["polls"], ops_path, trx_path, str(tmp_path)
+    )
+    q = srunner.start(fixtures.OPS_SCHEMA, available_now=True)
+    q.awaitTermination(120)
+
+    expected_dl = dead_letter(
+        parse_custom_json(
+            spark.read.parquet(ops_path), spark.read.parquet(trx_path)
+        ),
+        PLUGS["polls"].cj_ids,
+    )
+    _assert_same(
+        srunner.read_table("_dead_letter"), expected_dl, "_dead_letter"
+    )
+
+    # replay: re-process the FIRST blocks directly (what foreachBatch does
+    # on epoch retry) after the state has advanced past them
+    state = srunner.store.load("polls")
+    cursor, t = state.latest_block_num, state.latest_block_time
+    # the cursor tracks the max PARSED block (matched cj_ids), which may
+    # trail the raw log head by the unmatched tail — it must at least be
+    # far past the replay batch below
+    assert lo + 50 < cursor <= hi
+    old_batch = spark.read.parquet(ops_path).filter(
+        f"block_num <= {lo + 50}"
+    )
+    srunner._process_batch(old_batch, epoch_id=0)
+    state2 = srunner.store.load("polls")
+    assert state2.latest_block_num == cursor
+    assert state2.latest_block_time == t
