@@ -41,6 +41,11 @@ def running_user_state(events: DataFrame) -> DataFrame:
         (user_id,) = key
         n, total, last_id = state.get if state.exists else (0, 0.0, -1)
         for pdf in pdfs:
+            if not len(pdf):
+                # Arrow chunking may hand the iterator an empty frame;
+                # .max() of nothing is NaN and int(NaN) would kill the
+                # stream for this key
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
             batch_max = int(pdf["event_id"].max())
