@@ -2619,6 +2619,153 @@ def _cluster_best_sql() -> str:
     )
 
 
+# ------------------------------------------------------------ round-10 ops
+
+
+def xk_hll_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-shingle counts
+    (ext/sketch.py:hll_distinct_by_group) — the stratified sibling of
+    XK-hll: one sketch per source over the same 3-word shingle stream,
+    each certified against its own exact count at the paper's 4σ bound.
+    The whole sketch pass is one (source, register)-keyed
+    map-side-combinable aggregation (≤ sources × 256 rows), the corpus
+    composition dashboard's shape at 100 TB."""
+    from haf_plug_play_spark.ext import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - F.lit(2), F.lit(1))
+    )
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3))
+    )
+    items = docs.select("source", F.explode(shingles).alias("item"))
+    return sketch.hll_distinct_by_group(items)
+
+
+def _hll_strat_sql() -> str:
+    from haf_plug_play_spark.ext.sketch import hll_group_sql
+
+    item_sql = (
+        "SELECT source, unnest([array_to_string(ws[i:i+2], ' ') "
+        "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS item FROM "
+        "(SELECT source, string_split(lower(text), ' ') AS ws "
+        "FROM documents)"
+    )
+    return hll_group_sql(item_sql)
+
+
+def xd_split_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs (the XD-minhash-pairs
+    machinery) whose two documents land in DIFFERENT holdout splits under
+    the deterministic split assignment — the contamination a decontam
+    stage keyed on an external eval corpus cannot see (the test split is
+    carved from the training corpus itself, so a near-copy crossing the
+    boundary leaks test content into train). Because the split is a pure
+    function of the doc id (ext/sampling.py:split_assign), both sides'
+    splits are computed directly ON the bounded pair list — zero joins
+    beyond the pair generator's own banded candidates; scale cost equals
+    XD-minhash-pairs exactly."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    leak = sampling.split_assign(
+        pairs, "id_a", _SPLIT_FRACTIONS, seed=7
+    ).withColumnRenamed("split", "split_a")
+    leak = sampling.split_assign(
+        leak, "id_b", _SPLIT_FRACTIONS, seed=7
+    ).withColumnRenamed("split", "split_b")
+    return (
+        leak.filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _split_leak_sql() -> str:
+    from haf_plug_play_spark.ext.sampling import split_assign_sql
+
+    pairs = _minhash_pairs_sql(8, 4, 3, 0.5, 1).replace(
+        " ORDER BY p.id_a, p.id_b", ""
+    )
+    sa = split_assign_sql("id_a", _SPLIT_FRACTIONS, 7)
+    sb = split_assign_sql("id_b", _SPLIT_FRACTIONS, 7)
+    return (
+        f"WITH pr AS ({pairs}), "
+        f"sp AS (SELECT id_a, id_b, jaccard, {sa} AS split_a, {sb} AS split_b "
+        "FROM pr) "
+        "SELECT id_a, id_b, split_a, split_b, jaccard FROM sp "
+        "WHERE split_a <> split_b ORDER BY id_a, id_b"
+    )
+
+
+def xt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/Heaps corpus diagnostic: token and type totals, type-token
+    ratio, and the least-squares slope/R² of ln(frequency) on ln(rank)
+    over the word-frequency table — the standard sanity check that a
+    corpus (or a dedup/sampling stage's output) still has natural-language
+    frequency structure (slope ≈ −1 for clean text; a pipeline bug that
+    duplicates or truncates content bends it). Directly motivated by the
+    round-10 100× finding that n-gram table growth (vocabulary
+    saturation) is what keeps the trigram LM sub-linear — this query is
+    that saturation, measured.
+
+    Scale shape: word counts are one map-side-combinable hash agg to a
+    VOCABULARY-sized table (Heaps-law bounded — the same posture as every
+    LM count table here); the rank window and the regression moments run
+    over that bounded table, never the corpus. FP caveat: the moment sums
+    reassociate across the shuffle (the avg_logp caveat family, absorbed
+    by 6-dp rounding).
+
+    Output: one row (n_tokens, n_types, ttr, zipf_slope, zipf_r2)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.desc("c"), "w"))
+        .alias("r"),
+    ).select(
+        F.col("c"),
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("zipf_slope"),
+        F.round(
+            F.covar_pop("x", "y") * F.covar_pop("x", "y")
+            / (F.var_pop("x") * F.var_pop("y")),
+            6,
+        ).alias("zipf_r2"),
+    )
+
+
+def _zipf_sql() -> str:
+    return (
+        "WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w "
+        "FROM documents), "
+        "c AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1), "
+        "r AS (SELECT c, ln(CAST(row_number() OVER (ORDER BY c DESC, w) "
+        "AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM c) "
+        "SELECT CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_types, "
+        "round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr, "
+        "round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope, "
+        "round(covar_pop(x, y) * covar_pop(x, y) / (var_pop(x) * var_pop(y)), 6) "
+        "AS zipf_r2 FROM r"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -2716,6 +2863,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-minhash-sig": xd_minhash_sig,
     "XD-minhash-pairs": xd_minhash_pairs,
     "XD-simhash": xd_simhash,
+    # new in r10 (never driver-checked)
+    "XK-hll-strat": xk_hll_strat,
+    "XD-split-leak": xd_split_leak,
+    "XT-zipf": xt_zipf,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -2909,4 +3060,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
         "SELECT doc_id, source, n_tok, chunk_offset, "
         "CAST(floor(chunk_offset / 2048) AS BIGINT) AS chunk_id FROM r ORDER BY doc_id"
     ),
+    # new in r10
+    "XK-hll-strat": _hll_strat_sql(),
+    "XD-split-leak": _split_leak_sql(),
+    "XT-zipf": _zipf_sql(),
 }

@@ -289,26 +289,33 @@ def hll_observables(item: Column, p: int = 8) -> Column:
 
 
 def hll_register_estimate(
-    regs: DataFrame, p: int = 8, est_name: str = "_est"
+    regs: DataFrame,
+    p: int = 8,
+    est_name: str = "_est",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Cardinality estimate from a register table (_idx, _m), one row
     per NON-EMPTY register — the Flajolet et al. 2007 estimator with
     the exact-integer harmonic sum and the linear-counting small-range
     branch, factored out so any register producer (the batch sketch,
     a streaming max-aggregation) shares the identical arithmetic.
-    Returns one row (_used, <est_name>)."""
+    ``group_cols`` estimates per group (the register table then carries
+    those columns; one estimate row per group — the per-stratum sketch);
+    default is the single global estimate.
+    Returns (group_cols..., _used, <est_name>)."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
     # numerator of the raw estimate, scaled by 2^52 to match the integer
     # harmonic sum; folded to one double literal shared with the oracle
     num = alpha * m * m * float(1 << HLL_Y_BITS)
-    agg = regs.agg(
+    aggs = [
         F.count("*").alias("_used"),
         F.sum(
             F.pow(F.lit(2.0), (F.lit(HLL_Y_BITS) - F.col("_m")).cast("double"))
             .cast("bigint")
         ).alias("_s_used"),
-    )
+    ]
+    agg = regs.groupBy(*group_cols).agg(*aggs) if group_cols else regs.agg(*aggs)
     s_int = F.col("_s_used") + (F.lit(m) - F.col("_used")) * F.lit(
         1 << HLL_Y_BITS
     )
@@ -318,7 +325,7 @@ def hll_register_estimate(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
-    return agg.select(F.col("_used"), est.alias(est_name))
+    return agg.select(*(group_cols or []), F.col("_used"), est.alias(est_name))
 
 
 def hll_distinct(
@@ -399,6 +406,90 @@ def hll_distinct(
             (rel_err <= F.lit(sigma4)).alias("certified"),
             (F.col("_est") == F.col("_est_merged")).alias("merge_consistent"),
         )
+    )
+
+
+def hll_distinct_by_group(
+    items: DataFrame,
+    item_col: str = "item",
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct counts — the stratified form of
+    :func:`hll_distinct` (one sketch per source/language/domain), the
+    shape a corpus-composition dashboard actually wants: "distinct
+    shingles per source" over 100 TB without one count-distinct shuffle
+    per group over the raw stream.
+
+    Same observables, same exact-integer harmonic sum, same
+    linear-counting branch as the global sketch (shared helpers —
+    hll_observables / hll_register_estimate); the register table is just
+    keyed by (group, idx), so the whole sketch pass is ONE
+    map-side-combinable aggregation bounded by groups × m rows. The
+    exact distinct per group is computed alongside and the paper's
+    4σ bound certified per group, mirroring the global query's contract.
+
+    Output: (group_col, n_exact, hll_est, rel_err, n_registers_used,
+    certified) ordered by group_col.
+    """
+    m = 1 << p
+    sigma4 = 4.0 * 1.04 / (m ** 0.5)
+    hashed = hll_observables(F.col(item_col), p).alias("_o")
+    obs = items.select(F.col(group_col), hashed).select(
+        group_col, F.col("_o._idx").alias("_idx"), F.col("_o._rho").alias("_rho")
+    )
+    regs = obs.groupBy(group_col, "_idx").agg(F.max("_rho").alias("_m"))
+    ests = hll_register_estimate(regs, p, "_est", group_cols=[group_col])
+    exact = items.groupBy(group_col).agg(
+        F.countDistinct(item_col).alias("n_exact")
+    )
+    rel_err = F.abs(F.col("_est") / F.col("n_exact") - 1.0)
+    return (
+        exact.join(F.broadcast(ests), group_col)
+        .select(
+            F.col(group_col),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(F.col("_est"), 2).alias("hll_est"),
+            F.round(rel_err, 4).alias("rel_err"),
+            F.col("_used").cast("int").alias("n_registers_used"),
+            (rel_err <= F.lit(sigma4)).alias("certified"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def hll_group_sql(item_sql: str, group_col: str = "source", p: int = 8) -> str:
+    """DuckDB oracle for ``hll_distinct_by_group``: the per-group form of
+    ``hll_sql`` — same hash split, same integer harmonic sum, same
+    literals, same linear-counting branch, grouped."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << HLL_Y_BITS))
+    sigma4 = repr(4.0 * 1.04 / (m ** 0.5))
+    big = 1 << HLL_Y_BITS
+    x = md5_int_sql("item")
+    raw = f"({num} / CAST(s_used + ({m} - used) * {big} AS DOUBLE))"
+    return (
+        f"WITH items AS ({item_sql}), "
+        f"hx AS (SELECT {group_col} AS g, item AS it, "
+        f"CAST({x} % {m} AS INT) AS idx, ({x} >> {p}) AS y FROM items), "
+        "hd AS (SELECT DISTINCT g, it, idx, CASE WHEN y = 0 "
+        f"THEN {HLL_Y_BITS + 1} ELSE CAST(length(bin(y & (-y))) "
+        "AS INT) END AS rho FROM hx), "
+        "re AS (SELECT g, idx, max(rho) AS mj FROM hd GROUP BY 1, 2), "
+        "ga AS (SELECT g, count(*) AS used, CAST(sum(CAST(pow(2.0, "
+        f"CAST({HLL_Y_BITS} - mj AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_used "
+        "FROM re GROUP BY 1), "
+        f"est AS (SELECT g, used, CASE WHEN {raw} <= {2.5 * m!r} "
+        f"AND ({m} - used) > 0 THEN {float(m)!r} * ln({float(m)!r} / "
+        f"CAST({m} - used AS DOUBLE)) ELSE {raw} END AS est FROM ga), "
+        "ex AS (SELECT g, CAST(count(DISTINCT it) AS BIGINT) AS n_exact "
+        "FROM hd GROUP BY 1) "
+        f"SELECT ex.g AS {group_col}, n_exact, round(est, 2) AS hll_est, "
+        "round(abs(est / n_exact - 1.0), 4) AS rel_err, "
+        "CAST(used AS INT) AS n_registers_used, "
+        f"abs(est / n_exact - 1.0) <= {sigma4} AS certified "
+        f"FROM ex JOIN est ON ex.g = est.g ORDER BY ex.g"
     )
 
 

@@ -633,3 +633,40 @@ def test_dedup_decision_production_path_sort_free(spark):
     assert "rangepartitioning" not in prod.lower()
     oracle = _plan(dedup_decision(docs, pairs))
     assert "rangepartitioning" in oracle.lower()
+
+
+def test_hll_strat_bounded_aggs_no_smj(spark):
+    """Per-source HLL: register legs are keyed hash aggregations over the
+    raw hashed stream; the per-group estimate joins back BROADCAST
+    (groups x 256 rows) — never a sort-merge join."""
+    plan = _plan(EXT_QUERIES["XK-hll-strat"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_split_leak_adds_no_joins_over_pair_machinery(spark):
+    """The leakage audit computes both sides' splits as PURE PROJECTIONS
+    of the pair ids (split is a function of the id) — its plan must have
+    exactly the join count of the pair generator itself, and no
+    cartesian/nested-loop anywhere."""
+    leak = _plan(EXT_QUERIES["XD-split-leak"](spark, SF_ORACLE))
+    pairs = _plan(EXT_QUERIES["XD-minhash-pairs"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in leak
+    assert "BroadcastNestedLoopJoin" not in leak
+    import re
+
+    n_leak = len(re.findall(r"^\(\d+\) \w*Join", leak, re.M))
+    n_pairs = len(re.findall(r"^\(\d+\) \w*Join", pairs, re.M))
+    assert n_leak == n_pairs, (n_leak, n_pairs)
+
+
+def test_zipf_single_vocab_window(spark):
+    """Zipf fit: the corpus-sized work is ONE map-side-combinable word
+    count; the rank window and regression moments run over the
+    vocabulary-bounded table — exactly one Window node, aggregations
+    partial+final."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XT-zipf"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+    assert plan.count("HashAggregate") >= 2
