@@ -274,6 +274,13 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XK-hll": ("dedup", reg.xk_hll),
         "XP-pipeline5": ("vocab", reg.xp_pipeline5),
         "XP-pipeline6": ("vocab", reg.xp_pipeline6),
+        # round 10 additions: the per-stratum sketch should measure like
+        # XK-hll (register-bounded), the leakage audit like its pair
+        # generator (LSH-candidate-bounded), and the Zipf fit like the
+        # vocab-bounded LM count tables
+        "XK-hll-strat": ("dedup", reg.xk_hll_strat),
+        "XD-split-leak": ("dedup", reg.xd_split_leak),
+        "XT-zipf": ("dedup", reg.xt_zipf),
     }
 
 

@@ -44,12 +44,24 @@ def test_planted_structure_scales_linearly(exponents):
         if name == "XS-ivfadc":  # top-k: output is k at every scale
             assert e["rows_base"] == e["rows_big"] == 10
             continue
-        if name in ("XS-recall", "XK-hll", "XD-minhash-acc"):
+        if name in ("XS-recall", "XK-hll", "XD-minhash-acc", "XT-zipf"):
             # one summary row at every scale (recall report / sketch
-            # certification / estimator audit)
+            # certification / estimator audit / corpus diagnostic)
             assert e["rows_base"] == e["rows_big"] == 1
             continue
+        if name == "XK-hll-strat":
+            # one certification row per SOURCE — the generator's source
+            # count is fixed, so the stratified sketch's output is too
+            assert e["rows_base"] == e["rows_big"] > 1
+            continue
         ratio = e["rows_big"] / max(e["rows_base"], 1)
+        if name == "XD-split-leak":
+            # leak pairs = near-dup pairs × P(split boundary crossed):
+            # proportional in expectation, but the smoke scale's base
+            # count is single digits, so only the growth DIRECTION is a
+            # stable assertion here (the 10x harness run measured 23→255)
+            assert ratio >= 2.0, (name, e)
+            continue
         assert 2.0 <= ratio <= 8.0, (name, e)  # ~4x rows for 4x data
 
 
