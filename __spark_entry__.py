@@ -199,8 +199,17 @@ def _query_dep_files(
                     # last path component, import-free, so a module not
                     # yet loaded still counts (conservative: a stray
                     # attribute name matching a module adds an extra
-                    # dep, never loses one)
-                    full = _engine_module_index().get(co_name)
+                    # dep, never loses one). ABSOLUTE function-local
+                    # imports (`from haf_plug_play_spark.a.b import
+                    # fn`) put the FULL dotted path in co_names, which
+                    # the bare-name index never matches — resolve those
+                    # directly (closes the r10 blind spot that hid
+                    # streaming/*, operators/*, ext/sketch.py deps for
+                    # 8 queries).
+                    if co_name.startswith("haf_plug_play_spark."):
+                        full = co_name
+                    else:
+                        full = _engine_module_index().get(co_name)
                     if full is not None:
                         m = sys.modules.get(full)
                         if m is not None and hasattr(m, "__file__"):
@@ -208,7 +217,10 @@ def _query_dep_files(
                         else:
                             import importlib.util
 
-                            spec = importlib.util.find_spec(full)
+                            try:
+                                spec = importlib.util.find_spec(full)
+                            except (ImportError, ValueError):
+                                spec = None
                             if spec is not None and spec.origin:
                                 files.add(spec.origin)
             rel = {

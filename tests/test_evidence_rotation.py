@@ -208,6 +208,77 @@ def test_dep_discovery_resolves_unloaded_modules(monkeypatch):
     assert "haf_plug_play_spark/ext/classify.py" in deps["q"]
 
 
+def test_dep_discovery_resolves_dotted_absolute_imports():
+    """VERDICT r10 #2: `from haf_plug_play_spark.a.b import fn` puts the
+    FULL dotted path in co_names; the bare-name module index never
+    matches it, so 8 queries' implementation modules were invisible to
+    the git file signal. A synthetic wrapper using the absolute form
+    must now resolve to the module file."""
+    import os
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+
+    def q(spark, sf_dir):
+        from haf_plug_play_spark.streaming.stateful import (
+            running_user_state,
+        )
+
+        return running_user_state
+
+    deps = entry_mod._query_dep_files({"q": q}, repo)
+    assert "haf_plug_play_spark/streaming/stateful.py" in deps["q"]
+
+
+def test_dep_map_covers_the_eight_blind_spot_queries():
+    """VERDICT r10 #1 done-criterion: the real dep map must include the
+    implementation module for every query the dotted-import blind spot
+    hid (QSA, QSK, QSS, QSJ, QST, QSW, QJ8, QR1, XL-zorder)."""
+    import os
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    deps = entry_mod._query_dep_files(entry_mod.queries(), repo)
+    expect = {
+        "QSA-stream-stateful": "haf_plug_play_spark/streaming/stateful.py",
+        "QSK-stream-hll": "haf_plug_play_spark/ext/sketch.py",
+        "QSS-stream-dedup": "haf_plug_play_spark/streaming/dedup.py",
+        "QSJ-stream-join": "haf_plug_play_spark/streaming/joins.py",
+        "QST-stream-window": "haf_plug_play_spark/streaming/windowed.py",
+        "QSW-stream-session": "haf_plug_play_spark/streaming/windowed.py",
+        "QJ8-salted": "haf_plug_play_spark/operators/skew.py",
+        "QR1-range-join": "haf_plug_play_spark/operators/temporal.py",
+        "XL-zorder": "haf_plug_play_spark/operators/layout.py",
+    }
+    missing = {
+        qid: mod for qid, mod in expect.items() if mod not in deps.get(qid, ())
+    }
+    assert missing == {}, missing
+
+
+def test_editing_stateful_module_refronts_exactly_qsa():
+    """VERDICT r10 #1 regression: a commit touching streaming/stateful.py
+    after QSA's evidence was banked re-fronts exactly QSA via the git
+    file signal (hash signal neutralized; only stateful.py is 'newer')."""
+    import os
+
+    repo = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    q = entry_mod.queries()
+    names = list(q)
+    last = entry_mod._last_green_round()
+    dep_files = entry_mod._query_dep_files(q, repo)
+    file_ts = {"haf_plug_play_spark/streaming/stateful.py": 99_999}
+    row_ts = {rnd: 1_000 for rnd in set(last.values())}
+    changed = entry_mod._tier1_changed(
+        names,
+        last,
+        dep_files=dep_files,
+        file_ts=file_ts,
+        row_ts=row_ts,
+        banked_hashes={},
+        current_hashes={},
+    )
+    assert changed == {"QSA-stream-stateful"}
+
+
 # ------------------------------------------------- content-hash signal (r9)
 
 
@@ -319,7 +390,16 @@ def test_bank_covers_every_latest_green_query():
     """VERDICT r9 #1: the bank must hold an entry for EVERY query whose
     latest driver row is green — not just the latest window — so no
     query can lack a hash baseline. (The r5–r7 tail previously had none,
-    and registry-inlined wrappers then escaped BOTH rotation signals.)"""
+    and registry-inlined wrappers then escaped BOTH rotation signals.)
+
+    VERDICT r10 #1 / ADVICE r10: scope the assertion to the bank's own
+    round watermark. A query whose FIRST green row lands in the current
+    round's CORRECTNESS file cannot be banked until the next round's
+    bank run (the driver writes the file AFTER the final commit), so
+    names greener than every banked entry are exempt — the test stays a
+    tripwire for genuinely unbanked STALE queries without going red at
+    every round boundary that adds queries."""
+    import json
     import os
 
     import __spark_entry__ as e
@@ -328,10 +408,42 @@ def test_bank_covers_every_latest_green_query():
     banked = entry_mod._banked_evidence_hashes(repo)
     if not banked:
         return  # fresh clone before any banking — nothing to pin
+    try:
+        raw = json.loads(
+            open(os.path.join(repo, entry_mod.EVIDENCE_HASH_FILE)).read()
+        )
+        watermark = max(
+            v.get("round", 0) for v in raw.values() if isinstance(v, dict)
+        )
+    except (OSError, ValueError):
+        watermark = 0
     last = entry_mod._last_green_round()
     current = entry_mod._current_evidence_hashes(e.queries(), e.oracle_sql())
-    unbanked = {n for n in last if n in current and n not in banked}
+    unbanked = {
+        n
+        for n in last
+        if n in current and n not in banked and last[n] <= watermark
+    }
     assert unbanked == set(), sorted(unbanked)
+
+
+def test_bank_watermark_exempts_only_newer_rounds(tmp_path):
+    """The boundary guard above must exempt a query first-green in round
+    N+1 against a bank whose newest entry is round N — and must still
+    flag a round-≤N green query that is missing from the bank."""
+    import __spark_entry__ as e
+
+    (tmp_path / e.EVIDENCE_HASH_FILE).write_text(
+        '{"old_q": {"round": 9, "hash": "h1"}}'
+    )
+    banked = entry_mod._banked_evidence_hashes(str(tmp_path))
+    assert banked == {"old_q": "h1"}
+    last = {"old_q": 9, "brand_new_q": 10, "stale_missing_q": 8}
+    watermark = 9
+    unbanked = {
+        n for n in last if n not in banked and last[n] <= watermark
+    }
+    assert unbanked == {"stale_missing_q"}  # newcomer exempt, stale flagged
 
 
 def test_editing_registry_inlined_wrapper_refronts_exactly_it():
