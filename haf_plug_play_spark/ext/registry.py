@@ -2703,21 +2703,30 @@ def _split_leak_sql() -> str:
 
 def xt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf/Heaps corpus diagnostic: token and type totals, type-token
-    ratio, and the least-squares slope/R² of ln(frequency) on ln(rank)
-    over the word-frequency table — the standard sanity check that a
-    corpus (or a dedup/sampling stage's output) still has natural-language
-    frequency structure (slope ≈ −1 for clean text; a pipeline bug that
-    duplicates or truncates content bends it). Directly motivated by the
-    round-10 100× finding that n-gram table growth (vocabulary
-    saturation) is what keeps the trigram LM sub-linear — this query is
-    that saturation, measured.
+    ratio, and the weighted least-squares slope/R² of ln(frequency) on
+    ln(rank) fitted over the FREQUENCY HISTOGRAM — the standard sanity
+    check that a corpus (or a dedup/sampling stage's output) still has
+    natural-language frequency structure (slope ≈ −1 for clean text; a
+    pipeline bug that duplicates or truncates content bends it).
 
-    Scale shape: word counts are one map-side-combinable hash agg to a
-    VOCABULARY-sized table (Heaps-law bounded — the same posture as every
-    LM count table here); the rank window and the regression moments run
-    over that bounded table, never the corpus. FP caveat: the moment sums
-    reassociate across the shuffle (the avg_logp caveat family, absorbed
-    by 6-dp rounding).
+    Scale shape (restructured r11 — VERDICT r10 #3 killed the previous
+    unpartitioned ``row_number`` over the whole vocabulary): word counts
+    are one map-side-combinable hash agg to a vocabulary-sized table;
+    that table is then collapsed to the count-of-counts histogram
+    (c, n_types_with_c), which is PROVABLY ≤ √(2·n_tokens) rows — D
+    distinct counts are D distinct positive integers summing to
+    ≤ n_tokens, so D(D+1)/2 ≤ n_tokens (≈6.3M rows even at 2·10¹³
+    tokens). The one cumulative window runs over that √N-bounded
+    histogram, never the vocabulary; each tied-count group of n types
+    occupying ranks [prior+1, prior+n] enters the regression as one
+    point at its midpoint log-rank with weight n (binned-rank fit —
+    tied counts share y = ln c, so per-type rank order within a tie
+    carries no information). Moments are plain weighted sums → one
+    partial+final agg to a single row. FP caveat: the moment sums
+    reassociate across the shuffle (the avg_logp caveat family,
+    absorbed by 6-dp rounding). Degenerate corpora (≤1 distinct count,
+    e.g. every word unique) have zero rank variance → slope/R² are
+    NULL in both engines (guarded; ADVICE r10).
 
     Output: one row (n_tokens, n_types, ttr, zipf_slope, zipf_r2)."""
     from pyspark.sql import Window as W
@@ -2727,25 +2736,37 @@ def xt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
     ).filter(F.col("w") != "")
     counts = words.groupBy("w").agg(F.count("*").alias("c"))
-    ranked = counts.select(
-        "c",
-        F.row_number()
-        .over(W.orderBy(F.desc("c"), "w"))
-        .alias("r"),
-    ).select(
-        F.col("c"),
-        F.log(F.col("r").cast("double")).alias("x"),
+    hist = counts.groupBy("c").agg(F.count("*").alias("n"))
+    cum = W.orderBy(F.desc("c")).rowsBetween(W.unboundedPreceding, -1)
+    binned = hist.select(
+        F.col("n").cast("double").alias("wt"),
+        F.log(
+            F.coalesce(F.sum("n").over(cum), F.lit(0))
+            + (F.col("n") + 1) / 2.0
+        ).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
+        (F.col("c") * F.col("n")).alias("tok"),
     )
-    return ranked.agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.count("*").cast("long").alias("n_types"),
-        F.round(F.count("*") / F.sum("c"), 6).alias("ttr"),
-        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 6).alias("zipf_slope"),
+    m = binned.agg(
+        F.sum("tok").alias("tok"),
+        F.sum("wt").alias("s"),
+        F.sum(F.col("wt") * F.col("x")).alias("sx"),
+        F.sum(F.col("wt") * F.col("y")).alias("sy"),
+        F.sum(F.col("wt") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("wt") * F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("wt") * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    s = F.col("s")
+    cov = F.col("sxy") / s - (F.col("sx") / s) * (F.col("sy") / s)
+    varx = F.col("sxx") / s - (F.col("sx") / s) * (F.col("sx") / s)
+    vary = F.col("syy") / s - (F.col("sy") / s) * (F.col("sy") / s)
+    return m.select(
+        F.col("tok").cast("long").alias("n_tokens"),
+        s.cast("long").alias("n_types"),
+        F.round(s / F.col("tok"), 6).alias("ttr"),
+        F.round(F.when(varx > 0, cov / varx), 6).alias("zipf_slope"),
         F.round(
-            F.covar_pop("x", "y") * F.covar_pop("x", "y")
-            / (F.var_pop("x") * F.var_pop("y")),
-            6,
+            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
         ).alias("zipf_r2"),
     )
 
@@ -2755,14 +2776,25 @@ def _zipf_sql() -> str:
         "WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w "
         "FROM documents), "
         "c AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1), "
-        "r AS (SELECT c, ln(CAST(row_number() OVER (ORDER BY c DESC, w) "
-        "AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM c) "
-        "SELECT CAST(sum(c) AS BIGINT) AS n_tokens, "
-        "CAST(count(*) AS BIGINT) AS n_types, "
-        "round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr, "
-        "round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope, "
-        "round(covar_pop(x, y) * covar_pop(x, y) / (var_pop(x) * var_pop(y)), 6) "
-        "AS zipf_r2 FROM r"
+        "h AS (SELECT c, count(*) AS n FROM c GROUP BY 1), "
+        "b AS (SELECT CAST(n AS DOUBLE) AS wt, "
+        "ln(CAST(coalesce(sum(n) OVER (ORDER BY c DESC ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + (n + 1) / 2.0 "
+        "AS DOUBLE)) AS x, "
+        "ln(CAST(c AS DOUBLE)) AS y, c * n AS tok FROM h), "
+        "m AS (SELECT sum(tok) AS tok, sum(wt) AS s, sum(wt * x) AS sx, "
+        "sum(wt * y) AS sy, sum(wt * x * x) AS sxx, sum(wt * y * y) AS syy, "
+        "sum(wt * x * y) AS sxy FROM b) "
+        "SELECT CAST(tok AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS n_types, "
+        "round(s / CAST(tok AS DOUBLE), 6) AS ttr, "
+        "round(CASE WHEN sxx / s - (sx / s) * (sx / s) > 0 THEN "
+        "(sxy / s - (sx / s) * (sy / s)) / (sxx / s - (sx / s) * (sx / s)) "
+        "END, 6) AS zipf_slope, "
+        "round(CASE WHEN sxx / s - (sx / s) * (sx / s) > 0 AND "
+        "syy / s - (sy / s) * (sy / s) > 0 THEN "
+        "(sxy / s - (sx / s) * (sy / s)) * (sxy / s - (sx / s) * (sy / s)) / "
+        "((sxx / s - (sx / s) * (sx / s)) * (syy / s - (sy / s) * (sy / s))) "
+        "END, 6) AS zipf_r2 FROM m"
     )
 
 

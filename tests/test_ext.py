@@ -2024,3 +2024,29 @@ def test_connected_components_reliable_checkpoint_equivalence(spark, tmp_path):
     fast = dedup_decision(docs, pairs).collect()
     durable = dedup_decision(docs, pairs, reliable_checkpoint=True).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, durable))
+
+
+def test_zipf_degenerate_vocabulary_is_null_in_both_engines(tmp_path, spark):
+    """ADVICE r10: on a corpus whose histogram has ≤1 distinct count
+    (every word unique → zero rank variance) the slope/R² division is
+    degenerate; without the guard Spark yields NULL while DuckDB yields
+    NaN/inf — the engines disagree exactly on the pathological input the
+    diagnostic exists to flag. Both must return NULL."""
+    import pandas as pd
+
+    pd.DataFrame({"text": ["alpha beta", "gamma delta"]}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    row = EXT_QUERIES["XT-zipf"](spark, str(tmp_path)).collect()[0]
+    assert (row.n_tokens, row.n_types) == (4, 4)
+    assert row.zipf_slope is None and row.zipf_r2 is None
+    import duckdb
+
+    con = duckdb.connect()  # own catalog: never clobber the shared fixture
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    o = con.execute(EXT_ORACLE_SQL["XT-zipf"]).fetchall()[0]
+    assert (o[0], o[1]) == (4, 4)
+    assert o[3] is None and o[4] is None
