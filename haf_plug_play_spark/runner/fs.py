@@ -41,6 +41,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from py4j.protocol import Py4JError
 
@@ -652,7 +653,14 @@ class HadoopFS:
         # Object stores without atomic rename fall back to delete+rename;
         # there the store's own overwrite PUT (via ObjectStoreFS) is the
         # right seam anyway.
-        tmp = path + ".tmp"
+        # Unique per-call staged name (ADVICE r10): with a FIXED tmp name
+        # two accidental concurrent writers share the staged path, so a
+        # peer's rename produces the same "tmp gone + target exists"
+        # signature and this call would silently return success with the
+        # OTHER writer's bytes. A per-call suffix makes that signature
+        # provably mean THIS call's rename landed; single-writer
+        # semantics stay honest under accidental concurrency.
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
         out = self._fs(tmp).create(self._path(tmp), True)
         try:
             out.write(bytearray(data))

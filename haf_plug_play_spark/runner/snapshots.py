@@ -237,8 +237,33 @@ def _commit(
     schema_entries = [
         [f.name, f.dataType.simpleString()] for f in df.schema.fields
     ]
-    if inherit_dirs and cur is not None and cur.get("schema"):
-        parent = {name: typ for name, typ in cur["schema"]}
+    if inherit_dirs and cur is not None:
+        # the inherited column map. A post-r11 parent manifest is stamped
+        # schema_covers_chain and its recorded schema IS the chain union;
+        # a legacy parent (pre-union or pre-stamp) recorded only its own
+        # batch's columns, so trusting it could still drop a GRANDPARENT
+        # column (ADVICE r10) — walk the committed chain once and union
+        # every ancestor's recorded schema, oldest first (stable column
+        # order; ancestor type disagreement means the chain's reads are
+        # already broken → loud, same posture as the batch check below).
+        if cur.get("schema") and cur.get("schema_covers_chain"):
+            parent_entries = [list(e) for e in cur["schema"]]
+        else:
+            parent_entries = []
+            seen: dict[str, str] = {}
+            for _, anc in reversed(_committed_chain_named(table_dir, fs)):
+                for name, typ in anc.get("schema") or []:
+                    if name not in seen:
+                        seen[name] = typ
+                        parent_entries.append([name, typ])
+                    elif seen[name] != typ:
+                        raise ValueError(
+                            f"inherited chain disagrees on column "
+                            f"'{name}' ({seen[name]} vs {typ}); the "
+                            "earlier files cannot all be read with one "
+                            "type — compact the table before appending"
+                        )
+        parent = {name: typ for name, typ in parent_entries}
         for name, typ in schema_entries:
             if name in parent and parent[name] != typ:
                 raise ValueError(
@@ -247,7 +272,7 @@ def _commit(
                     "supported on an inherited data chain (the earlier "
                     "files cannot be read with the new type)"
                 )
-        schema_entries = [list(e) for e in cur["schema"]] + [
+        schema_entries = parent_entries + [
             e for e in schema_entries if e[0] not in parent
         ]
     known = _manifest_ids(table_dir, fs)
@@ -271,6 +296,12 @@ def _commit(
             expected.decode("utf-8").strip() if expected is not None else None
         ),
         "schema": schema_entries,
+        # stamp: this manifest's schema is the union over its whole
+        # inherited chain (true by construction above for appends; a
+        # full commit/compaction replaces data_dirs so its own schema
+        # trivially covers them) — lets the next append trust it
+        # instead of re-walking the chain
+        "schema_covers_chain": True,
         "committed_utc": datetime.now(timezone.utc).isoformat(),
     }
     if batch_id is not None:

@@ -231,3 +231,43 @@ def test_write_bytes_atomic_portable_fallback_and_loud_losses(spark, tmp_path):
             hfs.write_bytes_atomic(str(tmp_path / "c"), b"x")
     finally:
         HadoopFS._filecontext_rename = real
+
+
+def test_write_bytes_atomic_staged_name_unique_per_call(spark, tmp_path):
+    """ADVICE r10: with a FIXED staged name (path + '.tmp'), a concurrent
+    writer of the same target consumes OUR staged file; its rename then
+    forges the 'tmp gone + target exists' commit signature and this call
+    silently returns success with the PEER's bytes. The staged name is
+    now unique per call, so a peer racing on the same target cannot
+    touch our staged file — after our rename raises without landing, the
+    portable fallback still commits OUR bytes over the peer's."""
+    from py4j.protocol import Py4JError
+
+    hfs = HadoopFS(spark)
+    target = str(tmp_path / "ptr")
+    real = HadoopFS._filecontext_rename
+    staged = []
+
+    def peer_wins_then_raise(self, tmp, path):
+        staged.append(tmp)
+        # a concurrent writer commits the same target mid-flight
+        real_write = HadoopFS.write_bytes_atomic
+        HadoopFS._filecontext_rename = real
+        try:
+            real_write(hfs, path, b"peer")
+        finally:
+            HadoopFS._filecontext_rename = peer_wins_then_raise
+        raise Py4JError("our rename failed")
+
+    try:
+        HadoopFS._filecontext_rename = peer_wins_then_raise
+        hfs.write_bytes_atomic(target, b"ours")
+    finally:
+        HadoopFS._filecontext_rename = real
+    # our staged file was untouched by the peer, so the fallback renamed
+    # OUR bytes into place (the fixed-name regression returned b"peer")
+    assert hfs.read_bytes(target) == b"ours"
+    # and the staged names are per-call unique, never the bare path+.tmp
+    hfs.write_bytes_atomic(target, b"v2")
+    assert staged[0] != target + ".tmp"
+    assert not hfs.exists(target + ".tmp")

@@ -646,3 +646,80 @@ def test_append_type_change_fails_at_commit(spark, fs, tmp_path):
     # not leave an orphan data dir per retry
     if os.path.isdir(os.path.join(t, "data")):
         assert len(os.listdir(os.path.join(t, "data"))) == 1
+
+
+def _legacyize_head(table_dir, fs, keep_cols):
+    """Rewrite the head manifest as a pre-r11 one: batch-only schema,
+    no schema_covers_chain stamp — simulating a chain committed before
+    the union format existed."""
+    import json
+
+    name = sn._current_name(table_dir, fs)
+    mpath = os.path.join(table_dir, "manifests", name)
+    m = json.loads(fs.read_bytes(mpath).decode("utf-8"))
+    m["schema"] = [e for e in m["schema"] if e[0] in keep_cols]
+    m.pop("schema_covers_chain", None)
+    fs.write_bytes_atomic(mpath, json.dumps(m, indent=1).encode("utf-8"))
+
+
+def test_append_on_legacy_chain_unions_grandparent_schema(spark, fs, tmp_path):
+    """ADVICE r10: manifests committed before the union format recorded
+    only their own batch's schema, so trusting the immediate parent's
+    recorded schema could still drop a GRANDPARENT column. An append on
+    such a chain must walk the committed chain and union every
+    ancestor's schema — and stamp the result so the next append trusts
+    it without re-walking."""
+    t = str(tmp_path / "tbl")
+    wide = _df(spark, 1, rows=4).withColumn("medium", F.lit("podcast"))
+    sn.append_snapshot(spark, wide, t, fs, batch_id=0)
+    sn.append_snapshot(spark, _df(spark, 2, rows=6), t, fs, batch_id=1)
+    # head now records the union; strip it back to the legacy shape
+    _legacyize_head(t, fs, keep_cols={"id", "v"})
+    m = sn.append_snapshot(spark, _df(spark, 3, rows=2), t, fs, batch_id=2)
+    assert ["medium", "string"] in m["schema"]
+    assert m["schema_covers_chain"] is True
+    got = sn.read_snapshot(spark, t, fs)
+    rows = got.collect()
+    assert len(rows) == 12
+    assert sum(1 for r in rows if r.medium == "podcast") == 4
+
+
+def test_append_on_legacy_chain_rejects_grandparent_type_conflict(
+    spark, fs, tmp_path
+):
+    """A batch whose type conflicts with a GRANDPARENT column (which the
+    legacy parent manifest never recorded) must fail at commit, not
+    land a snapshot whose reads die on the old files."""
+    t = str(tmp_path / "tbl")
+    wide = _df(spark, 1, rows=4).withColumn("medium", F.lit("podcast"))
+    sn.append_snapshot(spark, wide, t, fs, batch_id=0)
+    sn.append_snapshot(spark, _df(spark, 2, rows=6), t, fs, batch_id=1)
+    _legacyize_head(t, fs, keep_cols={"id", "v"})
+    retyped = _df(spark, 3, rows=2).withColumn("medium", F.lit(7))
+    with pytest.raises(ValueError, match="type evolution"):
+        sn.append_snapshot(spark, retyped, t, fs, batch_id=2)
+    # chain unchanged, no orphan data dir beyond the two committed ones
+    assert sn.read_snapshot(spark, t, fs).count() == 10
+
+
+def test_append_on_internally_conflicting_legacy_chain_is_loud(
+    spark, fs, tmp_path
+):
+    """Ancestors that DISAGREE among themselves (a pre-union chain that
+    silently committed a type change) are unreadable however the append
+    resolves them — the walk must raise, pointing at compaction, never
+    pick a winner silently."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    sn.append_snapshot(spark, _df(spark, 1, rows=4), t, fs, batch_id=0)
+    sn.append_snapshot(spark, _df(spark, 2, rows=6), t, fs, batch_id=1)
+    # forge ancestor disagreement on v's type plus a legacy head
+    name = sn._current_name(t, fs)
+    mpath = os.path.join(t, "manifests", name)
+    m = json.loads(fs.read_bytes(mpath).decode("utf-8"))
+    m["schema"] = [["id", "bigint"], ["v", "string"]]
+    m.pop("schema_covers_chain", None)
+    fs.write_bytes_atomic(mpath, json.dumps(m, indent=1).encode("utf-8"))
+    with pytest.raises(ValueError, match="disagrees on column"):
+        sn.append_snapshot(spark, _df(spark, 3, rows=2), t, fs, batch_id=2)
