@@ -2798,6 +2798,191 @@ def _zipf_sql() -> str:
     )
 
 
+def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix from mergeable HLL sketches
+    (ext/sketch.py:hll_overlap) — per unordered source pair, the union
+    cardinality from a true merged sketch (register max), the
+    intersection by inclusion–exclusion, and the Jaccard estimate,
+    each beside its exact counterpart. The mixture-composition question
+    ("how much of source B is new over source A?") at 100 TB: one
+    map-side-combinable register pass, then everything pairwise runs on
+    ≤ sources × 256 broadcast rows; the exact legs are the droppable
+    certification, as in XK-hll."""
+    from haf_plug_play_spark.ext import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - F.lit(2), F.lit(1))
+    )
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3))
+    )
+    items = docs.select("source", F.explode(shingles).alias("item"))
+    return sketch.hll_overlap(items)
+
+
+def _hll_overlap_sql() -> str:
+    from haf_plug_play_spark.ext.sketch import hll_overlap_sql
+
+    item_sql = (
+        "SELECT source, unnest([array_to_string(ws[i:i+2], ' ') "
+        "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS item FROM "
+        "(SELECT source, string_split(lower(text), ' ') AS ws "
+        "FROM documents)"
+    )
+    return hll_overlap_sql(item_sql)
+
+
+def xd_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: near-duplicate pairs (the
+    XD-minhash-pairs banded machinery) whose two documents come from
+    DIFFERENT sources, aggregated per unordered source pair with the
+    mean candidate Jaccard — the report that tells a mixture designer
+    which corpora overlap before weights are chosen (a benchmark suite
+    leaking into a crawl shows up as a hot cell here). Unlike
+    XD-split-leak's split (a pure function of the id), the source lives
+    on the document row, so each pair side joins back to (doc_id,
+    source) — two keyed joins whose probe side is the BOUNDED candidate
+    list, never a pair blow-up; scale cost is XD-minhash-pairs plus two
+    bounded joins."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    lab = pairs.join(
+        src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+            "source", "_sa"
+        ),
+        "id_a",
+    ).join(
+        src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+            "source", "_sb"
+        ),
+        "id_b",
+    )
+    return (
+        lab.filter(F.col("_sa") != F.col("_sb"))
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _source_leak_sql() -> str:
+    pairs = _minhash_pairs_sql(8, 4, 3, 0.5, 1).replace(
+        " ORDER BY p.id_a, p.id_b", ""
+    )
+    return (
+        f"WITH pr AS ({pairs}), "
+        "lab AS (SELECT least(da.source, db.source) AS source_a, "
+        "greatest(da.source, db.source) AS source_b, pr.jaccard "
+        "FROM pr JOIN documents da ON da.doc_id = pr.id_a "
+        "JOIN documents db ON db.doc_id = pr.id_b "
+        "WHERE da.source <> db.source) "
+        "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "round(avg(jaccard), 6) AS avg_jaccard FROM lab "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+def xa_topk_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum top-k selection (quota curation: the k longest
+    documents of every source) via the two-phase distributed top-k —
+    a local row_number per (source, input partition) prunes each
+    partition to ≤ k candidates BEFORE the per-source rank, so the
+    final per-source window handles ≤ k × partitions rows instead of
+    the stratum's full corpus slice. The single-phase form
+    (row_number over partitionBy(source) on the raw rows) funnels each
+    source's entire 100 TB slice through one task — exactly the
+    XT-zipf-r10 shape this repo bans; the two-phase result is
+    IDENTICAL because any global top-k row is also in its own
+    partition's top-k, and the (score, doc_id) tiebreak makes the
+    output deterministic under any partitioning."""
+    from pyspark.sql import Window as W
+
+    k = 10
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w_local = W.partitionBy("source", F.spark_partition_id()).orderBy(*order)
+    local = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_local).alias("_lr"),
+    ).filter(F.col("_lr") <= k)
+    w_final = W.partitionBy("source").orderBy(*order)
+    return (
+        local.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w_final).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("source", "rank")
+    )
+
+
+def _topk_strat_sql() -> str:
+    return (
+        "WITH r AS (SELECT source, doc_id, n_chars, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id) AS rank FROM documents) "
+        "SELECT source, doc_id, n_chars, CAST(rank AS INT) AS rank "
+        "FROM r WHERE rank <= 10 ORDER BY source, rank"
+    )
+
+
+def xt_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility report per (source, lang): BPE-ish regex
+    tokens per whitespace word (fertility — the standard tokenizer-fit
+    metric for mixture decisions; a language the tokenizer fits badly
+    shows fertility ≫ 1) and characters per token. One keyed
+    map-side-combinable aggregation over per-document codegen
+    expressions (regexp_count / length) — no explode, no UDF; the
+    per-(source, lang) output is strata-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        xt.n_tokens_re(F.col("text")).alias("_re"),
+        xt.n_tokens_ws(F.col("text")).alias("_ws"),
+        F.length("text").cast("long").alias("_ch"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_re").cast("long").alias("n_tokens"),
+            F.round(F.sum("_re") / F.sum("_ws"), 6).alias("fertility_ws"),
+            F.round(F.sum("_ch") / F.sum("_re"), 6).alias("chars_per_token"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _fertility_sql() -> str:
+    return (
+        "WITH per AS (SELECT source, lang, "
+        f"len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_re, "
+        "length(text) - length(replace(text, ' ', '')) + 1 AS n_ws, "
+        "length(text) AS n_ch FROM documents) "
+        "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_re) AS BIGINT) AS n_tokens, "
+        "round(sum(n_re) / CAST(sum(n_ws) AS DOUBLE), 6) AS fertility_ws, "
+        "round(sum(n_ch) / CAST(sum(n_re) AS DOUBLE), 6) AS chars_per_token "
+        "FROM per GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -2899,6 +3084,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XK-hll-strat": xk_hll_strat,
     "XD-split-leak": xd_split_leak,
     "XT-zipf": xt_zipf,
+    # new in r11 (never driver-checked)
+    "XK-hll-overlap": xk_hll_overlap,
+    "XD-source-leak": xd_source_leak,
+    "XA-topk-strat": xa_topk_strat,
+    "XT-fertility": xt_fertility,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3096,4 +3286,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XK-hll-strat": _hll_strat_sql(),
     "XD-split-leak": _split_leak_sql(),
     "XT-zipf": _zipf_sql(),
+    "XK-hll-overlap": _hll_overlap_sql(),
+    "XD-source-leak": _source_leak_sql(),
+    "XA-topk-strat": _topk_strat_sql(),
+    "XT-fertility": _fertility_sql(),
 }

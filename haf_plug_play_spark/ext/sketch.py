@@ -556,6 +556,190 @@ def hll_sql(item_sql: str, p: int = 8, merge: bool = True) -> str:
     )
 
 
+def hll_overlap(
+    items: DataFrame,
+    item_col: str = "item",
+    group_col: str = "source",
+    p: int = 8,
+) -> DataFrame:
+    """Cross-group overlap matrix from MERGEABLE HLL sketches — the
+    mixture-decision question ("how much of source B is already in
+    source A?") answered without ever joining the raw item streams:
+    per-group register vectors (the same one map-side-combinable pass
+    as :func:`hll_distinct_by_group`) pairwise-merge by register max
+    into a true union sketch per (a, b); |A∩B| follows by
+    inclusion–exclusion and the Jaccard estimate by division. The union
+    estimate is a real HLL estimate, so the paper's 4σ bound certifies
+    it per pair; the intersection carries NO distribution-free bound
+    (standard I-E caveat — its error is relative to the UNION size), so
+    it is reported, not certified.
+
+    Scale contract: everything after the one raw-stream register pass
+    operates on ≤ groups × m rows — the pair fan-out joins broadcast the
+    (tiny) pair list, never shuffle registers by item. The exact legs
+    (per-group distinct counts + the pairwise item self-join) exist only
+    to certify at test SF and are the part you DROP at 100 TB, exactly
+    the XK-hll contract.
+
+    Output per unordered pair (a < b): (source_a, source_b,
+    n_union_exact, union_est, n_inter_exact, inter_est, jaccard_exact,
+    jaccard_est, union_certified), ordered by (source_a, source_b)."""
+    m = 1 << p
+    sigma4 = 4.0 * 1.04 / (m ** 0.5)
+    hashed = hll_observables(F.col(item_col), p).alias("_o")
+    obs = items.select(F.col(group_col), hashed).select(
+        group_col, F.col("_o._idx").alias("_idx"), F.col("_o._rho").alias("_rho")
+    )
+    regs = obs.groupBy(group_col, "_idx").agg(F.max("_rho").alias("_m"))
+    ests = hll_register_estimate(regs, p, "_est", group_cols=[group_col])
+    srcs = regs.select(group_col).distinct()
+    pairs = (
+        srcs.withColumnRenamed(group_col, "source_a")
+        .crossJoin(F.broadcast(srcs.withColumnRenamed(group_col, "source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    # union sketch per pair: registers replicated to each pair they
+    # belong to (two broadcast equi-joins — no OR-join, no BNLJ), then
+    # per-(a, b, idx) max — the HLL merge operation itself
+    m1 = regs.join(
+        F.broadcast(pairs), regs[group_col] == pairs["source_a"]
+    ).select("source_a", "source_b", "_idx", "_m")
+    m2 = regs.join(
+        F.broadcast(pairs), regs[group_col] == pairs["source_b"]
+    ).select("source_a", "source_b", "_idx", "_m")
+    merged = (
+        m1.unionByName(m2)
+        .groupBy("source_a", "source_b", "_idx")
+        .agg(F.max("_m").alias("_m"))
+    )
+    est_u = hll_register_estimate(
+        merged, p, "_est_u", group_cols=["source_a", "source_b"]
+    ).drop("_used")
+    ea = ests.select(
+        F.col(group_col).alias("source_a"), F.col("_est").alias("_est_a")
+    )
+    eb = ests.select(
+        F.col(group_col).alias("source_b"), F.col("_est").alias("_est_b")
+    )
+    # exact certification legs (droppable at scale)
+    d = items.select(group_col, item_col).distinct()
+    n_by = d.groupBy(group_col).agg(F.count("*").alias("_n"))
+    na = n_by.select(
+        F.col(group_col).alias("source_a"), F.col("_n").alias("_n_a")
+    )
+    nb = n_by.select(
+        F.col(group_col).alias("source_b"), F.col("_n").alias("_n_b")
+    )
+    x = d.select(F.col(group_col).alias("source_a"), F.col(item_col).alias("_it"))
+    y = d.select(F.col(group_col).alias("source_b"), F.col(item_col).alias("_it"))
+    inter = (
+        x.join(y, "_it")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("_n_inter"))
+    )
+    out = (
+        pairs.join(F.broadcast(est_u), ["source_a", "source_b"])
+        .join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .withColumn("_n_inter", F.coalesce(F.col("_n_inter"), F.lit(0)))
+    )
+    union_exact = F.col("_n_a") + F.col("_n_b") - F.col("_n_inter")
+    inter_est = F.greatest(
+        F.lit(0.0), F.col("_est_a") + F.col("_est_b") - F.col("_est_u")
+    )
+    rel = F.abs(F.col("_est_u") / union_exact.cast("double") - 1.0)
+    return (
+        out.select(
+            "source_a",
+            "source_b",
+            union_exact.cast("long").alias("n_union_exact"),
+            F.round("_est_u", 2).alias("union_est"),
+            F.col("_n_inter").cast("long").alias("n_inter_exact"),
+            F.round(inter_est, 2).alias("inter_est"),
+            F.round(
+                F.col("_n_inter") / union_exact.cast("double"), 6
+            ).alias("jaccard_exact"),
+            F.round(inter_est / F.col("_est_u"), 6).alias("jaccard_est"),
+            (rel <= F.lit(sigma4)).alias("union_certified"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def hll_overlap_sql(item_sql: str, group_col: str = "source", p: int = 8) -> str:
+    """DuckDB oracle for :func:`hll_overlap`: same hash split, same
+    integer harmonic sum, same literals, same linear-counting branch —
+    per-group AND per-pair-merged — plus the exact inclusion–exclusion
+    legs, so both engines compute bit-identical estimates from
+    identical registers."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = repr(alpha * m * m * float(1 << HLL_Y_BITS))
+    sigma4 = repr(4.0 * 1.04 / (m ** 0.5))
+    big = 1 << HLL_Y_BITS
+    x = md5_int_sql("item")
+
+    def est(used: str, s_used: str) -> str:
+        raw = f"({num} / CAST({s_used} + ({m} - {used}) * {big} AS DOUBLE))"
+        return (
+            f"CASE WHEN {raw} <= {2.5 * m!r} AND ({m} - {used}) > 0 "
+            f"THEN {float(m)!r} * ln({float(m)!r} / "
+            f"CAST({m} - {used} AS DOUBLE)) ELSE {raw} END"
+        )
+
+    hsum = (
+        f"CAST(sum(CAST(pow(2.0, CAST({HLL_Y_BITS} - mj AS DOUBLE)) "
+        "AS BIGINT)) AS BIGINT)"
+    )
+    return (
+        f"WITH items AS ({item_sql}), "
+        f"hx AS (SELECT {group_col} AS g, item AS it, "
+        f"CAST({x} % {m} AS INT) AS idx, ({x} >> {p}) AS y FROM items), "
+        "hd AS (SELECT DISTINCT g, it, idx, CASE WHEN y = 0 "
+        f"THEN {HLL_Y_BITS + 1} ELSE CAST(length(bin(y & (-y))) "
+        "AS INT) END AS rho FROM hx), "
+        "re AS (SELECT g, idx, max(rho) AS mj FROM hd GROUP BY 1, 2), "
+        f"ga AS (SELECT g, count(*) AS used, {hsum} AS s_used "
+        "FROM re GROUP BY 1), "
+        f"es AS (SELECT g, {est('used', 's_used')} AS est FROM ga), "
+        "pr AS (SELECT a.g AS sa, b.g AS sb FROM (SELECT DISTINCT g FROM re) a "
+        "JOIN (SELECT DISTINCT g FROM re) b ON a.g < b.g), "
+        "mre AS (SELECT pr.sa, pr.sb, re.idx, max(re.mj) AS mj FROM pr "
+        "JOIN re ON re.g = pr.sa OR re.g = pr.sb GROUP BY 1, 2, 3), "
+        f"mga AS (SELECT sa, sb, count(*) AS used, {hsum} AS s_used "
+        "FROM mre GROUP BY 1, 2), "
+        f"mes AS (SELECT sa, sb, {est('used', 's_used')} AS est_u FROM mga), "
+        "nb AS (SELECT g, CAST(count(DISTINCT it) AS BIGINT) AS n "
+        "FROM hd GROUP BY 1), "
+        "di AS (SELECT DISTINCT g, it FROM hd), "
+        "itx AS (SELECT x.g AS sa, y.g AS sb, CAST(count(*) AS BIGINT) "
+        "AS n_inter FROM di x JOIN di y ON x.it = y.it AND x.g < y.g "
+        "GROUP BY 1, 2), "
+        "j AS (SELECT pr.sa, pr.sb, mes.est_u, ea.est AS est_a, "
+        "eb.est AS est_b, na.n AS n_a, nbx.n AS n_b, "
+        "coalesce(itx.n_inter, 0) AS n_inter FROM pr "
+        "JOIN mes ON mes.sa = pr.sa AND mes.sb = pr.sb "
+        "JOIN es ea ON ea.g = pr.sa JOIN es eb ON eb.g = pr.sb "
+        "JOIN nb na ON na.g = pr.sa JOIN nb nbx ON nbx.g = pr.sb "
+        "LEFT JOIN itx ON itx.sa = pr.sa AND itx.sb = pr.sb) "
+        "SELECT sa AS source_a, sb AS source_b, "
+        "CAST(n_a + n_b - n_inter AS BIGINT) AS n_union_exact, "
+        "round(est_u, 2) AS union_est, "
+        "CAST(n_inter AS BIGINT) AS n_inter_exact, "
+        "round(greatest(0.0, est_a + est_b - est_u), 2) AS inter_est, "
+        "round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) "
+        "AS jaccard_exact, "
+        "round(greatest(0.0, est_a + est_b - est_u) / est_u, 6) "
+        "AS jaccard_est, "
+        f"abs(est_u / CAST(n_a + n_b - n_inter AS DOUBLE) - 1.0) <= {sigma4} "
+        "AS union_certified FROM j ORDER BY sa, sb"
+    )
+
+
 # --------------------------------------------------- log-linear quantiles
 
 QUANTILE_TARGETS = ((1, 2), (9, 10), (99, 100))  # q = num/den: p50, p90, p99

@@ -281,6 +281,15 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XK-hll-strat": ("dedup", reg.xk_hll_strat),
         "XD-split-leak": ("dedup", reg.xd_split_leak),
         "XT-zipf": ("dedup", reg.xt_zipf),
+        # round 11 additions: the overlap matrix should measure like
+        # XK-hll-strat (register-bounded after one raw pass), the
+        # cross-source leak like its pair generator, the stratified
+        # top-k near-linear (local prune before the per-source rank),
+        # and fertility like any keyed codegen agg
+        "XK-hll-overlap": ("dedup", reg.xk_hll_overlap),
+        "XD-source-leak": ("dedup", reg.xd_source_leak),
+        "XA-topk-strat": ("dedup", reg.xa_topk_strat),
+        "XT-fertility": ("dedup", reg.xt_fertility),
     }
 
 

@@ -676,3 +676,37 @@ def test_zipf_no_vocab_rank_window(spark):
     # word count, count-of-counts histogram, and moment sums each show
     # up as partial+final HashAggregate pairs
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 5
+
+
+def test_topk_strat_two_phase_no_raw_stratum_window(spark):
+    """Per-stratum top-k must be the TWO-PHASE shape: a local
+    (source, input-partition) rank prunes to ≤ k per partition before
+    the per-source rank — never a single window over each stratum's raw
+    rows (one task per 100 TB source slice, the banned XT-zipf-r10
+    shape). Exactly two Windows, both over hash-partitioned exchanges
+    (no SinglePartition window input), with Spark's WindowGroupLimit
+    pushdown active on both."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XA-topk-strat"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.M)) >= 2
+    # both window exchanges are hashpartitioning; the only
+    # rangepartitioning is the final presentation orderBy
+    assert plan.count("hashpartitioning(source") == 2
+    for m in re.finditer(r"Arguments: SinglePartition", plan):
+        raise AssertionError("single-partition exchange in top-k plan")
+
+
+def test_hll_overlap_register_bounded_pair_stage(spark):
+    """The overlap matrix's pairwise stage must run on broadcast
+    register/pair tables: no sort-merge join, no cartesian product
+    anywhere; the only nested-loop joins are the tiny broadcast
+    source×source pair builders (strata-bounded by construction). The
+    raw stream is consumed by keyed hash aggregations (map-side
+    combinable register legs)."""
+    plan = _plan(EXT_QUERIES["XK-hll-overlap"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan

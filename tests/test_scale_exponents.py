@@ -49,10 +49,17 @@ def test_planted_structure_scales_linearly(exponents):
             # certification / estimator audit / corpus diagnostic)
             assert e["rows_base"] == e["rows_big"] == 1
             continue
-        if name == "XK-hll-strat":
-            # one certification row per SOURCE — the generator's source
-            # count is fixed, so the stratified sketch's output is too
+        if name in ("XK-hll-strat", "XK-hll-overlap", "XA-topk-strat",
+                    "XT-fertility"):
+            # strata-bounded outputs: one row per source / source pair /
+            # (source, lang) / (source, rank≤k) — the generator's strata
+            # are fixed, so these cannot grow with the corpus
             assert e["rows_base"] == e["rows_big"] > 1
+            continue
+        if name == "XD-source-leak":
+            # cross-source near-dup CELLS grow with planted pairs until
+            # the 190-pair matrix saturates — only direction is stable
+            assert e["rows_big"] >= e["rows_base"] >= 1, (name, e)
             continue
         ratio = e["rows_big"] / max(e["rows_base"], 1)
         if name == "XD-split-leak":

@@ -203,3 +203,36 @@ def test_pq_codes_spread_and_error_nonneg(spark):
         assert codes <= set(range(1, 17))
         assert len(codes) >= 8, f"subspace {j} degenerate: {codes}"
     assert all(r.recon_err >= 0 for r in out)
+
+
+def test_hll_overlap_sketch_invariants(spark):
+    """Beyond the DuckDB parity (test_ext_oracle[XK-hll-overlap]):
+    the estimates must satisfy the SET-algebra the sketches claim —
+    per-pair union estimate certified at the paper's 4σ bound on this
+    corpus, inclusion–exclusion intersection non-negative and no larger
+    than either side's estimate could allow, Jaccards in [0, 1], and
+    the exact legs internally consistent (inter ≤ min side ≤ union)."""
+    from haf_plug_play_spark.ext.sketch import hll_overlap
+
+    docs = spark.createDataFrame(
+        [(f"s{i % 3}", f"item{j}") for i in range(3) for j in range(i * 40, i * 40 + 120)],
+        "source string, item string",
+    )
+    rows = hll_overlap(docs).collect()
+    assert len(rows) == 3  # 3 sources -> 3 unordered pairs
+    for r in rows:
+        assert r.union_certified, r
+        assert r.inter_est >= 0.0
+        assert 0.0 <= r.jaccard_exact <= 1.0
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.n_inter_exact <= r.n_union_exact
+    # planted overlap: s0=[0,120), s1=[40,160), s2=[80,200) — adjacent
+    # pairs share 80 items (union 160); the far pair shares 40 (union 200)
+    by_pair = {(r.source_a, r.source_b): r for r in rows}
+    for pair, (union, inter) in {
+        ("s0", "s1"): (160, 80),
+        ("s1", "s2"): (160, 80),
+        ("s0", "s2"): (200, 40),
+    }.items():
+        r = by_pair[pair]
+        assert (r.n_union_exact, r.n_inter_exact) == (union, inter), r
