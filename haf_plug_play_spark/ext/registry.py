@@ -2983,6 +2983,68 @@ def _fertility_sql() -> str:
     )
 
 
+def xt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    word-unigram distributions, in nats — the monitoring metric that
+    catches a source whose content shifted (crawl drift, a broken
+    extractor, an injected spam campaign) even when volume and
+    fertility look normal. KL is finite by construction here because
+    every source word is also a corpus word (P_corpus(w) > 0 whenever
+    P_source(w) > 0).
+
+    Scale shape: ONE (source, word) count aggregation
+    (map-side-combinable); corpus word totals and per-source totals
+    re-aggregate FROM that table (never a second corpus scan); the
+    probability join is keyed on the Heaps-bounded vocabulary and the
+    per-source totals join back broadcast. Output is strata-bounded
+    (one row per source). FP caveat: the KL sum reassociates across the
+    shuffle (avg_logp family, absorbed by 6-dp rounding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_tot = sw.agg(F.sum("c_sw").alias("n")).select("n")
+    joined = (
+        sw.join(cw, "w")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    # p_sw = c_sw / n_s ; p_w = c_w / n ; term = p_sw * ln(p_sw / p_w)
+    p_sw = F.col("c_sw") / F.col("n_s")
+    p_w = F.col("c_w") / F.col("n")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(F.sum(p_sw * F.log(p_sw / p_w)), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+def _kl_drift_sql() -> str:
+    return (
+        "WITH w AS (SELECT source, unnest(string_split(lower(text), ' ')) "
+        "AS w FROM documents), "
+        "sw AS (SELECT source, w, count(*) AS c_sw FROM w WHERE w <> '' "
+        "GROUP BY 1, 2), "
+        "cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1), "
+        "ts AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1), "
+        "tn AS (SELECT sum(c_sw) AS n FROM sw) "
+        "SELECT sw.source, CAST(max(ts.n_s) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_types, "
+        "round(sum((c_sw / CAST(n_s AS DOUBLE)) * "
+        "ln((c_sw / CAST(n_s AS DOUBLE)) / (c_w / CAST(n AS DOUBLE)))), 6) "
+        "AS kl_nats "
+        "FROM sw JOIN cw ON sw.w = cw.w JOIN ts ON ts.source = sw.source "
+        "CROSS JOIN tn GROUP BY 1 ORDER BY 1"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3089,6 +3151,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-source-leak": xd_source_leak,
     "XA-topk-strat": xa_topk_strat,
     "XT-fertility": xt_fertility,
+    "XT-kl-drift": xt_kl_drift,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3290,4 +3353,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-source-leak": _source_leak_sql(),
     "XA-topk-strat": _topk_strat_sql(),
     "XT-fertility": _fertility_sql(),
+    "XT-kl-drift": _kl_drift_sql(),
 }

@@ -290,6 +290,7 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XD-source-leak": ("dedup", reg.xd_source_leak),
         "XA-topk-strat": ("dedup", reg.xa_topk_strat),
         "XT-fertility": ("dedup", reg.xt_fertility),
+        "XT-kl-drift": ("dedup", reg.xt_kl_drift),
     }
 
 
