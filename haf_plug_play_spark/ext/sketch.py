@@ -332,6 +332,7 @@ def hll_distinct(
     items: DataFrame,
     item_col: str = "item",
     p: int = 8,
+    certify: bool = True,
 ) -> DataFrame:
     """HyperLogLog distinct-count sketch with the exact answer computed
     alongside and BOTH guarantees certified in-query — the third
@@ -367,6 +368,14 @@ def hll_distinct(
     (n_exact, hll_est, rel_err, n_registers_used, certified,
     merge_consistent) where certified ⇔ |est/exact − 1| <= 4·1.04/sqrt(m)
     (four standard errors of the paper's asymptotic bound).
+
+    ``certify=False`` is the PRODUCTION configuration (r11, the
+    ``dedup_decision(deterministic_order=False)`` pattern): the exact
+    count, its comparison columns, and the merge-consistency leg exist
+    only to certify the estimator at test SF — at 100 TB the sketch IS
+    the answer, and the exact leg is the one distinct-aggregation
+    shuffle in the plan. Non-certified output: one row
+    (hll_est, n_registers_used).
     """
     m = 1 << p
     sigma4 = 4.0 * 1.04 / (m ** 0.5)
@@ -384,6 +393,11 @@ def hll_distinct(
     # partition to ≤ m rows before the one m-bounded shuffle
     global_regs = obs.groupBy("_idx").agg(F.max("_rho").alias("_m"))
     direct = estimate(global_regs, "_est")
+    if not certify:
+        return direct.select(
+            F.round(F.col("_est"), 2).alias("hll_est"),
+            F.col("_used").cast("int").alias("n_registers_used"),
+        )
     # per-source sketches merged by per-index max — the mergeability path
     merged_regs = (
         obs.groupBy("source", "_idx")
@@ -414,6 +428,7 @@ def hll_distinct_by_group(
     item_col: str = "item",
     group_col: str = "source",
     p: int = 8,
+    certify: bool = True,
 ) -> DataFrame:
     """Per-group HyperLogLog distinct counts — the stratified form of
     :func:`hll_distinct` (one sketch per source/language/domain), the
@@ -430,7 +445,10 @@ def hll_distinct_by_group(
     4σ bound certified per group, mirroring the global query's contract.
 
     Output: (group_col, n_exact, hll_est, rel_err, n_registers_used,
-    certified) ordered by group_col.
+    certified) ordered by group_col. ``certify=False`` (production, see
+    :func:`hll_distinct`) drops the per-group exact leg — the only
+    distinct-aggregation shuffle — and returns
+    (group_col, hll_est, n_registers_used).
     """
     m = 1 << p
     sigma4 = 4.0 * 1.04 / (m ** 0.5)
@@ -440,6 +458,12 @@ def hll_distinct_by_group(
     )
     regs = obs.groupBy(group_col, "_idx").agg(F.max("_rho").alias("_m"))
     ests = hll_register_estimate(regs, p, "_est", group_cols=[group_col])
+    if not certify:
+        return ests.select(
+            F.col(group_col),
+            F.round(F.col("_est"), 2).alias("hll_est"),
+            F.col("_used").cast("int").alias("n_registers_used"),
+        ).orderBy(group_col)
     exact = items.groupBy(group_col).agg(
         F.countDistinct(item_col).alias("n_exact")
     )
@@ -561,6 +585,7 @@ def hll_overlap(
     item_col: str = "item",
     group_col: str = "source",
     p: int = 8,
+    certify: bool = True,
 ) -> DataFrame:
     """Cross-group overlap matrix from MERGEABLE HLL sketches — the
     mixture-decision question ("how much of source B is already in
@@ -583,7 +608,11 @@ def hll_overlap(
 
     Output per unordered pair (a < b): (source_a, source_b,
     n_union_exact, union_est, n_inter_exact, inter_est, jaccard_exact,
-    jaccard_est, union_certified), ordered by (source_a, source_b)."""
+    jaccard_est, union_certified), ordered by (source_a, source_b).
+    ``certify=False`` (production, see :func:`hll_distinct`) drops the
+    exact legs — the per-group distinct counts AND the pairwise item
+    self-join, the only non-register-bounded operations — returning
+    (source_a, source_b, union_est, inter_est, jaccard_est)."""
     m = 1 << p
     sigma4 = 4.0 * 1.04 / (m ** 0.5)
     hashed = hll_observables(F.col(item_col), p).alias("_o")
@@ -621,6 +650,25 @@ def hll_overlap(
     eb = ests.select(
         F.col(group_col).alias("source_b"), F.col("_est").alias("_est_b")
     )
+    if not certify:
+        sk = (
+            pairs.join(F.broadcast(est_u), ["source_a", "source_b"])
+            .join(F.broadcast(ea), "source_a")
+            .join(F.broadcast(eb), "source_b")
+        )
+        inter_est_p = F.greatest(
+            F.lit(0.0), F.col("_est_a") + F.col("_est_b") - F.col("_est_u")
+        )
+        return (
+            sk.select(
+                "source_a",
+                "source_b",
+                F.round("_est_u", 2).alias("union_est"),
+                F.round(inter_est_p, 2).alias("inter_est"),
+                F.round(inter_est_p / F.col("_est_u"), 6).alias("jaccard_est"),
+            )
+            .orderBy("source_a", "source_b")
+        )
     # exact certification legs (droppable at scale)
     d = items.select(group_col, item_col).distinct()
     n_by = d.groupBy(group_col).agg(F.count("*").alias("_n"))

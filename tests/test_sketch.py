@@ -236,3 +236,55 @@ def test_hll_overlap_sketch_invariants(spark):
     }.items():
         r = by_pair[pair]
         assert (r.n_union_exact, r.n_inter_exact) == (union, inter), r
+
+
+def test_hll_certify_false_production_paths(spark):
+    """r11, the dedup_decision(deterministic_order=False) pattern for
+    the sketch family: certify=False must (a) return the IDENTICAL
+    estimates as the certified path (same registers → same integer sum
+    → same double), and (b) drop every non-register-bounded operation
+    from the plan — no distinct aggregation for the exact counts, and
+    for the overlap matrix no item self-join. At 100 TB the sketch IS
+    the answer; the exact legs exist only for test-SF certification."""
+    import io
+    import contextlib
+
+    from haf_plug_play_spark.ext.sketch import (
+        hll_distinct,
+        hll_distinct_by_group,
+        hll_overlap,
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    items = spark.createDataFrame(
+        [(f"s{i % 3}", f"item{(i * 7) % 500}") for i in range(2000)],
+        "source string, item string",
+    )
+
+    cert = hll_distinct(items).collect()[0]
+    prod = hll_distinct(items, certify=False)
+    assert prod.collect()[0].hll_est == cert.hll_est
+    assert "distinct" not in plan(prod).lower()
+
+    certg = {r.source: r.hll_est for r in hll_distinct_by_group(items).collect()}
+    prodg = hll_distinct_by_group(items, certify=False)
+    assert {r.source: r.hll_est for r in prodg.collect()} == certg
+    assert "distinct" not in plan(prodg).lower()
+
+    certo = {
+        (r.source_a, r.source_b): (r.union_est, r.inter_est, r.jaccard_est)
+        for r in hll_overlap(items).collect()
+    }
+    prodo = hll_overlap(items, certify=False)
+    assert {
+        (r.source_a, r.source_b): (r.union_est, r.inter_est, r.jaccard_est)
+        for r in prodo.collect()
+    } == certo
+    po = plan(prodo)
+    assert "_it" not in po  # the exact pairwise self-join is gone
+    assert "SortMergeJoin" not in po
