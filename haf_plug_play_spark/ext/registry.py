@@ -3045,6 +3045,55 @@ def _kl_drift_sql() -> str:
     )
 
 
+def xt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a document's
+    distinct 3-grams that appear in no other document — the
+    document-level uniqueness signal between XT-repetition (within-doc
+    duplication) and XD-ngram-jaccard (pairwise overlap). Boilerplate
+    and template pages score near 0; genuinely novel content near 1 —
+    the cheap first-pass filter before any pairwise dedup machinery.
+
+    Scale shape: one explode to (doc, distinct-gram) rows, one
+    Heaps-bounded document-frequency aggregation, one join back keyed
+    on the gram (the XD-ngram-jaccard inverted-index posture, but with
+    NO pair generation — cost is linear in gram occurrences), one
+    per-doc aggregation. Short docs clamp to a single sub-3 gram (the
+    word_grams contract, ext/text.py)."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower(F.col("text")), " ")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(xt.word_grams(ws, 3))).alias("gram"),
+    )
+    df_tab = g.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        g.join(df_tab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    return (
+        "WITH g AS (SELECT DISTINCT doc_id, gram FROM ("
+        "SELECT doc_id, unnest([array_to_string(ws[i:i+2], ' ') "
+        "FOR i IN range(1, greatest(len(ws)-2, 1)+1)]) AS gram FROM "
+        "(SELECT doc_id, string_split(lower(text), ' ') AS ws "
+        "FROM documents))), "
+        "df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1) "
+        "SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "round(avg(CASE WHEN df.df = 1 THEN 1.0 ELSE 0.0 END), 6) "
+        "AS novelty "
+        "FROM g JOIN df ON g.gram = df.gram GROUP BY 1 ORDER BY 1"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3152,6 +3201,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XA-topk-strat": xa_topk_strat,
     "XT-fertility": xt_fertility,
     "XT-kl-drift": xt_kl_drift,
+    "XT-ngram-novelty": xt_ngram_novelty,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3354,4 +3404,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XA-topk-strat": _topk_strat_sql(),
     "XT-fertility": _fertility_sql(),
     "XT-kl-drift": _kl_drift_sql(),
+    "XT-ngram-novelty": _ngram_novelty_sql(),
 }

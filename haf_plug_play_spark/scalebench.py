@@ -291,6 +291,7 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XA-topk-strat": ("dedup", reg.xa_topk_strat),
         "XT-fertility": ("dedup", reg.xt_fertility),
         "XT-kl-drift": ("dedup", reg.xt_kl_drift),
+        "XT-ngram-novelty": ("dedup", reg.xt_ngram_novelty),
     }
 
 
