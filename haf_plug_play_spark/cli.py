@@ -209,6 +209,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vo.add_argument("--merges", type=int, default=16)
 
+    rp = sub.add_parser(
+        "report",
+        help="corpus diagnostics as one JSON document: Zipf/Heaps "
+        "structure, per-(source, lang) tokenizer fertility, per-source "
+        "KL drift, per-source distinct-shingle HLL estimates "
+        "(production certify=False path) — ext/report.py",
+    )
+    rp.add_argument("--in", dest="in_path", required=True)
+    rp.add_argument(
+        "--in-format", default=None, choices=["parquet", "jsonl", "csv"]
+    )
+
     ex = sub.add_parser(
         "explain",
         help="print the physical plan of a declared query (plan hygiene: "
@@ -406,6 +418,12 @@ def main(argv: list[str] | None = None) -> int:
 
         docs = read_corpus(spark, args.in_path, args.in_format)
         print(json.dumps({"merges": learn_bpe_merges(docs, args.merges)}))
+    elif args.cmd == "report":
+        from haf_plug_play_spark.ext.report import corpus_report
+        from haf_plug_play_spark.sources.corpus import read_corpus
+
+        docs = read_corpus(spark, args.in_path, args.in_format)
+        print(json.dumps(corpus_report(docs)))
     elif args.cmd == "snapshot":
         from haf_plug_play_spark.runner import snapshots as sn
         from haf_plug_play_spark.runner.fs import (

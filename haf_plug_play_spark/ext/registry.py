@@ -2729,46 +2729,9 @@ def xt_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL in both engines (guarded; ADVICE r10).
 
     Output: one row (n_tokens, n_types, ttr, zipf_slope, zipf_r2)."""
-    from pyspark.sql import Window as W
+    from haf_plug_play_spark.ext import report
 
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    counts = words.groupBy("w").agg(F.count("*").alias("c"))
-    hist = counts.groupBy("c").agg(F.count("*").alias("n"))
-    cum = W.orderBy(F.desc("c")).rowsBetween(W.unboundedPreceding, -1)
-    binned = hist.select(
-        F.col("n").cast("double").alias("wt"),
-        F.log(
-            F.coalesce(F.sum("n").over(cum), F.lit(0))
-            + (F.col("n") + 1) / 2.0
-        ).alias("x"),
-        F.log(F.col("c").cast("double")).alias("y"),
-        (F.col("c") * F.col("n")).alias("tok"),
-    )
-    m = binned.agg(
-        F.sum("tok").alias("tok"),
-        F.sum("wt").alias("s"),
-        F.sum(F.col("wt") * F.col("x")).alias("sx"),
-        F.sum(F.col("wt") * F.col("y")).alias("sy"),
-        F.sum(F.col("wt") * F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("wt") * F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("wt") * F.col("x") * F.col("y")).alias("sxy"),
-    )
-    s = F.col("s")
-    cov = F.col("sxy") / s - (F.col("sx") / s) * (F.col("sy") / s)
-    varx = F.col("sxx") / s - (F.col("sx") / s) * (F.col("sx") / s)
-    vary = F.col("syy") / s - (F.col("sy") / s) * (F.col("sy") / s)
-    return m.select(
-        F.col("tok").cast("long").alias("n_tokens"),
-        s.cast("long").alias("n_types"),
-        F.round(s / F.col("tok"), 6).alias("ttr"),
-        F.round(F.when(varx > 0, cov / varx), 6).alias("zipf_slope"),
-        F.round(
-            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
-        ).alias("zipf_r2"),
-    )
+    return report.zipf_diagnostic(load_table(spark, sf_dir, "documents"))
 
 
 def _zipf_sql() -> str:
@@ -2949,24 +2912,9 @@ def xt_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregation over per-document codegen
     expressions (regexp_count / length) — no explode, no UDF; the
     per-(source, lang) output is strata-bounded."""
-    docs = load_table(spark, sf_dir, "documents")
-    per = docs.select(
-        "source",
-        "lang",
-        xt.n_tokens_re(F.col("text")).alias("_re"),
-        xt.n_tokens_ws(F.col("text")).alias("_ws"),
-        F.length("text").cast("long").alias("_ch"),
-    )
-    return (
-        per.groupBy("source", "lang")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("_re").cast("long").alias("n_tokens"),
-            F.round(F.sum("_re") / F.sum("_ws"), 6).alias("fertility_ws"),
-            F.round(F.sum("_ch") / F.sum("_re"), 6).alias("chars_per_token"),
-        )
-        .orderBy("source", "lang")
-    )
+    from haf_plug_play_spark.ext import report
+
+    return report.fertility_report(load_table(spark, sf_dir, "documents"))
 
 
 def _fertility_sql() -> str:
@@ -2999,31 +2947,9 @@ def xt_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source totals join back broadcast. Output is strata-bounded
     (one row per source). FP caveat: the KL sum reassociates across the
     shuffle (avg_logp family, absorbed by 6-dp rounding)."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "source", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    sw = words.groupBy("source", "w").agg(F.count("*").alias("c_sw"))
-    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
-    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
-    n_tot = sw.agg(F.sum("c_sw").alias("n")).select("n")
-    joined = (
-        sw.join(cw, "w")
-        .join(F.broadcast(totals), "source")
-        .crossJoin(F.broadcast(n_tot))
-    )
-    # p_sw = c_sw / n_s ; p_w = c_w / n ; term = p_sw * ln(p_sw / p_w)
-    p_sw = F.col("c_sw") / F.col("n_s")
-    p_w = F.col("c_w") / F.col("n")
-    return (
-        joined.groupBy("source")
-        .agg(
-            F.max("n_s").cast("long").alias("n_tokens"),
-            F.count("*").cast("long").alias("n_types"),
-            F.round(F.sum(p_sw * F.log(p_sw / p_w)), 6).alias("kl_nats"),
-        )
-        .orderBy("source")
-    )
+    from haf_plug_play_spark.ext import report
+
+    return report.kl_drift_report(load_table(spark, sf_dir, "documents"))
 
 
 def _kl_drift_sql() -> str:

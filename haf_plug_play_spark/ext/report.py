@@ -1,0 +1,148 @@
+"""Corpus diagnostic reports over an arbitrary documents DataFrame.
+
+The DataFrame-parameterized forms of the registry's diagnostic queries
+(XT-zipf, XT-fertility, XT-kl-drift — ext/registry.py delegates here so
+the oracle gate certifies these exact expressions every round), plus
+``corpus_report`` — the one-call operational bundle behind the ``report``
+CLI: every output is strata-bounded or single-row, so the driver-side
+collect is bounded by construction, and the per-source distinct-shingle
+estimates run the HLL family's ``certify=False`` PRODUCTION path (the
+sketch is the answer; no exact legs, no distinct-aggregation shuffle).
+
+All expressions are codegen (no UDFs); the only window runs over the
+√(2·n_tokens)-bounded count-of-counts histogram (see ``zipf_diagnostic``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.ext import text as xt
+
+
+def _words(docs: DataFrame, *keys: str) -> DataFrame:
+    return docs.select(
+        *keys, F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def zipf_diagnostic(docs: DataFrame) -> DataFrame:
+    """One row (n_tokens, n_types, ttr, zipf_slope, zipf_r2): weighted
+    least-squares fit of ln(frequency) on ln(rank) over the frequency
+    HISTOGRAM — see ext/registry.py:xt_zipf for the full scale
+    derivation (histogram provably ≤ √(2·n_tokens) rows; tied counts
+    enter as one midpoint-log-rank point; degenerate vocabularies yield
+    NULL slope/R² in both engines)."""
+    from pyspark.sql import Window as W
+
+    counts = _words(docs).groupBy("w").agg(F.count("*").alias("c"))
+    hist = counts.groupBy("c").agg(F.count("*").alias("n"))
+    cum = W.orderBy(F.desc("c")).rowsBetween(W.unboundedPreceding, -1)
+    binned = hist.select(
+        F.col("n").cast("double").alias("wt"),
+        F.log(
+            F.coalesce(F.sum("n").over(cum), F.lit(0))
+            + (F.col("n") + 1) / 2.0
+        ).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+        (F.col("c") * F.col("n")).alias("tok"),
+    )
+    m = binned.agg(
+        F.sum("tok").alias("tok"),
+        F.sum("wt").alias("s"),
+        F.sum(F.col("wt") * F.col("x")).alias("sx"),
+        F.sum(F.col("wt") * F.col("y")).alias("sy"),
+        F.sum(F.col("wt") * F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("wt") * F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("wt") * F.col("x") * F.col("y")).alias("sxy"),
+    )
+    s = F.col("s")
+    cov = F.col("sxy") / s - (F.col("sx") / s) * (F.col("sy") / s)
+    varx = F.col("sxx") / s - (F.col("sx") / s) * (F.col("sx") / s)
+    vary = F.col("syy") / s - (F.col("sy") / s) * (F.col("sy") / s)
+    return m.select(
+        F.col("tok").cast("long").alias("n_tokens"),
+        s.cast("long").alias("n_types"),
+        F.round(s / F.col("tok"), 6).alias("ttr"),
+        F.round(F.when(varx > 0, cov / varx), 6).alias("zipf_slope"),
+        F.round(
+            F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)), 6
+        ).alias("zipf_r2"),
+    )
+
+
+def fertility_report(docs: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, n_tokens, fertility_ws, chars_per_token)
+    per stratum — see ext/registry.py:xt_fertility."""
+    per = docs.select(
+        "source",
+        "lang",
+        xt.n_tokens_re(F.col("text")).alias("_re"),
+        xt.n_tokens_ws(F.col("text")).alias("_ws"),
+        F.length("text").cast("long").alias("_ch"),
+    )
+    return (
+        per.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_re").cast("long").alias("n_tokens"),
+            F.round(F.sum("_re") / F.sum("_ws"), 6).alias("fertility_ws"),
+            F.round(F.sum("_ch") / F.sum("_re"), 6).alias("chars_per_token"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def kl_drift_report(docs: DataFrame) -> DataFrame:
+    """(source, n_tokens, n_types, kl_nats) per source — KL(P_source ‖
+    P_corpus) over word unigrams; see ext/registry.py:xt_kl_drift."""
+    sw = _words(docs, "source").groupBy("source", "w").agg(
+        F.count("*").alias("c_sw")
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_tot = sw.agg(F.sum("c_sw").alias("n")).select("n")
+    joined = (
+        sw.join(cw, "w")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p_sw = F.col("c_sw") / F.col("n_s")
+    p_w = F.col("c_w") / F.col("n")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(F.sum(p_sw * F.log(p_sw / p_w)), 6).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_report(docs: DataFrame) -> dict:
+    """The ``report`` CLI's payload: global Zipf/Heaps structure,
+    per-(source, lang) tokenizer fertility, per-source KL drift, and
+    per-source distinct-3-gram-shingle estimates via the HLL
+    ``certify=False`` production path. Every leg's output is one row or
+    strata-bounded, so the collects here are bounded by construction."""
+    from haf_plug_play_spark.ext import sketch
+
+    zipf = zipf_diagnostic(docs).collect()[0].asDict()
+    fert = [r.asDict() for r in fertility_report(docs).collect()]
+    kl = [r.asDict() for r in kl_drift_report(docs).collect()]
+    ws = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(2), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 3)))
+    items = docs.select("source", F.explode(shingles).alias("item"))
+    distinct_shingles = [
+        r.asDict()
+        for r in sketch.hll_distinct_by_group(items, certify=False).collect()
+    ]
+    return {
+        "zipf": zipf,
+        "fertility": fert,
+        "kl_drift": kl,
+        "distinct_shingles_hll": distinct_shingles,
+    }

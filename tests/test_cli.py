@@ -622,3 +622,27 @@ def test_cli_release_through_object_store(spark, tmp_path, capsys):
     assert got2["snapshot"] == got["snapshot"]
     log = _run(capsys, ["snapshot", "log", "--fs", "object", "--table", table])
     assert [s["snapshot_id"] for s in log["snapshots"]] == [1]
+
+
+def test_cli_report_corpus_diagnostics(spark, capsys):
+    """The report CLI bundles the oracle-gated diagnostics (Zipf,
+    fertility, KL drift) plus the per-source HLL shingle estimates on
+    the certify=False production path into one JSON document, and each
+    leg must agree with its query-form counterpart on the same corpus."""
+    from tests.conftest import SF_SMOKE
+
+    got = _run(capsys, ["report", "--in", f"{SF_SMOKE}/documents.parquet"])
+    assert set(got) == {"zipf", "fertility", "kl_drift", "distinct_shingles_hll"}
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    zq = EXT_QUERIES["XT-zipf"](spark, SF_SMOKE).collect()[0].asDict()
+    assert got["zipf"] == zq
+    fq = [r.asDict() for r in EXT_QUERIES["XT-fertility"](spark, SF_SMOKE).collect()]
+    assert got["fertility"] == fq
+    kq = [r.asDict() for r in EXT_QUERIES["XT-kl-drift"](spark, SF_SMOKE).collect()]
+    assert got["kl_drift"] == kq
+    # production-path sketch: per-source rows, no exact columns
+    assert got["distinct_shingles_hll"]
+    for row in got["distinct_shingles_hll"]:
+        assert set(row) == {"source", "hll_est", "n_registers_used"}
+        assert row["hll_est"] > 0
