@@ -249,9 +249,24 @@ def _commit(
         if cur.get("schema") and cur.get("schema_covers_chain"):
             parent_entries = [list(e) for e in cur["schema"]]
         else:
+            # union only the INHERITED run of the chain: a full commit or
+            # compaction replaces data_dirs (child's dirs no longer
+            # contain its parent's), so schemas behind that boundary
+            # describe files the current snapshot does not read — a type
+            # change across a full commit is legal and must not poison
+            # later appends, and a column dropped by it must not
+            # resurrect
+            chain = _committed_chain_named(table_dir, fs)  # newest first
+            cut = len(chain)
+            for i in range(len(chain) - 1):
+                child_dirs = set(_data_dirs(chain[i][1]))
+                parent_dirs = set(_data_dirs(chain[i + 1][1]))
+                if not parent_dirs <= child_dirs:
+                    cut = i + 1
+                    break
             parent_entries = []
             seen: dict[str, str] = {}
-            for _, anc in reversed(_committed_chain_named(table_dir, fs)):
+            for _, anc in reversed(chain[:cut]):  # oldest-first in the run
                 for name, typ in anc.get("schema") or []:
                     if name not in seen:
                         seen[name] = typ

@@ -723,3 +723,34 @@ def test_append_on_internally_conflicting_legacy_chain_is_loud(
     fs.write_bytes_atomic(mpath, json.dumps(m, indent=1).encode("utf-8"))
     with pytest.raises(ValueError, match="disagrees on column"):
         sn.append_snapshot(spark, _df(spark, 3, rows=2), t, fs, batch_id=2)
+
+
+def test_legacy_walk_stops_at_full_commit_boundary(spark, fs, tmp_path):
+    """The legacy chain walk must union only the INHERITED run: a full
+    commit (or compaction) replaces data_dirs, so a type change across
+    it is legal and schemas behind it must neither poison later appends
+    nor resurrect dropped columns."""
+    t = str(tmp_path / "tbl")
+    # era 1: v is int, extra column 'medium'
+    wide = _df(spark, 1, rows=4).withColumn("medium", F.lit("podcast"))
+    sn.append_snapshot(spark, wide, t, fs, batch_id=0)
+    # era 2: FULL commit retypes v to string and drops 'medium'
+    retyped = _df(spark, 2, rows=6).withColumn("v", F.col("v").cast("string"))
+    sn.commit_snapshot(spark, retyped, t, fs)
+    # strip the head to the legacy shape so the walk actually runs
+    _legacyize_head(t, fs, keep_cols={"id", "v"})
+    m = sn.append_snapshot(
+        spark,
+        _df(spark, 3, rows=2).withColumn("v", F.col("v").cast("string")),
+        t,
+        fs,
+        batch_id=0,
+        writer_id="w2",
+    )
+    # era-1 schema must not leak across the boundary
+    assert ["medium", "string"] not in m["schema"]
+    assert ["v", "string"] in m["schema"]
+    got = sn.read_snapshot(spark, t, fs)
+    assert got.count() == 8  # era-2 full commit (6) + the append (2)
+    assert "medium" not in got.columns
+    assert dict(got.dtypes)["v"] == "string"
