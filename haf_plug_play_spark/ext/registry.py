@@ -3020,6 +3020,40 @@ def _ngram_novelty_sql() -> str:
     )
 
 
+def xa_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size WEIGHTED sample per stratum
+    (ext/sampling.py:weighted_reservoir — Efraimidis & Spirakis 2006):
+    exactly 5 documents per source, selection probability proportional
+    to document length — the quota complement to XA-sample-hash (fixed
+    rate) and the uniform stratified quota. Runs the two-phase
+    distributed rank (the XA-topk-strat shape), so no stratum's corpus
+    slice funnels through one task."""
+    from haf_plug_play_spark.ext import sampling
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return (
+        sampling.weighted_reservoir(
+            docs, ["source"], 5, "doc_id", "n_chars", seed=11
+        )
+        .select("source", "doc_id", "n_chars", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def _reservoir_sql() -> str:
+    from haf_plug_play_spark.ext.sampling import weighted_reservoir_sql
+
+    key = weighted_reservoir_sql("doc_id", "n_chars", 11)
+    return (
+        "WITH r AS (SELECT source, doc_id, n_chars, "
+        f"row_number() OVER (PARTITION BY source ORDER BY {key} DESC, "
+        "doc_id) AS sample_rank FROM documents WHERE n_chars > 0) "
+        "SELECT source, doc_id, n_chars, CAST(sample_rank AS INT) "
+        "AS sample_rank FROM r WHERE sample_rank <= 5 "
+        "ORDER BY source, sample_rank"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3128,6 +3162,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-fertility": xt_fertility,
     "XT-kl-drift": xt_kl_drift,
     "XT-ngram-novelty": xt_ngram_novelty,
+    "XA-reservoir": xa_reservoir,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3331,4 +3366,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-fertility": _fertility_sql(),
     "XT-kl-drift": _kl_drift_sql(),
     "XT-ngram-novelty": _ngram_novelty_sql(),
+    "XA-reservoir": _reservoir_sql(),
 }

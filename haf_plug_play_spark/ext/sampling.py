@@ -91,6 +91,75 @@ def stratified_quota(
     )
 
 
+def weighted_reservoir(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+    weight_col: str,
+    seed: int = 7,
+) -> DataFrame:
+    """Fixed-SIZE weighted sample without replacement per stratum —
+    Efraimidis & Spirakis (2006): each row draws a deterministic
+    uniform u ∈ (0, 1] from (key, seed) and ranks by ln(u)/w (the
+    log-space form of u^(1/w) — monotone-equivalent, no underflow);
+    the top k per stratum are EXACTLY a weight-proportional sample
+    without replacement. The quota complement to ``hash_bernoulli``
+    (fixed RATE) and ``stratified_quota`` (fixed size, UNIFORM):
+    training-mix recipes say "exactly k documents per source, longer
+    documents proportionally more likely" — this is that primitive.
+
+    Scale shape: the TWO-PHASE distributed rank (the XA-topk-strat
+    shape) — a local row_number per (stratum, input partition) prunes
+    to ≤ k candidates before the per-stratum rank, so no stratum's full
+    corpus slice ever funnels through one task; Spark's
+    WindowGroupLimit additionally prunes before both shuffles. Rows
+    with non-positive weight are excluded (they carry zero sampling
+    probability in E-S, and ln(u)/w would invert their ordering).
+
+    Determinism: u is a pure function of (key, seed); ties break on the
+    key, so reruns and repartitions select the identical sample —
+    partition-invariant like every sampler here. Adds ``sample_rank``
+    (1-based within the stratum)."""
+    u = (
+        md5_int(
+            F.concat_ws(
+                "\x01", F.col(key_col).cast("string"), F.lit(str(seed))
+            )
+        )
+        % _SCALE
+        + 1
+    ) / (_SCALE + 1.0)
+    es = F.log(u) / F.col(weight_col).cast("double")
+    pruned = df.filter(F.col(weight_col) > 0).withColumn("_es", es)
+    w_local = W.partitionBy(
+        *strata_cols, F.spark_partition_id()
+    ).orderBy(F.desc("_es"), F.col(key_col))
+    local = pruned.withColumn("_lr", F.row_number().over(w_local)).filter(
+        F.col("_lr") <= k
+    )
+    w_final = W.partitionBy(*strata_cols).orderBy(
+        F.desc("_es"), F.col(key_col)
+    )
+    return (
+        local.withColumn("sample_rank", F.row_number().over(w_final))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es", "_lr")
+    )
+
+
+def weighted_reservoir_sql(
+    key_expr: str, weight_expr: str, seed: int
+) -> str:
+    """DuckDB spelling of the Efraimidis–Spirakis rank key ln(u)/w with
+    the identical (key, seed) uniform — for oracle row_number ORDER BY."""
+    u = (
+        f"((CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR) || chr(1) "
+        f"|| '{seed}'), 1, 15)) AS BIGINT) % {_SCALE} + 1) / ({_SCALE} + 1.0))"
+    )
+    return f"(ln({u}) / CAST({weight_expr} AS DOUBLE))"
+
+
 def pack_chunks(
     df: DataFrame,
     strata_cols: list[str],

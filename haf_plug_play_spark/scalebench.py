@@ -292,6 +292,7 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XT-fertility": ("dedup", reg.xt_fertility),
         "XT-kl-drift": ("dedup", reg.xt_kl_drift),
         "XT-ngram-novelty": ("dedup", reg.xt_ngram_novelty),
+        "XA-reservoir": ("dedup", reg.xa_reservoir),
     }
 
 

@@ -666,3 +666,35 @@ def test_batch_live_schedule_parity_property(spark, tmp_path):
             F.col("block_num") <= chunks[done - 1][1]
         ).agg(F.max("block_num")).first()[0]
         assert sst.latest_block_num == max_seen, f"seed {seed}"
+
+
+def test_weighted_reservoir_es_properties(spark):
+    """Efraimidis–Spirakis reservoir: (a) exactly k per stratum,
+    (b) deterministic and partition-invariant (pure function of key and
+    seed), (c) weight-proportional in aggregate — a planted heavy row
+    (weight 50x the others) must appear in nearly every seed's sample,
+    and across seeds light rows are picked roughly uniformly."""
+    from haf_plug_play_spark.ext.sampling import weighted_reservoir
+
+    rows = [(i, "s", 50_000 if i == 0 else 1_000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    picked_heavy = 0
+    seeds = range(30)
+    for seed in seeds:
+        got = weighted_reservoir(
+            df, ["source"], 5, "doc_id", "n_chars", seed=seed
+        ).collect()
+        assert len(got) == 5
+        assert sorted(r.sample_rank for r in got) == [1, 2, 3, 4, 5]
+        if any(r.doc_id == 0 for r in got):
+            picked_heavy += 1
+    # P(heavy in sample) = 1 - prod(1 - w_h/W_remaining) >= 1 - (1 - 50/149)^5
+    # ≈ 0.87; thirty trials at p>=0.87 yield >= 20 inclusions w.p. ~1-1e-6
+    assert picked_heavy >= 20, picked_heavy
+    # determinism + partition invariance at one seed
+    a = [tuple(r) for r in weighted_reservoir(
+        df, ["source"], 5, "doc_id", "n_chars", seed=3).orderBy("sample_rank").collect()]
+    b = [tuple(r) for r in weighted_reservoir(
+        df.repartition(13), ["source"], 5, "doc_id", "n_chars", seed=3
+    ).orderBy("sample_rank").collect()]
+    assert a == b

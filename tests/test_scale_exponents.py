@@ -50,7 +50,7 @@ def test_planted_structure_scales_linearly(exponents):
             assert e["rows_base"] == e["rows_big"] == 1
             continue
         if name in ("XK-hll-strat", "XK-hll-overlap", "XA-topk-strat",
-                    "XT-fertility", "XT-kl-drift"):
+                    "XT-fertility", "XT-kl-drift", "XA-reservoir"):
             # strata-bounded outputs: one row per source / source pair /
             # (source, lang) / (source, rank≤k) — the generator's strata
             # are fixed, so these cannot grow with the corpus
