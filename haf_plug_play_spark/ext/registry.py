@@ -3054,6 +3054,227 @@ def _reservoir_sql() -> str:
     )
 
 
+def xr_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion
+    (ext/retrieval.py:rrf_fuse — Cormack et al. 2009): fuse the BM25
+    lexical top-20 (XR-bm25's leg, query ``_BM25_QUERY``) with the
+    dense cosine top-20 (XS-cosine-topk's leg, probe ``_QUERY_VEC``)
+    over the shared doc/vec id space, rrf = Σ 1/(60+rank). The standard
+    recipe for sourcing topical corpus slices when neither keyword
+    match nor embedding similarity alone is trustworthy. Both legs are
+    TakeOrderedAndProject top-Ks; every post-leg op is ≤2K-row-bounded
+    (see rrf_fuse's scale note)."""
+    from haf_plug_play_spark.ext import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = retrieval.bm25_topk(docs, _BM25_QUERY, k=20)
+    dense = similarity.cosine_topk(emb, _QUERY_VEC, k=20).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return retrieval.rrf_fuse(lex, "bm25", dense, "cosine", id_col="doc_id", k=10)
+
+
+def _rrf_sql(k: int = 10, leg_k: int = 20, c: int = 60) -> str:
+    """DuckDB mirror of xr_rrf: the two green leg oracles verbatim as
+    CTEs, ranked on their 6-dp-rounded scores with id tie-break, full
+    outer join, 1/(c+rank) terms summed and rounded to 6 dp."""
+    return (
+        f"WITH lex AS ({_bm25_sql(_BM25_QUERY, leg_k)}), "
+        "lexr AS (SELECT doc_id, CAST(row_number() OVER "
+        "(ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank FROM lex), "
+        f"dense AS ({_cosine_topk_sql(_QUERY_VEC, leg_k)}), "
+        "denser AS (SELECT vec_id AS doc_id, CAST(row_number() OVER "
+        "(ORDER BY cosine DESC, vec_id) AS INT) AS dense_rank FROM dense), "
+        "f AS (SELECT coalesce(lexr.doc_id, denser.doc_id) AS doc_id, "
+        "lex_rank, dense_rank, "
+        f"round(coalesce(1.0 / ({c} + lex_rank), 0.0) "
+        f"+ coalesce(1.0 / ({c} + dense_rank), 0.0), 6) AS rrf "
+        "FROM lexr FULL OUTER JOIN denser ON lexr.doc_id = denser.doc_id) "
+        f"SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT {k}"
+    )
+
+
+def xt_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness for the top-100 corpus words (Church & Gale 1995
+    dispersion, public method): variance-to-mean ratio of the per-doc
+    count INCLUDING zero-occurrence docs, computed analytically from
+    keyed sums — vmr = E[c²]/E[c] − E[c] = Q/S − S/N with S = Σc,
+    Q = Σc², N = |docs| — so no per-(word, doc) zero rows are ever
+    materialized. Bursty words (vmr ≫ 1) are topical; vmr ≈ 1 is
+    Poisson background — the standard corpus-linguistics screen for
+    keyword selection and boilerplate detection. Scale shape: one
+    (word, doc)-keyed agg then one vocabulary-keyed agg (the unigram-LM
+    class), N broadcast as a single-row cross join, top-100 by raw
+    count plans as TakeOrderedAndProject — no global sort, no window."""
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    tok = docs.select("doc_id", F.explode(words).alias("word"))
+    pc = tok.groupBy("word", "doc_id").agg(F.count("*").alias("c"))
+    st = pc.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_q"),
+    )
+    n = docs.agg(F.count("*").cast("long").alias("_n"))
+    return (
+        st.crossJoin(F.broadcast(n))
+        .select(
+            "word",
+            "n_total",
+            "n_docs",
+            F.round(
+                F.col("_q") * 1.0 / F.col("n_total")
+                - F.col("n_total") * 1.0 / F.col("_n"),
+                6,
+            ).alias("burstiness"),
+        )
+        .orderBy(F.desc("n_total"), "word")
+        .limit(100)
+    )
+
+
+def _burstiness_sql(k: int = 100) -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(list_filter(string_split("
+        "lower(text), ' '), x -> x <> '')) AS word FROM documents), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+        "pc AS (SELECT word, doc_id, count(*) AS c FROM w GROUP BY 1, 2), "
+        "st AS (SELECT word, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(c) AS BIGINT) AS n_total, CAST(sum(c * c) AS BIGINT) AS q "
+        "FROM pc GROUP BY 1) "
+        "SELECT word, n_total, n_docs, "
+        "round(q * 1.0 / n_total - n_total * 1.0 / n, 6) AS burstiness "
+        f"FROM st CROSS JOIN n ORDER BY n_total DESC, word LIMIT {k}"
+    )
+
+
+def xa_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup savings report: exact-hash census (the
+    XD-exact-census key, md5(text), first doc_id wins globally) joined
+    back to charge every duplicate's tokens to its source — n_docs /
+    n_tokens before dedup, kept_docs / kept_tokens after, savings_pct.
+    The accounting report a 100 TB curation run publishes next to its
+    census: which sources pay for cross-source duplication. Scale
+    shape: one census agg keyed by the text hash, one shuffle join on
+    the same key (the census side arrives pre-partitioned by its own
+    agg exchange — reusable, never broadcast: distinct-text cardinality
+    is corpus-sized), then a ≤|sources|-row agg; token count is the
+    XA-pack-chunks whitespace expression, all codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    ).cast("long")
+    t = docs.select(
+        "doc_id", "source", F.md5("text").alias("_k"), n_tok.alias("_nt")
+    )
+    keep = t.groupBy("_k").agg(F.min("doc_id").alias("_keep_id"))
+    kept = F.col("doc_id") == F.col("_keep_id")
+    return (
+        t.join(keep, "_k")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+            F.sum(F.when(kept, F.col("_nt")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "kept_docs",
+            "kept_tokens",
+            F.round(
+                100.0 * (1.0 - F.col("kept_tokens") * 1.0 / F.col("n_tokens")), 6
+            ).alias("savings_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_savings_sql() -> str:
+    return (
+        "WITH t AS (SELECT doc_id, source, md5(text) AS k, "
+        "CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) "
+        "AS nt FROM documents), "
+        "keep AS (SELECT k, min(doc_id) AS keep_id FROM t GROUP BY 1), "
+        "g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(nt) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS kept_docs, "
+        "CAST(sum(CASE WHEN doc_id = keep_id THEN nt ELSE 0 END) AS BIGINT) "
+        "AS kept_tokens FROM t JOIN keep USING (k) GROUP BY source) "
+        "SELECT source, n_docs, n_tokens, kept_docs, kept_tokens, "
+        "round(100.0 * (1.0 - kept_tokens * 1.0 / n_tokens), 6) "
+        "AS savings_pct FROM g ORDER BY source"
+    )
+
+
+def xd_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: for every (bands b, rows r) on a
+    b ≤ 16, r ≤ 8 grid, integrate the S-curve P(s) = 1 − (1 − s^r)^b
+    (Broder/LSH standard analysis, public method) by a 200-point
+    midpoint rule to get the false-positive mass below the house
+    Jaccard threshold t = 0.5 and the false-negative mass above it,
+    plus the curve's 50%-crossover s50 = (1/b)^(1/r). This is the
+    design tool BEHIND every banded query in ext/dedup.py: at 100 TB
+    you choose (b, r) from these integrals BEFORE paying for a
+    signature pass, so the planner itself is the scale story. Runs
+    entirely in codegen over generated rows (sequence + explode — no
+    data scan, no crossJoin on data, 128 combos × 200 grid points);
+    both engines sum the grid in ascending-i order, so the double
+    accumulation is order-identical (the DSIR caveat family)."""
+    combos = spark.createDataFrame(
+        [(b, r) for b in range(1, 17) for r in range(1, 9)], "b int, r int"
+    )
+    g = 200
+    t = 0.5
+    grid = combos.withColumn(
+        "_i", F.explode(F.sequence(F.lit(1), F.lit(g)))
+    ).withColumn("_s", (F.col("_i") - 0.5) / float(g))
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("_s"), F.col("r")), F.col("b"))
+    agg = grid.groupBy("b", "r").agg(
+        F.round(F.sum(F.when(F.col("_s") < t, p).otherwise(0.0)) / g, 6).alias(
+            "fp_mass"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_s") >= t, 1.0 - p).otherwise(0.0)) / g, 6
+        ).alias("fn_mass"),
+    )
+    return agg.select(
+        "b",
+        "r",
+        (F.col("b") * F.col("r")).cast("int").alias("n_hashes"),
+        F.round(F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6).alias("s50"),
+        "fp_mass",
+        "fn_mass",
+    ).orderBy("b", "r")
+
+
+def _lsh_planner_sql(g: int = 200, t: float = 0.5) -> str:
+    return (
+        "WITH combos AS (SELECT b.range AS b, r.range AS r "
+        "FROM range(1, 17) b, range(1, 9) r), "
+        f"grid AS (SELECT range AS i FROM range(1, {g + 1})), "
+        "p AS (SELECT b, r, i, "
+        f"(i - 0.5) / {float(g)!r} AS s, "
+        "1.0 - power(1.0 - power((i - 0.5) / "
+        f"{float(g)!r}, r), b) AS pr FROM combos CROSS JOIN grid), "
+        "a AS (SELECT b, r, "
+        f"round(sum(CASE WHEN s < {t!r} THEN pr ELSE 0.0 END) / {g}, 6) "
+        "AS fp_mass, "
+        f"round(sum(CASE WHEN s >= {t!r} THEN 1.0 - pr ELSE 0.0 END) / {g}, 6) "
+        "AS fn_mass FROM p GROUP BY b, r) "
+        "SELECT CAST(b AS INT) AS b, CAST(r AS INT) AS r, "
+        "CAST(b * r AS INT) AS n_hashes, "
+        "round(power(1.0 / b, 1.0 / r), 6) AS s50, fp_mass, fn_mass "
+        "FROM a ORDER BY b, r"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3163,6 +3384,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-kl-drift": xt_kl_drift,
     "XT-ngram-novelty": xt_ngram_novelty,
     "XA-reservoir": xa_reservoir,
+    "XR-rrf": xr_rrf,
+    "XT-burstiness": xt_burstiness,
+    "XA-dedup-savings": xa_dedup_savings,
+    "XD-lsh-planner": xd_lsh_planner,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3367,4 +3592,8 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-kl-drift": _kl_drift_sql(),
     "XT-ngram-novelty": _ngram_novelty_sql(),
     "XA-reservoir": _reservoir_sql(),
+    "XR-rrf": _rrf_sql(),
+    "XT-burstiness": _burstiness_sql(),
+    "XA-dedup-savings": _dedup_savings_sql(),
+    "XD-lsh-planner": _lsh_planner_sql(),
 }

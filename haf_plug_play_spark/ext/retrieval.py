@@ -20,7 +20,7 @@ bounded by corpus hits on |Q| terms, the inverted-index posting volume.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,3 +76,59 @@ def bm25_topk(
         F.round(F.sum(w_score), 6).alias("bm25"),
     )
     return per_doc.orderBy(F.desc("bm25"), id_col).limit(k)
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    lex_score: str,
+    dense: DataFrame,
+    dense_score: str,
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Hybrid-retrieval fusion by Reciprocal Rank Fusion (Cormack,
+    Clarke & Buettcher 2009, public method): given a lexical top-K leg
+    and a dense top-K leg over the same id space,
+
+        rrf(D) = Σ_legs 1 / (c + rank_leg(D)),   c = 60 (the paper's
+        constant), ranks 1-based by (score desc, id asc),
+
+    full-outer joined so a document surfaced by only one leg still
+    scores its single term. Hybrid fusion is the standard way to source
+    topical training slices when neither keyword match nor embedding
+    similarity alone is trustworthy.
+
+    Scale shape: BOTH inputs are already top-K projections (each leg is
+    a TakeOrderedAndProject over the corpus — the corpus itself is
+    never globally sorted). The rank windows here run on those ≤K-row
+    frames, so the single-partition window is bounded by construction
+    (the XT-ngrams top-k defense, ext/text.py:714), and the fusion join
+    is a ≤2K-row broadcast-sized full outer join. At 100 TB the cost
+    lives entirely in the legs, which carry their own scale evidence
+    (XR-bm25, XS-cosine-topk).
+
+    Oracle-parity: both legs rank on their 6-dp-ROUNDED scores with the
+    id as tie-break — the same (score, id) total order their own green
+    oracles pin — so row_number agrees across engines; 1/(c+rank) sums
+    two exact doubles and is rounded to 6 dp.
+    """
+    w_lex = Window.orderBy(F.desc(lex_score), id_col)
+    w_dense = Window.orderBy(F.desc(dense_score), id_col)
+    lex_r = lex.select(
+        id_col, F.row_number().over(w_lex).cast("int").alias("lex_rank")
+    )
+    dense_r = dense.select(
+        id_col, F.row_number().over(w_dense).cast("int").alias("dense_rank")
+    )
+    fused = lex_r.join(dense_r, id_col, "full_outer").select(
+        id_col,
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), id_col).limit(k)

@@ -293,6 +293,16 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XT-kl-drift": ("dedup", reg.xt_kl_drift),
         "XT-ngram-novelty": ("dedup", reg.xt_ngram_novelty),
         "XA-reservoir": ("dedup", reg.xa_reservoir),
+        # round 11 late additions: hybrid fusion's cost is its two
+        # top-k legs (BM25 term stream + brute cosine — both corpus
+        # passes, k-bounded outputs), burstiness is the unigram-LM agg
+        # class, dedup-savings is the exact-census class plus one
+        # same-key join. XD-lsh-planner is deliberately ABSENT: it
+        # never scans the corpus (generated 128×200 grid only), so it
+        # has no data exponent to measure.
+        "XR-rrf": ("dedup", reg.xr_rrf),
+        "XT-burstiness": ("dedup", reg.xt_burstiness),
+        "XA-dedup-savings": ("dedup", reg.xa_dedup_savings),
     }
 
 

@@ -41,8 +41,12 @@ def test_planted_structure_scales_linearly(exponents):
     generator whose planted structure stayed constant would make the
     timing exponents vacuous."""
     for name, e in exponents.items():
-        if name == "XS-ivfadc":  # top-k: output is k at every scale
+        if name in ("XS-ivfadc", "XR-rrf"):
+            # top-k / fused top-k: output is k at every scale
             assert e["rows_base"] == e["rows_big"] == 10
+            continue
+        if name == "XT-burstiness":  # top-100 words at every scale
+            assert e["rows_base"] == e["rows_big"] == 100
             continue
         if name in ("XS-recall", "XK-hll", "XD-minhash-acc", "XT-zipf"):
             # one summary row at every scale (recall report / sketch
@@ -50,7 +54,8 @@ def test_planted_structure_scales_linearly(exponents):
             assert e["rows_base"] == e["rows_big"] == 1
             continue
         if name in ("XK-hll-strat", "XK-hll-overlap", "XA-topk-strat",
-                    "XT-fertility", "XT-kl-drift", "XA-reservoir"):
+                    "XT-fertility", "XT-kl-drift", "XA-reservoir",
+                    "XA-dedup-savings"):
             # strata-bounded outputs: one row per source / source pair /
             # (source, lang) / (source, rank≤k) — the generator's strata
             # are fixed, so these cannot grow with the corpus
