@@ -2080,3 +2080,95 @@ def test_resize_path_output_decodes_with_pil_when_present(spark):
     xs = (np.arange(4) * 8) // 4
     assert theirs.shape == (3, 4)
     assert (theirs == px[ys][:, xs]).all()
+
+
+def test_rrf_fuse_closed_form_ranks(spark):
+    """rrf_fuse golden: a doc that tops BOTH legs scores exactly
+    2/(60+1); single-leg docs score 1/(60+2) and tie-break on id."""
+    from haf_plug_play_spark.ext import retrieval
+
+    lex = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0)], "doc_id long, bm25 double"
+    )
+    dense = spark.createDataFrame(
+        [(1, 0.9), (3, 0.5)], "doc_id long, cosine double"
+    )
+    rows = retrieval.rrf_fuse(lex, "bm25", dense, "cosine", k=10).collect()
+    assert [r.doc_id for r in rows] == [1, 2, 3]
+    assert rows[0].rrf == round(2.0 / 61.0, 6)
+    assert rows[1].rrf == rows[2].rrf == round(1.0 / 62.0, 6)
+    assert (rows[0].lex_rank, rows[0].dense_rank) == (1, 1)
+    assert (rows[1].lex_rank, rows[1].dense_rank) == (2, None)
+    assert (rows[2].lex_rank, rows[2].dense_rank) == (None, 2)
+
+
+def test_lsh_planner_closed_form_and_house_config(spark):
+    """Planner goldens: (b=1, r=1) has P(s)=s, so both error masses are
+    the exact midpoint-rule integrals 0.125 and s50=1; the house MinHash
+    config (bands=4, rows=2) has its 50% crossover EXACTLY at the house
+    Jaccard threshold 0.5 — (1/4)^(1/2); and at a fixed signature
+    budget b·r=8, many-bands (8,1) is the permissive corner (more false
+    positives) while many-rows (1,8) is the conservative one."""
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    rows = {
+        (r.b, r.r): r
+        for r in EXT_QUERIES["XD-lsh-planner"](spark, SF_ORACLE).collect()
+    }
+    unit = rows[(1, 1)]
+    assert unit.s50 == 1.0
+    assert unit.fp_mass == 0.125 and unit.fn_mass == 0.125
+    assert rows[(4, 2)].s50 == 0.5
+    assert rows[(8, 1)].fp_mass > rows[(1, 8)].fp_mass
+    assert rows[(8, 1)].fn_mass < rows[(1, 8)].fn_mass
+    assert all(r.n_hashes == r.b * r.r for r in rows.values())
+
+
+def test_dedup_savings_cross_source_accounting(spark, tmp_path):
+    """Planted cross-source duplicate: the globally-first doc_id keeps
+    the text, the OTHER source pays the savings — per-source token
+    accounting must reflect exactly that."""
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    spark.createDataFrame(
+        [
+            (1, "x x x", "en", "a", 5),
+            (2, "x x x", "en", "b", 5),
+            (3, "y", "en", "b", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.source: r
+        for r in EXT_QUERIES["XA-dedup-savings"](spark, str(tmp_path)).collect()
+    }
+    a, b = rows["a"], rows["b"]
+    assert (a.n_docs, a.n_tokens, a.kept_docs, a.kept_tokens) == (1, 3, 1, 3)
+    assert a.savings_pct == 0.0
+    assert (b.n_docs, b.n_tokens, b.kept_docs, b.kept_tokens) == (2, 4, 1, 1)
+    assert b.savings_pct == 75.0
+
+
+def test_burstiness_planted_values(spark, tmp_path):
+    """Planted dispersion: a word dumped 4× into one doc of four has
+    vmr − 1 = Q/S − S/N = 16/4 − 4/4 = 3; a word spread once per doc is
+    exactly Poisson-uniform, Q/S − S/N = 0."""
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    spark.createDataFrame(
+        [
+            (1, "bursty bursty bursty bursty even", "en", "a", 33),
+            (2, "even pad1", "en", "a", 8),
+            (3, "even pad2", "en", "a", 8),
+            (4, "even pad3", "en", "a", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {
+        r.word: r
+        for r in EXT_QUERIES["XT-burstiness"](spark, str(tmp_path)).collect()
+    }
+    assert rows["bursty"].burstiness == 3.0
+    assert rows["even"].burstiness == 0.0
+    assert (rows["bursty"].n_total, rows["bursty"].n_docs) == (4, 1)
+    assert (rows["even"].n_total, rows["even"].n_docs) == (4, 4)

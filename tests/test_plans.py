@@ -710,3 +710,61 @@ def test_hll_overlap_register_bounded_pair_stage(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan
+
+
+def test_rrf_fusion_is_leg_bounded(spark):
+    """Hybrid RRF: every corpus-sized subtree must END in a
+    TakeOrderedAndProject (the two retrieval legs) before fusion — the
+    rank windows and the full-outer join then run on ≤K-row frames, so
+    the single-partition window and the tiny sort-merge join are
+    bounded by construction (the XT-ngrams top-k defense). Pins: both
+    legs plan as top-k, exactly two Windows, and no window or join node
+    sits UPSTREAM of a leg's TakeOrderedAndProject."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XR-rrf"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)) >= 3
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_burstiness_topk_no_global_sort(spark):
+    """Burstiness: two keyed hash aggregations (per-(word, doc) counts,
+    per-word sums), N broadcast as a single-row nested-loop join, and
+    the top-100 as TakeOrderedAndProject — never a global sort or a
+    vocabulary rank window (the banned XT-zipf-r10 shape)."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XT-burstiness"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+
+
+def test_dedup_savings_keyed_joins_only(spark):
+    """Dedup savings: the census and the join back to the doc stream are
+    both keyed by the text hash; no cartesian product, no window, no
+    range partitioning anywhere (the final ORDER BY source is over
+    ≤|sources| rows — AQE may plan it as a single tiny sort). At small
+    SF the census side broadcasts under AQE's threshold; at scale it
+    degrades to a same-key shuffle join — either way keyed, never
+    nested-loop on data."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XA-dedup-savings"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+
+
+def test_lsh_planner_never_scans_corpus(spark):
+    """The LSH planner's entire input is a generated 128-combo × 200-point
+    grid — its plan must contain NO parquet scan (that constant-cost
+    property is why it can run before a signature pass), one explode,
+    and one keyed aggregation pair."""
+    plan = _plan(EXT_QUERIES["XD-lsh-planner"](spark, SF_ORACLE))
+    assert "Scan parquet" not in plan
+    assert "Generate" in plan
+    assert "HashAggregate" in plan
