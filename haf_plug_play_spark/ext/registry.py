@@ -3275,6 +3275,73 @@ def _lsh_planner_sql(g: int = 200, t: float = 0.5) -> str:
     )
 
 
+def xt_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy quality signal
+    (ext/report.py:doc_entropy): H in bits over the doc's own word
+    distribution plus the [0,1] length-normalized form — the classic
+    gibberish/repeated-token screen next to XT-repetition (which counts
+    duplicate n-grams; entropy catches the distributional collapse even
+    when no n-gram repeats verbatim). One (doc, word) agg + one
+    doc-keyed agg, no joins, no windows."""
+    from haf_plug_play_spark.ext import report
+
+    return report.doc_entropy(_spread(load_table(spark, sf_dir, "documents")))
+
+
+def _entropy_sql() -> str:
+    return (
+        "WITH w AS (SELECT doc_id, unnest(list_filter(string_split("
+        "lower(text), ' '), x -> x <> '')) AS w FROM documents), "
+        "c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), "
+        "d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "sum(c * log2(c)) AS s FROM c GROUP BY 1) "
+        "SELECT doc_id, n_tokens, "
+        "round(log2(n_tokens) - s / n_tokens, 6) AS entropy_bits, "
+        "CASE WHEN n_tokens > 1 THEN "
+        "round((log2(n_tokens) - s / n_tokens) / log2(n_tokens), 6) "
+        "ELSE 0.0 END AS norm_entropy FROM d ORDER BY doc_id"
+    )
+
+
+def xa_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style one-shot domain reweighting
+    (ext/report.py:doremi_weights — Xie et al. 2023 simplified to a
+    single pass over the corpus unigram LM): per-source mixture weight
+    ∝ share · exp(excess surprisal), normalized — the actionable
+    output of the drift/quality diagnostics, consumed downstream by
+    the weighted-mix/temperature samplers. Same one (source, word)
+    aggregation as XT-kl-drift; everything after is vocab- or
+    strata-bounded with broadcast joins."""
+    from haf_plug_play_spark.ext import report
+
+    return report.doremi_weights(load_table(spark, sf_dir, "documents"))
+
+
+def _doremi_sql(temperature: float = 1.0) -> str:
+    return (
+        "WITH w AS (SELECT source, unnest(list_filter(string_split("
+        "lower(text), ' '), x -> x <> '')) AS w FROM documents), "
+        "sw AS (SELECT source, w, count(*) AS c_sw FROM w GROUP BY 1, 2), "
+        "cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1), "
+        "ts AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1), "
+        "tn AS (SELECT sum(c_sw) AS n FROM sw), "
+        "xe AS (SELECT sw.source, CAST(max(ts.n_s) AS BIGINT) AS n_tokens, "
+        "-sum((c_sw / CAST(n_s AS DOUBLE)) * ln(c_w / CAST(n AS DOUBLE))) "
+        "AS xent, max(n) AS n FROM sw JOIN cw ON sw.w = cw.w "
+        "JOIN ts ON ts.source = sw.source CROSS JOIN tn GROUP BY 1), "
+        "xs AS (SELECT source, n_tokens, n_tokens / CAST(n AS DOUBLE) "
+        "AS share, xent FROM xe), "
+        "ex AS (SELECT source, n_tokens, share, xent, "
+        "xent - sum(share * xent) OVER () AS excess FROM xs), "
+        "raw AS (SELECT source, n_tokens, share, xent, excess, "
+        f"share * exp(excess / {float(temperature)!r}) AS wraw FROM ex) "
+        "SELECT source, n_tokens, round(share, 6) AS token_share, "
+        "round(xent, 6) AS xent_nats, round(excess, 6) AS excess_nats, "
+        "round(wraw / sum(wraw) OVER (), 6) AS weight FROM raw "
+        "ORDER BY source"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3388,6 +3455,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-burstiness": xt_burstiness,
     "XA-dedup-savings": xa_dedup_savings,
     "XD-lsh-planner": xd_lsh_planner,
+    "XT-entropy": xt_entropy,
+    "XA-doremi": xa_doremi,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3596,4 +3665,6 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-burstiness": _burstiness_sql(),
     "XA-dedup-savings": _dedup_savings_sql(),
     "XD-lsh-planner": _lsh_planner_sql(),
+    "XT-entropy": _entropy_sql(),
+    "XA-doremi": _doremi_sql(),
 }

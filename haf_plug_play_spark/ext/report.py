@@ -123,15 +123,17 @@ def kl_drift_report(docs: DataFrame) -> DataFrame:
 
 def corpus_report(docs: DataFrame) -> dict:
     """The ``report`` CLI's payload: global Zipf/Heaps structure,
-    per-(source, lang) tokenizer fertility, per-source KL drift, and
-    per-source distinct-3-gram-shingle estimates via the HLL
-    ``certify=False`` production path. Every leg's output is one row or
-    strata-bounded, so the collects here are bounded by construction."""
+    per-(source, lang) tokenizer fertility, per-source KL drift,
+    per-source DoReMi mixture weights, and per-source
+    distinct-3-gram-shingle estimates via the HLL ``certify=False``
+    production path. Every leg's output is one row or strata-bounded,
+    so the collects here are bounded by construction."""
     from haf_plug_play_spark.ext import sketch
 
     zipf = zipf_diagnostic(docs).collect()[0].asDict()
     fert = [r.asDict() for r in fertility_report(docs).collect()]
     kl = [r.asDict() for r in kl_drift_report(docs).collect()]
+    doremi = [r.asDict() for r in doremi_weights(docs).collect()]
     ws = F.split(F.lower(F.col("text")), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(2), F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 3)))
@@ -144,5 +146,114 @@ def corpus_report(docs: DataFrame) -> dict:
         "zipf": zipf,
         "fertility": fert,
         "kl_drift": kl,
+        "doremi_weights": doremi,
         "distinct_shingles_hll": distinct_shingles,
     }
+
+
+def doc_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the doc's OWN word distribution
+    (bits), plus the length-normalized form in [0, 1] — the classic
+    gibberish/boilerplate screen: near-zero entropy is a repeated-token
+    artifact, near-one is a vocabulary-saturated document. Computed as
+    H = log2(L) − (Σ c·log2 c)/L from one (doc, word) count aggregation
+    and one doc-keyed aggregation — both map-side-combinable, no joins,
+    no windows; linear in token occurrences at any corpus size. FP
+    caveat: the Σ c·log2 c sum reassociates across the shuffle
+    (avg_logp family, absorbed by 6-dp rounding). norm_entropy divides
+    by log2(L), NULL-guarded to 0.0 for single-token docs (the XT-zipf
+    degenerate-input rule: both engines return the same literal)."""
+    c = _words(docs, "doc_id").groupBy("doc_id", "w").agg(
+        F.count("*").alias("c")
+    )
+    d = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.col("c") * F.log2("c")).alias("_s"),
+    )
+    h = F.log2("n_tokens") - F.col("_s") / F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(h, 6).alias("entropy_bits"),
+        F.when(F.col("n_tokens") > 1, F.round(h / F.log2("n_tokens"), 6))
+        .otherwise(0.0)
+        .alias("norm_entropy"),
+    ).orderBy("doc_id")
+
+
+def doremi_weights(docs: DataFrame, temperature: float = 1.0) -> DataFrame:
+    """One-shot domain reweighting in the DoReMi spirit (Xie et al.
+    2023, public method, simplified to a single pass with the corpus
+    unigram LM standing in for the proxy model): a source whose tokens
+    are HARDER than average under the corpus distribution (mean
+    surprisal above the token-share-weighted corpus mean — which is
+    exactly the corpus entropy) is upweighted exponentially,
+
+        weight_i ∝ share_i · exp((xent_i − H_corpus) / T),
+
+    normalized to Σ = 1. Output per source: token share, cross-entropy
+    vs the corpus unigram distribution (nats), excess, and the final
+    mixture weight — the actionable knob a 100 TB training run feeds
+    back into its sampler (XA-weighted-mix / XA-temperature take it
+    from here).
+
+    Scale shape: the SAME one (source, word) aggregation as
+    kl_drift_report — corpus totals and per-source totals re-aggregate
+    from that vocab-bounded table (AQE reuses the sw exchange); the
+    corpus entropy needs NO branch of its own: since Σ_s c_sw = c_w,
+    H_corpus = −Σ_w (c_w/n)·ln(c_w/n) = Σ_s share_s·xent_s exactly, so
+    it re-aggregates from the ≤|sources|-row report itself — and the
+    oracle SQL mirrors the identical form so both engines sum the same
+    ≤|sources| doubles. The weight normalizer is the same tiny agg.
+    FP caveat: the surprisal sums and the ≤|sources|-row hc/normalizer
+    reassociate (avg_logp family, 6-dp rounding)."""
+    sw = _words(docs, "source").groupBy("source", "w").agg(
+        F.count("*").alias("c_sw")
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_tot = sw.agg(F.sum("c_sw").alias("n"))
+    xent = (
+        sw.join(cw, "w")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            (-F.sum((F.col("c_sw") / F.col("n_s")) * F.log(F.col("c_w") / F.col("n"))))
+            .alias("_xent"),
+            F.max("n").alias("_n"),
+        )
+        .withColumn("_share", F.col("n_tokens") / F.col("_n"))
+    )
+    # H_corpus = Σ_s share_s · xent_s (token-share-weighted mean
+    # surprisal) and the weight normalizer are UNPARTITIONED WINDOW
+    # sums over the ≤|sources|-row report — bounded by construction
+    # (the strata-bounded sibling of the top-k defense), and windows
+    # keep them in THIS subtree: a separate .agg() + crossJoin would
+    # replan the whole corpus aggregation once per scalar (measured:
+    # 18 parquet scans in the executed plan vs 6 this way)
+    from pyspark.sql import Window
+
+    whole = Window.partitionBy()
+    raw = (
+        xent.withColumn(
+            "_excess",
+            F.col("_xent") - F.sum(F.col("_share") * F.col("_xent")).over(whole),
+        )
+        .withColumn(
+            "_wraw", F.col("_share") * F.exp(F.col("_excess") / float(temperature))
+        )
+        .withColumn("_z", F.sum("_wraw").over(whole))
+    )
+    return (
+        raw.select(
+            "source",
+            "n_tokens",
+            F.round("_share", 6).alias("token_share"),
+            F.round("_xent", 6).alias("xent_nats"),
+            F.round("_excess", 6).alias("excess_nats"),
+            F.round(F.col("_wraw") / F.col("_z"), 6).alias("weight"),
+        )
+        .orderBy("source")
+    )

@@ -303,6 +303,10 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         "XR-rrf": ("dedup", reg.xr_rrf),
         "XT-burstiness": ("dedup", reg.xt_burstiness),
         "XA-dedup-savings": ("dedup", reg.xa_dedup_savings),
+        # per-doc entropy is the minimal two-agg diagnostic; DoReMi
+        # reweighting re-aggregates the kl-drift (source, word) table
+        "XT-entropy": ("dedup", reg.xt_entropy),
+        "XA-doremi": ("dedup", reg.xa_doremi),
     }
 
 

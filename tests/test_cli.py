@@ -632,7 +632,13 @@ def test_cli_report_corpus_diagnostics(spark, capsys):
     from tests.conftest import SF_SMOKE
 
     got = _run(capsys, ["report", "--in", f"{SF_SMOKE}/documents.parquet"])
-    assert set(got) == {"zipf", "fertility", "kl_drift", "distinct_shingles_hll"}
+    assert set(got) == {
+        "zipf",
+        "fertility",
+        "kl_drift",
+        "doremi_weights",
+        "distinct_shingles_hll",
+    }
     from haf_plug_play_spark.ext.registry import EXT_QUERIES
 
     zq = EXT_QUERIES["XT-zipf"](spark, SF_SMOKE).collect()[0].asDict()
@@ -641,6 +647,8 @@ def test_cli_report_corpus_diagnostics(spark, capsys):
     assert got["fertility"] == fq
     kq = [r.asDict() for r in EXT_QUERIES["XT-kl-drift"](spark, SF_SMOKE).collect()]
     assert got["kl_drift"] == kq
+    dq = [r.asDict() for r in EXT_QUERIES["XA-doremi"](spark, SF_SMOKE).collect()]
+    assert got["doremi_weights"] == dq
     # production-path sketch: per-source rows, no exact columns
     assert got["distinct_shingles_hll"]
     for row in got["distinct_shingles_hll"]:

@@ -2172,3 +2172,45 @@ def test_burstiness_planted_values(spark, tmp_path):
     assert rows["even"].burstiness == 0.0
     assert (rows["bursty"].n_total, rows["bursty"].n_docs) == (4, 1)
     assert (rows["even"].n_total, rows["even"].n_docs) == (4, 4)
+
+
+def test_doc_entropy_closed_form(spark):
+    """Entropy goldens: a four-way repeated token is zero entropy; four
+    distinct tokens are exactly 2 bits and norm 1; a single-token doc
+    takes the guarded 0.0."""
+    from haf_plug_play_spark.ext.report import doc_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "only")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in doc_entropy(docs).collect()}
+    assert rows[1].entropy_bits == 0.0 and rows[1].norm_entropy == 0.0
+    assert rows[2].entropy_bits == 2.0 and rows[2].norm_entropy == 1.0
+    assert rows[3].n_tokens == 1 and rows[3].norm_entropy == 0.0
+
+
+def test_doremi_identical_sources_get_share_weights(spark):
+    """When every source has the corpus distribution, excess surprisal is
+    zero everywhere, so the DoReMi weight must equal the token share
+    exactly; a source with out-of-distribution tokens must be upweighted
+    ABOVE its share."""
+    from haf_plug_play_spark.ext.report import doremi_weights
+
+    same = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "a"), (3, "x y", "a"), (4, "x y", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in doremi_weights(same).collect()}
+    assert rows["a"].excess_nats == 0.0 and rows["b"].excess_nats == 0.0
+    assert rows["a"].weight == rows["a"].token_share == 0.75
+    assert rows["b"].weight == rows["b"].token_share == 0.25
+
+    hard = spark.createDataFrame(
+        [(1, "x x x x x x", "a"), (2, "q z w v", "b")],
+        "doc_id long, text string, source string",
+    )
+    hrows = {r.source: r for r in doremi_weights(hard).collect()}
+    assert hrows["b"].excess_nats > 0.0
+    assert hrows["b"].weight > hrows["b"].token_share
+    assert abs(hrows["a"].weight + hrows["b"].weight - 1.0) < 2e-6

@@ -768,3 +768,32 @@ def test_lsh_planner_never_scans_corpus(spark):
     assert "Scan parquet" not in plan
     assert "Generate" in plan
     assert "HashAggregate" in plan
+
+
+def test_entropy_single_scan_no_joins(spark):
+    """Per-doc entropy is the minimal diagnostic shape: ONE parquet scan,
+    two keyed hash-aggregation pairs (per-(doc, word) counts, per-doc
+    sums), zero joins, zero windows."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XT-entropy"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) == 4
+
+
+def test_doremi_scalar_reductions_stay_in_subtree(spark):
+    """DoReMi weights: the corpus entropy and the weight normalizer must
+    be UNPARTITIONED WINDOW sums over the ≤|sources|-row report — a
+    separate .agg() + crossJoin for each scalar replans the whole
+    corpus aggregation per scalar (measured: 18 executed parquet scans
+    vs 6). Pins: exactly two Windows, at most the kl-drift family's
+    four static scans (sw regrouped for cw/ts/tn), keyed joins only."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XA-doremi"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
