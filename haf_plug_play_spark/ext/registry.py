@@ -3342,6 +3342,49 @@ def _doremi_sql(temperature: float = 1.0) -> str:
     )
 
 
+def xs_embqc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit (ext/embqc.py:embedding_qc): per label,
+    vector count, mean L2 norm, and intra-class cosine coherence
+    against the label centroid (mean + min) — the QC gate a pipeline
+    runs before trusting its embedding column for semantic dedup /
+    ANN / clustering curation. Two linear passes ending in keyed aggs;
+    centroid components stay a broadcast DataFrame (≤ labels × dim
+    rows), never a driver collect."""
+    from haf_plug_play_spark.ext import embqc
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return embqc.embedding_qc(emb)
+
+
+def _embqc_sql() -> str:
+    """DuckDB mirror of embedding_qc: parallel unnests zip (pos, val);
+    per-vector cosine rounds to 6 dp before the per-label mean/min so
+    both engines reduce identical rounded values."""
+    return (
+        f"WITH b AS (SELECT vec_id, label, {_VD} AS v FROM embeddings), "
+        "n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) "
+        "AS vnorm FROM b), "
+        "px AS (SELECT vec_id, label, vnorm, "
+        "unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS val FROM n), "
+        "comp AS (SELECT label, pos, avg(val) AS cval FROM px "
+        "GROUP BY 1, 2), "
+        "cn AS (SELECT label, sqrt(sum(cval * cval)) AS cnorm FROM comp "
+        "GROUP BY 1), "
+        "d AS (SELECT px.vec_id, px.label, px.vnorm, "
+        "sum(px.val * comp.cval) AS dot FROM px JOIN comp "
+        "ON comp.label = px.label AND comp.pos = px.pos GROUP BY 1, 2, 3), "
+        "c AS (SELECT d.label, "
+        "CAST(round(d.vnorm * 1e6) AS BIGINT) AS vnorm_u, "
+        "CAST(round(d.dot / (d.vnorm * cn.cnorm) * 1e6) AS BIGINT) AS cos_u "
+        "FROM d JOIN cn ON cn.label = d.label) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "round(sum(vnorm_u) / count(*) / 1e6, 6) AS mean_norm, "
+        "round(sum(cos_u) / count(*) / 1e6, 6) AS mean_cos, "
+        "round(min(cos_u) / 1e6, 6) AS min_cos "
+        "FROM c GROUP BY label ORDER BY label"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3457,6 +3500,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XD-lsh-planner": xd_lsh_planner,
     "XT-entropy": xt_entropy,
     "XA-doremi": xa_doremi,
+    "XS-embqc": xs_embqc,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3667,4 +3711,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XD-lsh-planner": _lsh_planner_sql(),
     "XT-entropy": _entropy_sql(),
     "XA-doremi": _doremi_sql(),
+    "XS-embqc": _embqc_sql(),
 }

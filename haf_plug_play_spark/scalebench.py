@@ -307,6 +307,9 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # reweighting re-aggregates the kl-drift (source, word) table
         "XT-entropy": ("dedup", reg.xt_entropy),
         "XA-doremi": ("dedup", reg.xa_doremi),
+        # embedding QC scales with the vector table (two linear passes,
+        # label-bounded output — 10 labels at every scale)
+        "XS-embqc": ("dedup", reg.xs_embqc),
     }
 
 

@@ -2214,3 +2214,27 @@ def test_doremi_identical_sources_get_share_weights(spark):
     assert hrows["b"].excess_nats > 0.0
     assert hrows["b"].weight > hrows["b"].token_share
     assert abs(hrows["a"].weight + hrows["b"].weight - 1.0) < 2e-6
+
+
+def test_embedding_qc_closed_form(spark):
+    """Embedding QC goldens: two orthogonal unit vectors share a label —
+    centroid [.5, .5], every cosine to it is exactly 1/√2 (micro-unit
+    quantized: 0.707107); a single-vector label is its own centroid
+    (cos 1, mean_norm = its norm)."""
+    from haf_plug_play_spark.ext.embqc import embedding_qc
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [3.0, 4.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = {r.label: r for r in embedding_qc(emb).collect()}
+    assert rows[0].n_vecs == 2
+    assert rows[0].mean_norm == 1.0
+    assert rows[0].mean_cos == rows[0].min_cos == 0.707107
+    assert rows[1].n_vecs == 1
+    assert rows[1].mean_norm == 5.0
+    assert rows[1].mean_cos == rows[1].min_cos == 1.0

@@ -797,3 +797,18 @@ def test_doremi_scalar_reductions_stay_in_subtree(spark):
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 4
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embqc_broadcast_centroids_keyed_aggs(spark):
+    """Embedding QC: centroid components and norms join back BROADCAST
+    (≤ labels × dim rows); the vector stream is consumed by keyed hash
+    aggregations only — no sort-merge join, no cartesian product, no
+    window, no driver-side collect shaping the plan."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XS-embqc"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4

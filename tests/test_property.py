@@ -698,3 +698,113 @@ def test_weighted_reservoir_es_properties(spark):
         df.repartition(13), ["source"], 5, "doc_id", "n_chars", seed=3
     ).orderBy("sample_rank").collect()]
     assert a == b
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lex=st.lists(
+        st.tuples(st.integers(0, 30), st.floats(0.0, 10.0, allow_nan=False)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    dense=st.lists(
+        st.tuples(st.integers(0, 30), st.floats(-1.0, 1.0, allow_nan=False)),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+)
+def test_rrf_fuse_properties(spark, lex, dense):
+    """RRF invariants on arbitrary legs: every output id comes from a
+    leg; the score is exactly the closed form of its two ranks; output
+    is sorted by (rrf desc, id) and k-bounded; and fusing is invariant
+    to input row ORDER (ranks come from the score sort, not arrival)."""
+    from haf_plug_play_spark.ext import retrieval
+
+    ldf = spark.createDataFrame(lex, "doc_id long, bm25 double")
+    ddf = spark.createDataFrame(dense, "doc_id long, cosine double")
+    out = retrieval.rrf_fuse(ldf, "bm25", ddf, "cosine", k=5).collect()
+    assert len(out) <= 5
+    ids = {i for i, _ in lex} | {i for i, _ in dense}
+    # rank on the RAW score exactly as the window does (legs pre-round
+    # their scores in production; the fuser itself must not re-round)
+    lrank = {
+        i: n + 1
+        for n, (i, _) in enumerate(sorted(lex, key=lambda t: (-t[1], t[0])))
+    }
+    drank = {
+        i: n + 1
+        for n, (i, _) in enumerate(sorted(dense, key=lambda t: (-t[1], t[0])))
+    }
+    for row in out:
+        assert row.doc_id in ids
+        expect = round(
+            (1.0 / (60 + lrank[row.doc_id]) if row.doc_id in lrank else 0.0)
+            + (1.0 / (60 + drank[row.doc_id]) if row.doc_id in drank else 0.0),
+            6,
+        )
+        assert row.rrf == expect
+    keys = [(-r.rrf, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+    # permutation invariance
+    from pyspark.sql import functions as F
+
+    out2 = retrieval.rrf_fuse(
+        ldf.orderBy("bm25"), "bm25", ddf.orderBy(F.desc("doc_id")), "cosine", k=5
+    ).collect()
+    assert [(r.doc_id, r.rrf) for r in out2] == [(r.doc_id, r.rrf) for r in out]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(_TEXT_ALPHABET, min_size=1, max_size=60), min_size=1, max_size=15))
+def test_doc_entropy_bounds_and_reference(spark, texts):
+    """Entropy invariants on arbitrary text: 0 ≤ H ≤ log2(n_tokens),
+    norm in [0, 1], and both match a plain-Python reference at 6 dp."""
+    import math
+    from collections import Counter
+
+    from haf_plug_play_spark.ext.report import doc_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in doc_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in t.lower().split(" ") if w]
+        if not words:
+            assert i not in rows
+            continue
+        c = Counter(words)
+        L = sum(c.values())
+        h = math.log2(L) - sum(v * math.log2(v) for v in c.values()) / L
+        r = rows[i]
+        assert r.n_tokens == L
+        assert abs(r.entropy_bits - h) < 2e-6
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(L, 2)) + 1e-9
+        assert -1e-9 <= r.norm_entropy <= 1 + 1e-9
+
+
+def test_lsh_planner_scurve_monotonicity(spark):
+    """Structural invariants over the full grid: at fixed r, more bands
+    raise P(s) everywhere — fp up, fn down, s50 down; at fixed b, more
+    rows sharpen the curve the other way; and every mass is a valid
+    probability integral (0 ≤ mass ≤ 1)."""
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    from .conftest import SF_ORACLE
+
+    rows = {
+        (r.b, r.r): r
+        for r in EXT_QUERIES["XD-lsh-planner"](spark, SF_ORACLE).collect()
+    }
+    for (b, r), row in rows.items():
+        assert 0.0 <= row.fp_mass <= 1.0 and 0.0 <= row.fn_mass <= 1.0
+        if (b + 1, r) in rows:
+            nxt = rows[(b + 1, r)]
+            assert nxt.fp_mass >= row.fp_mass
+            assert nxt.fn_mass <= row.fn_mass
+            assert nxt.s50 <= row.s50
+        if (b, r + 1) in rows:
+            nxt = rows[(b, r + 1)]
+            assert nxt.fp_mass <= row.fp_mass
+            assert nxt.fn_mass >= row.fn_mass
+            assert nxt.s50 >= row.s50
