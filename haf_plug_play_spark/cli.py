@@ -213,12 +213,20 @@ def build_parser() -> argparse.ArgumentParser:
         "report",
         help="corpus diagnostics as one JSON document: Zipf/Heaps "
         "structure, per-(source, lang) tokenizer fertility, per-source "
-        "KL drift, per-source distinct-shingle HLL estimates "
-        "(production certify=False path) — ext/report.py",
+        "KL drift, per-source DoReMi mixture weights, per-source "
+        "distinct-shingle HLL estimates (production certify=False "
+        "path); --embeddings adds the per-label embedding-QC leg — "
+        "ext/report.py, ext/embqc.py",
     )
     rp.add_argument("--in", dest="in_path", required=True)
     rp.add_argument(
         "--in-format", default=None, choices=["parquet", "jsonl", "csv"]
+    )
+    rp.add_argument(
+        "--embeddings",
+        default=None,
+        help="optional labeled embeddings parquet (vec_id, embedding, "
+        "label); adds an embedding_qc key to the bundle",
     )
 
     ex = sub.add_parser(
@@ -423,7 +431,15 @@ def main(argv: list[str] | None = None) -> int:
         from haf_plug_play_spark.sources.corpus import read_corpus
 
         docs = read_corpus(spark, args.in_path, args.in_format)
-        print(json.dumps(corpus_report(docs)))
+        bundle = corpus_report(docs)
+        if args.embeddings:
+            from haf_plug_play_spark.ext.embqc import embedding_qc
+
+            emb = spark.read.parquet(args.embeddings)
+            bundle["embedding_qc"] = [
+                r.asDict() for r in embedding_qc(emb).collect()
+            ]
+        print(json.dumps(bundle))
     elif args.cmd == "snapshot":
         from haf_plug_play_spark.runner import snapshots as sn
         from haf_plug_play_spark.runner.fs import (

@@ -654,3 +654,25 @@ def test_cli_report_corpus_diagnostics(spark, capsys):
     for row in got["distinct_shingles_hll"]:
         assert set(row) == {"source", "hll_est", "n_registers_used"}
         assert row["hll_est"] > 0
+
+
+def test_cli_report_optional_embedding_qc(spark, capsys):
+    """--embeddings adds the per-label QC leg, agreeing with the
+    XS-embqc query form on the same table; without the flag the key is
+    absent (the corpus bundle alone)."""
+    from tests.conftest import SF_SMOKE
+
+    got = _run(
+        capsys,
+        [
+            "report",
+            "--in",
+            f"{SF_SMOKE}/documents.parquet",
+            "--embeddings",
+            f"{SF_SMOKE}/embeddings.parquet",
+        ],
+    )
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    eq = [r.asDict() for r in EXT_QUERIES["XS-embqc"](spark, SF_SMOKE).collect()]
+    assert got["embedding_qc"] == eq
