@@ -779,8 +779,10 @@ def test_doc_entropy_bounds_and_reference(spark, texts):
         r = rows[i]
         assert r.n_tokens == L
         assert abs(r.entropy_bits - h) < 2e-6
-        assert -1e-9 <= r.entropy_bits <= math.log2(max(L, 2)) + 1e-9
-        assert -1e-9 <= r.norm_entropy <= 1 + 1e-9
+        # entropy_bits is 6-dp ROUNDED, so it may sit up to 5e-7 above
+        # the exact log2(L) bound (observed: 1.584963 vs log2(3))
+        assert -1e-6 <= r.entropy_bits <= math.log2(max(L, 2)) + 1e-6
+        assert -1e-6 <= r.norm_entropy <= 1 + 1e-6
 
 
 def test_lsh_planner_scurve_monotonicity(spark):
