@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="DSIR log-weight keep threshold (with --dsir-target)",
     )
     cu.add_argument(
+        "--min-entropy", type=float, default=None, metavar="NORM",
+        help="also drop documents whose normalized word entropy "
+        "(ext/report.py:doc_entropy, 0..1) falls below this — the "
+        "repeated-token boilerplate gate",
+    )
+    cu.add_argument(
         "--dedup-spans", type=int, default=None, metavar="WINDOW",
         help="pre-funnel keep-one-copy exact-substring removal at this "
         "word window (ext/dedup.py:remove_duplicated_spans); later "
@@ -350,6 +356,7 @@ def main(argv: list[str] | None = None) -> int:
             decontam_min_frac=args.decontam_min_frac,
             dsir_target_expr=args.dsir_target,
             dsir_tau=args.dsir_tau,
+            min_entropy=args.min_entropy,
             remove_dup_spans=args.dedup_spans,
         )
         print(json.dumps(summary))

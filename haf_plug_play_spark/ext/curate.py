@@ -38,6 +38,7 @@ def curate_documents(
     decontam_min_frac: float = 0.5,
     dsir_target=None,
     dsir_tau: float = 0.0,
+    min_entropy: float | None = None,
     remove_dup_spans: int | None = None,
     mix_targets: dict[str, float] | None = None,
     stratum_col: str = "source",
@@ -70,6 +71,12 @@ def curate_documents(
       Column over the input's columns). A document with no features
       (empty text) is never target-like and is dropped, matching
       dsir_weights' no-row semantics.
+    - ``min_entropy``: normalized-entropy gate
+      (ext/report.py:doc_entropy) — drop documents whose word
+      distribution collapsed (repeated-token boilerplate that n-gram
+      repetition misses when nothing repeats verbatim); the per-doc
+      entropy joins back on the already-keyed id like the DSIR flag. A
+      doc with no tokens has no entropy row and is dropped.
     - ``remove_dup_spans``: a PRE-funnel text rewrite, not a flag —
       keep-one-copy exact-substring removal at this window
       (ext/dedup.py:remove_duplicated_spans) runs first and every later
@@ -160,6 +167,26 @@ def curate_documents(
             .drop("log_weight")
         )
         keep = F.col("_keep_dsir")
+    if min_entropy is not None:
+        from haf_plug_play_spark.ext.report import doc_entropy
+
+        ent = doc_entropy(
+            docs.select(F.col(id_col).alias("doc_id"), text_col)
+        ).select(F.col("doc_id").alias(id_col), "norm_entropy")
+        scored = (
+            scored.join(ent, id_col, "left")
+            .withColumn(
+                "_keep_entropy",
+                # NULL norm_entropy = no tokens = dropped
+                keep
+                & F.coalesce(
+                    F.col("norm_entropy") >= F.lit(float(min_entropy)),
+                    F.lit(False),
+                ),
+            )
+            .drop("norm_entropy")
+        )
+        keep = F.col("_keep_entropy")
     gate = keep & (F.col("q_score") >= min_score)
     if langs:
         gate = gate & F.col("lang").isin(list(langs))
@@ -206,6 +233,8 @@ def curate_documents(
         flag_stages.append(("decontaminated", "_keep_clean"))
     if dsir_target is not None:
         flag_stages.append(("dsir_kept", "_keep_dsir"))
+    if min_entropy is not None:
+        flag_stages.append(("entropy_kept", "_keep_entropy"))
     flag_stages += [("gated", "_gate"), ("curated", "_sample")]
     if mix_targets is not None:
         flag_stages.append(("mixed", "_keep_mix"))

@@ -676,3 +676,28 @@ def test_cli_report_optional_embedding_qc(spark, capsys):
 
     eq = [r.asDict() for r in EXT_QUERIES["XS-embqc"](spark, SF_SMOKE).collect()]
     assert got["embedding_qc"] == eq
+
+
+def test_curate_entropy_gate_stage(spark):
+    """Opt-in normalized-entropy gate: a repeated-token boilerplate doc
+    (norm entropy 0) and an empty doc are dropped, diverse docs
+    survive, and the funnel reports the stage between its upstream
+    flags and the quality gate."""
+    from haf_plug_play_spark.ext.curate import curate_documents
+
+    rows = [
+        (0, "the reactor coolant loop runs under the turbine hall", "en", "s"),
+        (1, "buy buy buy buy buy buy buy buy", "en", "s"),  # collapsed
+        (2, "tulip compost trellis pergola loam seedling mulch", "en", "s"),
+        (3, "", "en", "s"),  # no tokens: no entropy row
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    curated, f = curate_documents(docs, min_score=-100.0, min_entropy=0.5)
+    kept = {r.doc_id for r in curated.collect()}
+    assert kept == {0, 2}
+    assert f["entropy_kept"] == 2
+    assert list(f).index("deduped") < list(f).index("entropy_kept") < list(
+        f
+    ).index("gated")
