@@ -194,6 +194,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="DSIR log-weight keep threshold (with --dsir-target)",
     )
     rl.add_argument(
+        "--min-entropy", type=float, default=None, metavar="NORM",
+        help="normalized-entropy boilerplate gate "
+        "(see `curate --min-entropy`)",
+    )
+    rl.add_argument(
         "--batch-id", type=int, default=None,
         help="idempotency key: re-releasing the current (writer, batch) "
         "is a no-op (exactly-once publication)",
@@ -405,6 +410,7 @@ def main(argv: list[str] | None = None) -> int:
                 decontam_min_frac=args.decontam_min_frac,
                 dsir_target_expr=args.dsir_target,
                 dsir_tau=args.dsir_tau,
+                min_entropy=args.min_entropy,
             )
         except ConcurrentWriteError as exc:
             print(

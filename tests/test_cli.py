@@ -701,3 +701,27 @@ def test_curate_entropy_gate_stage(spark):
     assert list(f).index("deduped") < list(f).index("entropy_kept") < list(
         f
     ).index("gated")
+
+
+def test_cli_release_min_entropy_flag(spark, tmp_path, capsys):
+    """--min-entropy reaches the release funnel (flag parity with
+    curate): the entropy stage appears in the funnel counters and a
+    collapsed-vocabulary doc is excluded from the published table."""
+    rows = [
+        (0, "the reactor coolant loop runs under the turbine hall", "en", "src0"),
+        (1, "spam spam spam spam spam spam spam spam", "en", "src0"),
+        (2, "tulip compost trellis pergola loam seedling mulch", "en", "src1"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(tmp_path / "docs"))
+    got = _run(capsys, [
+        "release", "--in", str(tmp_path / "docs"),
+        "--table", str(tmp_path / "t"),
+        "--min-score", "-100", "--min-entropy", "0.5", "--batch-id", "1",
+    ])
+    assert got["funnel"]["entropy_kept"] == 2
+    from haf_plug_play_spark.runner import snapshots as sn
+
+    kept = {r.doc_id for r in sn.read_snapshot(spark, str(tmp_path / "t")).collect()}
+    assert kept == {0, 2}
