@@ -810,3 +810,68 @@ def test_lsh_planner_scurve_monotonicity(spark):
             assert nxt.fp_mass <= row.fp_mass
             assert nxt.fn_mass >= row.fn_mass
             assert nxt.s50 >= row.s50
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(_TEXT_ALPHABET, min_size=1, max_size=40), min_size=2, max_size=10))
+def test_burstiness_matches_python_reference(spark, texts, tmp_path_factory):
+    """Burstiness on arbitrary corpora must equal the plain-Python
+    Q/S − S/N closed form for every reported word, and the report must
+    be the top-k by (count desc, word)."""
+    from collections import Counter
+
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    tmp = tmp_path_factory.mktemp("burst")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp / "documents.parquet"))
+    rows = EXT_QUERIES["XT-burstiness"](spark, str(tmp)).collect()
+
+    per_doc = [Counter(w for w in t.lower().split(" ") if w) for t in texts]
+    n = len(texts)
+    stats = {}
+    for c in per_doc:
+        for w, k in c.items():
+            s, q, m = stats.get(w, (0, 0, 0))
+            stats[w] = (s + k, q + k * k, m + 1)
+    expect_order = sorted(stats, key=lambda w: (-stats[w][0], w))[:100]
+    assert [r.word for r in rows] == expect_order
+    for r in rows:
+        s, q, m = stats[r.word]
+        assert (r.n_total, r.n_docs) == (s, m)
+        assert abs(r.burstiness - (q / s - s / n)) < 2e-6
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["a b c", "d e", "f", "g h i j"]),
+                  st.sampled_from(["s0", "s1", "s2"])),
+        min_size=1, max_size=20,
+    )
+)
+def test_dedup_savings_accounting_invariants(spark, docs, tmp_path_factory):
+    """Savings accounting on arbitrary duplicate mixes: summed kept_docs
+    equals the number of distinct texts; kept ≤ total on both docs and
+    tokens per source; savings_pct is the exact token ratio."""
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+
+    tmp = tmp_path_factory.mktemp("savings")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp / "documents.parquet"))
+    rows = EXT_QUERIES["XA-dedup-savings"](spark, str(tmp)).collect()
+
+    assert sum(r.kept_docs for r in rows) == len({t for t, _ in docs})
+    assert sum(r.n_docs for r in rows) == len(docs)
+    for r in rows:
+        assert 0 <= r.kept_docs <= r.n_docs
+        assert 0 <= r.kept_tokens <= r.n_tokens
+        assert r.savings_pct == round(
+            100.0 * (1.0 - r.kept_tokens * 1.0 / r.n_tokens), 6
+        )
