@@ -812,3 +812,21 @@ def test_embqc_broadcast_centroids_keyed_aggs(spark):
     assert "BroadcastHashJoin" in plan
     assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Suite-wide plan-hygiene invariant: NO registered query — canonical,
+    advanced, or extension — may plan a CartesianProduct. Broadcast
+    nested-loop joins against bounded singletons are the allowed shape
+    for scalar cross joins; an actual cartesian on data rows is always a
+    bug at 100 TB, whatever the query. This is the global net under the
+    per-query pins above: a NEW query (or a regressed join condition on
+    an old one) fails here without needing its own plan test."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for qid, fn in entry.queries().items():
+        plan = _plan(fn(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            offenders.append(qid)
+    assert offenders == []
