@@ -814,19 +814,28 @@ def test_embqc_broadcast_centroids_keyed_aggs(spark):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
 
 
-def test_no_cartesian_product_anywhere(spark):
-    """Suite-wide plan-hygiene invariant: NO registered query — canonical,
-    advanced, or extension — may plan a CartesianProduct. Broadcast
-    nested-loop joins against bounded singletons are the allowed shape
-    for scalar cross joins; an actual cartesian on data rows is always a
-    bug at 100 TB, whatever the query. This is the global net under the
-    per-query pins above: a NEW query (or a regressed join condition on
-    an old one) fails here without needing its own plan test."""
+def test_global_plan_hygiene_sweep(spark):
+    """Suite-wide plan invariants over EVERY registered query — canonical,
+    advanced, and extension — in one plan-building pass:
+
+    - no CartesianProduct: broadcast nested-loop joins against bounded
+      singletons are the allowed shape for scalar cross joins; an actual
+      cartesian on data rows is always a bug at 100 TB.
+    - no BatchEvalPython: the repo's standing claim is ZERO row-at-a-time
+      Python UDFs in any query path (Arrow-batched MapInPandas /
+      ArrowEvalPython are the sanctioned Python escapes).
+
+    This is the global net under the per-query pins above: a NEW query
+    (or a regression on an old one) fails here without needing its own
+    plan test."""
     import __spark_entry__ as entry
 
-    offenders = []
+    cartesian, row_udf = [], []
     for qid, fn in entry.queries().items():
         plan = _plan(fn(spark, SF_ORACLE))
         if "CartesianProduct" in plan:
-            offenders.append(qid)
-    assert offenders == []
+            cartesian.append(qid)
+        if "BatchEvalPython" in plan:
+            row_udf.append(qid)
+    assert cartesian == [], f"cartesian product in: {cartesian}"
+    assert row_udf == [], f"row-at-a-time Python UDF in: {row_udf}"
