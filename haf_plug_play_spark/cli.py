@@ -245,11 +245,21 @@ def build_parser() -> argparse.ArgumentParser:
         help="print the physical plan of a declared query (plan hygiene: "
         "pushdown, broadcast, TakeOrderedAndProject — SCALE.md evidence)",
     )
-    ex.add_argument("query", help="query id from __spark_entry__.queries()")
+    ex.add_argument(
+        "query", nargs="?", default=None,
+        help="query id from __spark_entry__.queries(); omit with --all",
+    )
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.add_argument(
         "--mode", default="formatted",
         choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
+    ex.add_argument(
+        "--all", action="store_true",
+        help="instead of one plan, print a one-JSON-line hygiene summary "
+        "per declared query (scans, joins, windows, top-k, cartesian, "
+        "row-UDF nodes) — the CLI form of the global plan sweep "
+        "(tests/test_plans.py)",
     )
 
     sn = sub.add_parser(
@@ -425,6 +435,33 @@ def main(argv: list[str] | None = None) -> int:
         from haf_plug_play_spark.queries.canonical import CANONICAL_QUERIES
 
         registry = {**CANONICAL_QUERIES, **ADVANCED_QUERIES, **EXT_QUERIES}
+        if args.all:
+            import io
+            import re
+            from contextlib import redirect_stdout
+
+            for qid in sorted(registry):
+                buf = io.StringIO()
+                with redirect_stdout(buf):
+                    registry[qid](spark, args.sf_dir).explain("formatted")
+                plan = buf.getvalue()
+                nodes = re.findall(r"^\(\d+\) (\w[\w ]*?)\s*$", plan, re.M)
+                summary = {
+                    "query": qid,
+                    "scans": sum(n.startswith("Scan") for n in nodes),
+                    "exchanges": sum(n == "Exchange" for n in nodes),
+                    "bhj": sum(n == "BroadcastHashJoin" for n in nodes),
+                    "smj": sum(n == "SortMergeJoin" for n in nodes),
+                    "windows": sum(n == "Window" for n in nodes),
+                    "topk": sum(n == "TakeOrderedAndProject" for n in nodes),
+                    "cartesian": sum(n == "CartesianProduct" for n in nodes),
+                    "row_udf": plan.count("BatchEvalPython"),
+                }
+                print(json.dumps(summary))
+            return 0
+        if args.query is None:
+            print("error: give a query id or --all", file=sys.stderr)
+            return 2
         if args.query not in registry:
             print(
                 f"error: unknown query {args.query!r}; known: "

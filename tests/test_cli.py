@@ -254,6 +254,27 @@ def test_cli_explain_prints_plan(spark, capsys):
     assert "TakeOrderedAndProject" in out  # the top-k plan contract
     rc = cli.main(["explain", "NOPE"])
     assert rc == 2
+    rc = cli.main(["explain"])  # neither a query id nor --all
+    assert rc == 2
+
+
+def test_cli_explain_all_hygiene_summary(spark, capsys):
+    """explain --all emits one JSON hygiene line per declared query, with
+    zero cartesians and zero row-at-a-time Python UDFs everywhere (the
+    CLI twin of tests/test_plans.py::test_global_plan_hygiene_sweep)."""
+    import __spark_entry__ as entry
+
+    capsys.readouterr()
+    rc = cli.main(["explain", "--all"])
+    assert rc == 0
+    lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert {r["query"] for r in lines} == set(entry.queries())
+    for r in lines:
+        assert r["cartesian"] == 0 and r["row_udf"] == 0, r
+        assert r["scans"] >= 0 and r["exchanges"] >= 0
 
 
 def test_curate_near_dup_stage(spark, tmp_path):
