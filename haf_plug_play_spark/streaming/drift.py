@@ -1,0 +1,94 @@
+"""Streaming corpus-drift monitor: windowed mean surprisal per source
+against a FIXED reference unigram LM.
+
+The batch diagnostics (ext/report.py:kl_drift_report, XT-kl-drift) compare
+each source to the corpus it arrived in; a LIVE ingest wants the converse —
+compare what is arriving NOW to a pinned reference (yesterday's corpus, the
+accepted training mix), per event-time window, with late data admitted up
+to a watermark. Rising mean surprisal or out-of-vocabulary rate is the
+crawl-drift / broken-extractor / spam-campaign alarm, caught while the
+batch is still open.
+
+Design note — why cross-entropy, not KL: KL(P_window ‖ P_ref) needs the
+window's OWN distribution, i.e. a second stateful aggregation over the
+first (per-word counts → per-window sums), which Structured Streaming
+forbids in a single query. Mean surprisal E_P_window[−ln P_ref(w)] =
+H(P_window, P_ref) = H(P_window) + KL(P_window ‖ P_ref) is the standard
+single-pass form: each token contributes −ln P_ref(token) via a broadcast
+join against the reference table, and ONE windowed aggregation reduces it.
+On a batch DataFrame the identical code degenerates to a plain group-by
+(the windowed_event_aggs contract), which is how the tests prove
+stream ≡ batch.
+
+Scale shape: the reference table is vocabulary-bounded and broadcast; the
+token stream is linear; state is one row per (window, source) — bounded by
+the watermark horizon × |sources|.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from haf_plug_play_spark.streaming.windowed import _as_event_time
+
+#: default log-probability charged to a token absent from the reference —
+#: ln(1e-9), a ~21-nat surprise; tune to ln(1/(10·|ref tokens|)) for a
+#: principled floor
+OOV_LOGP = math.log(1e-9)
+
+
+def reference_unigram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, logp) from a BATCH reference corpus — the pinned side of the
+    drift monitor. logp = ln(count/total); vocabulary-bounded output."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    tok = docs.select(F.explode(words).alias("word"))
+    counts = tok.groupBy("word").agg(F.count("*").alias("_c"))
+    total = counts.agg(F.sum("_c").alias("_n"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "word", F.log(F.col("_c") / F.col("_n")).alias("logp")
+    )
+
+
+def windowed_surprisal_drift(
+    docs: DataFrame,
+    reference: DataFrame,
+    ts_col: str = "ts",
+    source_col: str = "source",
+    text_col: str = "text",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    oov_logp: float = OOV_LOGP,
+) -> DataFrame:
+    """(w_start, source, n_tokens, oov_tokens, oov_frac, surprisal_nats)
+    per event-time window and source: mean −ln P_ref(token), with
+    out-of-vocabulary tokens charged ``oov_logp`` and counted separately
+    (a rising oov_frac localizes drift to NEW vocabulary, a rising
+    surprisal on a flat oov_frac to a shifted mix of known words).
+
+    ``reference`` is a (word, logp) batch frame (reference_unigram);
+    ``docs`` may be streaming (watermarked windowed agg, late data
+    admitted up to the watermark) or batch (same code, plain group-by)."""
+    src = _as_event_time(docs, ts_col)
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    tok = src.select(
+        F.col(ts_col), F.col(source_col), F.explode(words).alias("word")
+    )
+    scored = tok.join(F.broadcast(reference), "word", "left").select(
+        ts_col,
+        source_col,
+        F.col("logp").isNull().cast("long").alias("_oov"),
+        (-F.coalesce(F.col("logp"), F.lit(float(oov_logp)))).alias("_surp"),
+    )
+    return scored.groupBy(
+        F.window(ts_col, window).start.alias("w_start"), source_col
+    ).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("_oov").alias("oov_tokens"),
+        F.round(F.sum("_oov") / F.count("*"), 6).alias("oov_frac"),
+        F.round(F.sum("_surp") / F.count("*"), 6).alias("surprisal_nats"),
+    )

@@ -287,3 +287,79 @@ def test_streaming_incremental_curation_pipeline(spark, tmp_path):
     }
     then = {k: v for d in results["splits"].values() for k, v in d.items()}
     assert now == then
+
+
+def test_windowed_surprisal_drift_streaming_equals_batch(spark, tmp_path):
+    """The drift monitor run as a real 3-file stream (watermarked windowed
+    agg) must produce exactly the batch group-by's rows; OOV accounting
+    and the surprisal means match a closed-form check on a planted
+    window."""
+    import datetime
+
+    from haf_plug_play_spark.streaming.drift import (
+        reference_unigram,
+        windowed_surprisal_drift,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ref = reference_unigram(
+        spark.createDataFrame(
+            # reference: 'a' 3/4, 'b' 1/4
+            [(0, "a a a b")], "doc_id long, text string"
+        )
+    )
+    rows = [
+        # window 0: src X speaks pure reference; src Y is half-OOV
+        (0, t0, "X", "a a b"),
+        (1, t0 + datetime.timedelta(minutes=1), "Y", "a z"),
+        # window 1 (>=5 min later): src X drifts fully OOV
+        (2, t0 + datetime.timedelta(minutes=6), "X", "q q"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, source string, text string"
+    )
+    path = str(tmp_path / "docs")
+    docs.repartitionByRange(3, "doc_id").write.parquet(path)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        windowed_surprisal_drift(stream, ref)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("drift_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cols = ["w_start", "source", "n_tokens", "oov_tokens", "oov_frac",
+            "surprisal_nats"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM drift_out").collect()
+    )
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in windowed_surprisal_drift(docs, ref).collect()
+    )
+    assert got == batch
+
+    import math
+
+    from haf_plug_play_spark.streaming.drift import OOV_LOGP
+
+    by_key = {(r[0].minute // 5, r[1]): r for r in got}
+    x0 = by_key[(0, "X")]
+    # src X window 0: tokens a a b — surprisal = (2·(−ln .75) + (−ln .25))/3
+    assert x0[2:] == (
+        3, 0, 0.0, round((2 * -math.log(0.75) - math.log(0.25)) / 3, 6)
+    )
+    y0 = by_key[(0, "Y")]
+    assert y0[2:5] == (2, 1, 0.5)  # 'z' is OOV
+    assert y0[5] == round((-math.log(0.75) - OOV_LOGP) / 2, 6)
+    x1 = by_key[(1, "X")]
+    assert x1[2:] == (2, 2, 1.0, round(-OOV_LOGP, 6))
