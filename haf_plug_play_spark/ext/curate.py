@@ -374,3 +374,106 @@ def run_curate(
         .collect()
     }
     return {"funnel": funnel, "splits": per_split, "out": out_path}
+
+
+def curate_batch_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    table_dir: str,
+    splits: dict[str, float] | None = None,
+    fs=None,
+    batch_id: int | None = None,
+    writer_id: str = "stream-curate",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> dict:
+    """One micro-batch of the daily-crawl curation loop: incremental
+    MinHash near-dedup against the PUBLISHED corpus (first-wins — the
+    lowest id keeps, the repo-wide census rule), optional deterministic
+    split assignment, exactly-once ``append_snapshot`` publication
+    (a foreachBatch retry with the same (writer_id, batch_id) re-commits
+    nothing). Returns the committed manifest.
+
+    Pair semantics: ``incremental_minhash_pairs`` emits (id_a < id_b)
+    pairs touching the batch; a batch doc on the b side is a near-copy
+    of something older and is dropped via a distributed anti-join (no
+    driver-side id set). A batch doc on the a side KEEPS — already-
+    published near-copies are not retracted (with monotonically
+    increasing crawl ids the case never arises). Scale shape: the
+    corpus is probed through the band-bucket semi-join (never re-paired
+    with itself), the drop is one anti-join on the id, and the publish
+    is a manifest commit.
+    """
+    from haf_plug_play_spark.ext import dedup as xdedup
+    from haf_plug_play_spark.runner import snapshots as sn
+
+    batch = batch.select(id_col, text_col)
+    try:
+        corpus = sn.read_snapshot(spark, table_dir, fs).select(id_col, text_col)
+    except FileNotFoundError:
+        corpus = spark.createDataFrame([], batch.schema)
+    pairs = xdedup.incremental_minhash_pairs(
+        batch,
+        corpus,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+    )
+    kept = batch.join(
+        pairs.select(F.col("id_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    out = sampling.split_assign(kept, id_col, splits) if splits else kept
+    return sn.append_snapshot(
+        spark, out, table_dir, fs, batch_id=batch_id, writer_id=writer_id
+    )
+
+
+def start_curation_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    table_dir: str,
+    checkpoint: str,
+    splits: dict[str, float] | None = None,
+    fs=None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    **batch_kwargs,
+):
+    """The one-call streaming form of the curation loop: a file-source
+    document stream curated batch-by-batch through
+    ``curate_batch_incremental`` under foreachBatch, published as
+    snapshot appends. Returns the started StreamingQuery; exactly-once
+    holds across foreachBatch retries because the commit key is
+    (writer_id, epoch id). ``available_now=True`` drains the backlog
+    and stops (the catch-up/backfill mode); False runs continuously."""
+
+    def _publish(batch_df: DataFrame, epoch_id: int) -> None:
+        curate_batch_incremental(
+            spark,
+            batch_df,
+            table_dir,
+            splits=splits,
+            fs=fs,
+            batch_id=epoch_id,
+            **batch_kwargs,
+        )
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    writer = reader.writeStream.foreachBatch(_publish).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -363,3 +363,71 @@ def test_windowed_surprisal_drift_streaming_equals_batch(spark, tmp_path):
     assert y0[5] == round((-math.log(0.75) - OOV_LOGP) / 2, 6)
     x1 = by_key[(1, "X")]
     assert x1[2:] == (2, 2, 1.0, round(-OOV_LOGP, 6))
+
+
+def test_start_curation_stream_api(spark, tmp_path):
+    """The library form of the daily-crawl loop
+    (ext/curate.py:start_curation_stream): a 3-file stream curated and
+    published in one call — within-batch and cross-batch near-dups drop
+    first-wins, splits are assigned, one snapshot commit per micro-batch,
+    and a second drain over the same source re-publishes nothing (the
+    checkpoint + (writer_id, epoch) commit key)."""
+    import hashlib
+    import os
+    import time
+
+    from haf_plug_play_spark.ext.curate import start_curation_stream
+    from haf_plug_play_spark.runner import snapshots as sn
+    from haf_plug_play_spark.runner.fs import LocalFS
+
+    def salad(i: int, n: int = 30) -> list[str]:
+        return [hashlib.md5(f"{i}-{k}".encode()).hexdigest()[:8] for k in range(n)]
+
+    def doc(i: int):
+        return (i, " ".join(salad(i)))
+
+    def near_dup_of(i: int, new_id: int):
+        w = salad(i)
+        w[7] = "changed"
+        return (new_id, " ".join(w))
+
+    batches = [
+        [doc(0), doc(1), near_dup_of(1, 2)],
+        [doc(10), near_dup_of(0, 11)],
+        [doc(20), near_dup_of(10, 21)],
+    ]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    seen: set = set()
+    t0 = time.time() - 1000
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for name in os.listdir(src):
+            p = os.path.join(src, name)
+            if name.startswith("part-") and name not in seen:
+                os.utime(p, (t0 + b * 10, t0 + b * 10))
+                seen.add(name)
+
+    table = str(tmp_path / "published")
+    fs = LocalFS()
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    q = start_curation_stream(
+        spark, src, schema, table, str(tmp_path / "ck"), splits=splits, fs=fs
+    )
+    assert q.awaitTermination(300)
+
+    final = sn.read_snapshot(spark, table, fs)
+    assert sorted(r.doc_id for r in final.collect()) == [0, 1, 10, 20]
+    assert set(final.columns) >= {"doc_id", "text", "split"}
+    assert {r.split for r in final.collect()} <= {"train", "val", "test"}
+    assert len(sn.committed_chain(table, fs)) == 3
+
+    # drain again over the same source+checkpoint: nothing new to read,
+    # nothing re-published
+    q2 = start_curation_stream(
+        spark, src, schema, table, str(tmp_path / "ck"), splits=splits, fs=fs
+    )
+    assert q2.awaitTermination(300)
+    assert len(sn.committed_chain(table, fs)) == 3
