@@ -262,6 +262,26 @@ def build_parser() -> argparse.ArgumentParser:
         "(tests/test_plans.py)",
     )
 
+    cs = sub.add_parser(
+        "curate-stream",
+        help="the daily-crawl loop as a streaming job: drain a parquet "
+        "document directory as a file-source stream, incremental-MinHash "
+        "dedup each micro-batch against the published snapshot table "
+        "(first-wins), assign splits, append exactly-once "
+        "(ext/curate.py:start_curation_stream)",
+    )
+    cs.add_argument("--in", dest="in_path", required=True,
+                    help="documents parquet directory (the stream source)")
+    cs.add_argument("--table", required=True, help="published snapshot table dir")
+    cs.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (replay/exactly-once key)")
+    cs.add_argument(
+        "--splits", default="train=0.9,val=0.05,test=0.05",
+        help="comma-separated split fractions; 'none' to skip assignment",
+    )
+    cs.add_argument("--threshold", type=float, default=0.5,
+                    help="near-dup Jaccard threshold")
+
     sn = sub.add_parser(
         "snapshot",
         help="manifest-committed snapshot table ops — the object-store-safe "
@@ -470,6 +490,50 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         registry[args.query](spark, args.sf_dir).explain(args.mode)
+    elif args.cmd == "curate-stream":
+        from haf_plug_play_spark.ext.curate import start_curation_stream
+        from haf_plug_play_spark.runner import snapshots as sn_mod
+
+        splits = None
+        if args.splits and args.splits.lower() != "none":
+            try:
+                splits = {
+                    k.strip(): float(v)
+                    for k, v in (
+                        pair.split("=", 1) for pair in args.splits.split(",")
+                    )
+                }
+            except ValueError:
+                print(
+                    "error: --splits expects 'name=frac,...' with numeric "
+                    f"fractions, got {args.splits!r}",
+                    file=sys.stderr,
+                )
+                return 2
+        schema = spark.read.parquet(args.in_path).schema
+        q = start_curation_stream(
+            spark,
+            args.in_path,
+            schema,
+            args.table,
+            args.checkpoint,
+            splits=splits,
+            threshold=args.threshold,
+        )
+        q.awaitTermination()
+        from haf_plug_play_spark.runner.fs import LocalFS
+
+        chain = sn_mod.committed_chain(args.table, LocalFS())
+        final = sn_mod.read_snapshot(spark, args.table)
+        print(
+            json.dumps(
+                {
+                    "action": "curate-stream",
+                    "commits": len(chain),
+                    "docs": final.count(),
+                }
+            )
+        )
     elif args.cmd == "vocab":
         from haf_plug_play_spark.ext.bpe import learn_bpe_merges
         from haf_plug_play_spark.sources.corpus import read_corpus

@@ -746,3 +746,31 @@ def test_cli_release_min_entropy_flag(spark, tmp_path, capsys):
 
     kept = {r.doc_id for r in sn.read_snapshot(spark, str(tmp_path / "t")).collect()}
     assert kept == {0, 2}
+
+
+def test_cli_curate_stream(spark, tmp_path, capsys):
+    """curate-stream drains a document directory through the streaming
+    curation loop and reports commits + published doc count; a second
+    invocation over the same checkpoint publishes nothing new."""
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "eta theta iota kappa lambda mu")],
+        "doc_id long, text string",
+    ).write.parquet(str(tmp_path / "docs"))
+    argv = [
+        "curate-stream", "--in", str(tmp_path / "docs"),
+        "--table", str(tmp_path / "t"),
+        "--checkpoint", str(tmp_path / "ck"),
+    ]
+    got = _run(capsys, argv)
+    assert got["docs"] == 2 and got["commits"] >= 1
+    got2 = _run(capsys, argv)
+    assert got2 == got
+
+    rc = cli.main([
+        "curate-stream", "--in", str(tmp_path / "docs"),
+        "--table", str(tmp_path / "t2"),
+        "--checkpoint", str(tmp_path / "ck2"),
+        "--splits", "bad",
+    ])
+    assert rc == 2
