@@ -124,16 +124,32 @@ def kl_drift_report(docs: DataFrame) -> DataFrame:
 def corpus_report(docs: DataFrame) -> dict:
     """The ``report`` CLI's payload: global Zipf/Heaps structure,
     per-(source, lang) tokenizer fertility, per-source KL drift,
-    per-source DoReMi mixture weights, and per-source
-    distinct-3-gram-shingle estimates via the HLL ``certify=False``
-    production path. Every leg's output is one row or strata-bounded,
-    so the collects here are bounded by construction."""
+    per-source DoReMi mixture weights, per-source normalized-entropy
+    summary (mean + min — the boilerplate screen at a glance), and
+    per-source distinct-3-gram-shingle estimates via the HLL
+    ``certify=False`` production path. Every leg's output is one row or
+    strata-bounded, so the collects here are bounded by construction."""
     from haf_plug_play_spark.ext import sketch
 
     zipf = zipf_diagnostic(docs).collect()[0].asDict()
     fert = [r.asDict() for r in fertility_report(docs).collect()]
     kl = [r.asDict() for r in kl_drift_report(docs).collect()]
     doremi = [r.asDict() for r in doremi_weights(docs).collect()]
+    ent = [
+        r.asDict()
+        for r in (
+            doc_entropy(docs.select("doc_id", "text"))
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.round(F.avg("norm_entropy"), 6).alias("mean_norm_entropy"),
+                F.round(F.min("norm_entropy"), 6).alias("min_norm_entropy"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+    ]
     ws = F.split(F.lower(F.col("text")), " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(2), F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 3)))
@@ -147,6 +163,7 @@ def corpus_report(docs: DataFrame) -> dict:
         "fertility": fert,
         "kl_drift": kl,
         "doremi_weights": doremi,
+        "entropy_by_source": ent,
         "distinct_shingles_hll": distinct_shingles,
     }
 

@@ -658,6 +658,7 @@ def test_cli_report_corpus_diagnostics(spark, capsys):
         "fertility",
         "kl_drift",
         "doremi_weights",
+        "entropy_by_source",
         "distinct_shingles_hll",
     }
     from haf_plug_play_spark.ext.registry import EXT_QUERIES
@@ -670,6 +671,11 @@ def test_cli_report_corpus_diagnostics(spark, capsys):
     assert got["kl_drift"] == kq
     dq = [r.asDict() for r in EXT_QUERIES["XA-doremi"](spark, SF_SMOKE).collect()]
     assert got["doremi_weights"] == dq
+    assert got["entropy_by_source"]
+    for row in got["entropy_by_source"]:
+        assert set(row) == {"source", "n_docs", "mean_norm_entropy",
+                            "min_norm_entropy"}
+        assert 0.0 <= row["min_norm_entropy"] <= row["mean_norm_entropy"] <= 1.0
     # production-path sketch: per-source rows, no exact columns
     assert got["distinct_shingles_hll"]
     for row in got["distinct_shingles_hll"]:
