@@ -3385,6 +3385,33 @@ def _embqc_sql() -> str:
     )
 
 
+def xa_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch accounting (ext/report.py:epoch_plan —
+    Muennighoff et al. 2022, public method): allocate a 1M-token budget
+    across sources by the DoReMi mixture weights and report the implied
+    per-source epochs; epochs > 1 flags where the run repeats data.
+    Pure arithmetic over the ≤|sources|-row XA-doremi report — the
+    planner that turns the reweighting diagnostic into a training
+    recipe. No new corpus pass; parity is arithmetic on the weight/
+    n_tokens values the XA-doremi oracle already pins."""
+    from haf_plug_play_spark.ext import report
+
+    return report.epoch_plan(
+        load_table(spark, sf_dir, "documents"), budget=1_000_000
+    )
+
+
+def _epoch_plan_sql(budget: int = 1_000_000, temperature: float = 1.0) -> str:
+    b = float(budget)
+    return (
+        f"SELECT source, n_tokens, weight, "
+        f"CAST(round({b!r} * weight) AS BIGINT) AS allocated_tokens, "
+        f"round({b!r} * weight / n_tokens, 6) AS epochs, "
+        f"{b!r} * weight / n_tokens > 1.0 AS repeated "
+        f"FROM ({_doremi_sql(temperature)}) d ORDER BY source"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3501,6 +3528,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XT-entropy": xt_entropy,
     "XA-doremi": xa_doremi,
     "XS-embqc": xs_embqc,
+    "XA-epoch-plan": xa_epoch_plan,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3712,4 +3740,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XT-entropy": _entropy_sql(),
     "XA-doremi": _doremi_sql(),
     "XS-embqc": _embqc_sql(),
+    "XA-epoch-plan": _epoch_plan_sql(),
 }

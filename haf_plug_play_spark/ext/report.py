@@ -274,3 +274,28 @@ def doremi_weights(docs: DataFrame, temperature: float = 1.0) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def epoch_plan(
+    docs: DataFrame, budget: int, temperature: float = 1.0
+) -> DataFrame:
+    """Data-constrained training allocation (the Muennighoff et al. 2022
+    "Scaling Data-Constrained Language Models" accounting, public
+    method): given a total token ``budget`` and the DoReMi mixture
+    weights, how many tokens each source is allocated and how many
+    EPOCHS of it that implies — epochs > 1 flags the sources the run
+    will repeat (where data, not compute, is the binding constraint).
+
+    Derived entirely from the ≤|sources|-row doremi_weights report, so
+    the engine/oracle parity is arithmetic on already-matching 6-dp
+    values (weight, n_tokens) — no new corpus pass, no new caveats."""
+    w = doremi_weights(docs, temperature=temperature)
+    alloc = F.lit(float(budget)) * F.col("weight")
+    return w.select(
+        "source",
+        "n_tokens",
+        "weight",
+        F.round(alloc).cast("long").alias("allocated_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+        (alloc / F.col("n_tokens") > 1.0).alias("repeated"),
+    ).orderBy("source")

@@ -310,6 +310,9 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # embedding QC scales with the vector table (two linear passes,
         # label-bounded output — 10 labels at every scale)
         "XS-embqc": ("dedup", reg.xs_embqc),
+        # epoch planning is arithmetic over the doremi report; its cost
+        # IS doremi's one (source, word) aggregation
+        "XA-epoch-plan": ("dedup", reg.xa_epoch_plan),
     }
 
 

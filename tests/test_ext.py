@@ -2238,3 +2238,27 @@ def test_embedding_qc_closed_form(spark):
     assert rows[1].n_vecs == 1
     assert rows[1].mean_norm == 5.0
     assert rows[1].mean_cos == rows[1].min_cos == 1.0
+
+
+def test_epoch_plan_closed_form(spark):
+    """Epoch accounting golden: identical-distribution sources get
+    share-proportional allocations, epochs = budget·share/tokens, and
+    the repeat flag trips exactly when the allocation exceeds the
+    source's corpus."""
+    from haf_plug_play_spark.ext.report import epoch_plan
+
+    docs = spark.createDataFrame(
+        # a: 6 tokens (share .75), b: 2 tokens (share .25), same dist
+        [(1, "x y x y x y", "a"), (2, "x y", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in epoch_plan(docs, budget=80).collect()}
+    a, b = rows["a"], rows["b"]
+    assert (a.weight, b.weight) == (0.75, 0.25)
+    assert (a.allocated_tokens, b.allocated_tokens) == (60, 20)
+    assert (a.epochs, b.epochs) == (10.0, 10.0)
+    assert a.repeated and b.repeated
+    small = {r.source: r for r in epoch_plan(docs, budget=4).collect()}
+    # budget under the corpus size: nobody repeats (a: 3/6, b: 1/2 epochs)
+    assert not small["a"].repeated and small["a"].epochs == 0.5
+    assert not small["b"].repeated and small["b"].epochs == 0.5
