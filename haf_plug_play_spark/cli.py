@@ -21,6 +21,28 @@ from haf_plug_play_spark.runner.streaming import sync_status
 from haf_plug_play_spark.session import get_spark
 
 
+def plan_hygiene_summary(qid: str, plan: str) -> dict:
+    """One hygiene line for ``explain --all``: node counts parsed from a
+    formatted plan's details section ("(N) NodeName" headers), so every
+    counter — including row_udf — counts each physical node exactly once
+    (the tree section renders nodes without the leading "(N) ", so it
+    never double-counts)."""
+    import re
+
+    nodes = re.findall(r"^\(\d+\) (\w[\w ]*?)\s*$", plan, re.M)
+    return {
+        "query": qid,
+        "scans": sum(n.startswith("Scan") for n in nodes),
+        "exchanges": sum(n == "Exchange" for n in nodes),
+        "bhj": sum(n == "BroadcastHashJoin" for n in nodes),
+        "smj": sum(n == "SortMergeJoin" for n in nodes),
+        "windows": sum(n == "Window" for n in nodes),
+        "topk": sum(n == "TakeOrderedAndProject" for n in nodes),
+        "cartesian": sum(n == "CartesianProduct" for n in nodes),
+        "row_udf": sum(n == "BatchEvalPython" for n in nodes),
+    }
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     # not argparse-required: a --config file may supply them (resolved in
     # main, flags win — the reference's Config feeds its runner the same
@@ -457,27 +479,13 @@ def main(argv: list[str] | None = None) -> int:
         registry = {**CANONICAL_QUERIES, **ADVANCED_QUERIES, **EXT_QUERIES}
         if args.all:
             import io
-            import re
             from contextlib import redirect_stdout
 
             for qid in sorted(registry):
                 buf = io.StringIO()
                 with redirect_stdout(buf):
                     registry[qid](spark, args.sf_dir).explain("formatted")
-                plan = buf.getvalue()
-                nodes = re.findall(r"^\(\d+\) (\w[\w ]*?)\s*$", plan, re.M)
-                summary = {
-                    "query": qid,
-                    "scans": sum(n.startswith("Scan") for n in nodes),
-                    "exchanges": sum(n == "Exchange" for n in nodes),
-                    "bhj": sum(n == "BroadcastHashJoin" for n in nodes),
-                    "smj": sum(n == "SortMergeJoin" for n in nodes),
-                    "windows": sum(n == "Window" for n in nodes),
-                    "topk": sum(n == "TakeOrderedAndProject" for n in nodes),
-                    "cartesian": sum(n == "CartesianProduct" for n in nodes),
-                    "row_udf": plan.count("BatchEvalPython"),
-                }
-                print(json.dumps(summary))
+                print(json.dumps(plan_hygiene_summary(qid, buf.getvalue())))
             return 0
         if args.query is None:
             print("error: give a query id or --all", file=sys.stderr)

@@ -171,7 +171,11 @@ def curate_documents(
         from haf_plug_play_spark.ext.report import doc_entropy
 
         ent = doc_entropy(
-            docs.select(F.col(id_col).alias("doc_id"), text_col)
+            # doc_entropy reads the fixed "text" column — alias here so a
+            # custom text_col threads through like the dsir/decontam stages
+            docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
         ).select(F.col("doc_id").alias(id_col), "norm_entropy")
         scored = (
             scored.join(ent, id_col, "left")

@@ -34,8 +34,12 @@ def embedding_qc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(label, n_vecs, mean_norm, mean_cos, min_cos) per label — cosine
-    is against the label's mean vector (centroid). Oracle-parity: norms
+    """(label, n_vecs, zero_vecs, mean_norm, mean_cos, min_cos) per
+    label — cosine is against the label's mean vector (centroid);
+    zero-norm vectors (and all-zero centroids) take cosine 0 instead of
+    NULL so they depress mean_cos/min_cos loudly rather than silently
+    shrinking the numerator, and are counted per label in zero_vecs.
+    Oracle-parity: norms
     and dots are sequential array folds on the engine side vs DuckDB
     list_dot_product (~1 ulp); centroid components are exact-count
     averages; per-vector norm and cosine quantize to BIGINT micro-units
@@ -66,10 +70,18 @@ def embedding_qc(
     # lands the average ON a 6-dp rounding boundary (observed at sf0.01,
     # label 4), but a BIGINT micro-sum is exact and order-independent,
     # so both engines divide the identical integer
+    # zero-norm guard: a zero vector (or an all-zero label centroid) has
+    # no defined cosine — rather than a NULL that silently drops out of
+    # the mean while the row still counts in n_vecs, define cosine as 0
+    # (dragging mean_cos/min_cos down loudly) and surface the broken rows
+    # in an explicit zero_vecs count
+    denom = F.col("_vnorm") * F.col("_cnorm")
     cos = dots.join(F.broadcast(cnorm), "_lbl").select(
         "_lbl",
+        (F.col("_vnorm") == 0).cast("long").alias("_is_zero"),
         F.round(F.col("_vnorm") * 1e6).cast("long").alias("_vnorm_u"),
-        F.round(F.col("_dot") / (F.col("_vnorm") * F.col("_cnorm")) * 1e6)
+        F.when(denom == 0, F.lit(0))
+        .otherwise(F.round(F.col("_dot") / denom * 1e6))
         .cast("long")
         .alias("_cos_u"),
     )
@@ -77,6 +89,7 @@ def embedding_qc(
         cos.groupBy(F.col("_lbl").alias(label_col))
         .agg(
             F.count("*").cast("long").alias("n_vecs"),
+            F.sum("_is_zero").cast("long").alias("zero_vecs"),
             F.round(F.sum("_vnorm_u") / F.count("*") / 1e6, 6).alias("mean_norm"),
             F.round(F.sum("_cos_u") / F.count("*") / 1e6, 6).alias("mean_cos"),
             F.round(F.min("_cos_u") / 1e6, 6).alias("min_cos"),

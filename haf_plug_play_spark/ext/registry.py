@@ -3344,8 +3344,9 @@ def _doremi_sql(temperature: float = 1.0) -> str:
 
 def xs_embqc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-quality audit (ext/embqc.py:embedding_qc): per label,
-    vector count, mean L2 norm, and intra-class cosine coherence
-    against the label centroid (mean + min) — the QC gate a pipeline
+    vector count, zero-norm vector count, mean L2 norm, and intra-class
+    cosine coherence against the label centroid (mean + min; zero-norm
+    vectors take cosine 0, not NULL) — the QC gate a pipeline
     runs before trusting its embedding column for semantic dedup /
     ANN / clustering curation. Two linear passes ending in keyed aggs;
     centroid components stay a broadcast DataFrame (≤ labels × dim
@@ -3359,7 +3360,9 @@ def xs_embqc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embqc_sql() -> str:
     """DuckDB mirror of embedding_qc: parallel unnests zip (pos, val);
     per-vector cosine rounds to 6 dp before the per-label mean/min so
-    both engines reduce identical rounded values."""
+    both engines reduce identical rounded values; zero-norm vectors /
+    all-zero centroids take cosine 0 and count into zero_vecs, matching
+    the engine's guard."""
     return (
         f"WITH b AS (SELECT vec_id, label, {_VD} AS v FROM embeddings), "
         "n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) "
@@ -3374,10 +3377,14 @@ def _embqc_sql() -> str:
         "sum(px.val * comp.cval) AS dot FROM px JOIN comp "
         "ON comp.label = px.label AND comp.pos = px.pos GROUP BY 1, 2, 3), "
         "c AS (SELECT d.label, "
+        "CAST(d.vnorm = 0 AS BIGINT) AS is_zero, "
         "CAST(round(d.vnorm * 1e6) AS BIGINT) AS vnorm_u, "
-        "CAST(round(d.dot / (d.vnorm * cn.cnorm) * 1e6) AS BIGINT) AS cos_u "
+        "CASE WHEN d.vnorm * cn.cnorm = 0 THEN 0 ELSE "
+        "CAST(round(d.dot / (d.vnorm * cn.cnorm) * 1e6) AS BIGINT) END "
+        "AS cos_u "
         "FROM d JOIN cn ON cn.label = d.label) "
         "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(is_zero) AS BIGINT) AS zero_vecs, "
         "round(sum(vnorm_u) / count(*) / 1e6, 6) AS mean_norm, "
         "round(sum(cos_u) / count(*) / 1e6, 6) AS mean_cos, "
         "round(min(cos_u) / 1e6, 6) AS min_cos "

@@ -277,6 +277,30 @@ def test_cli_explain_all_hygiene_summary(spark, capsys):
         assert r["scans"] >= 0 and r["exchanges"] >= 0
 
 
+def test_plan_hygiene_summary_counts_row_udf_once(spark):
+    """Regression (ADVICE r11): row_udf must count physical nodes, not
+    raw-text substring hits — a formatted plan renders each node in both
+    the tree and the details section, so plan.count("BatchEvalPython")
+    reported 2× per node. Build a real plan with one row-at-a-time
+    Python UDF and assert the counter says exactly 1."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    plus_one = F.udf(lambda x: x + 1, LongType())
+    df = spark.range(4).select(plus_one(F.col("id")).alias("y"))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("BatchEvalPython") >= 2  # the substring trap
+    got = cli.plan_hygiene_summary("probe", plan)
+    assert got["row_udf"] == 1
+    assert got["cartesian"] == 0
+
+
 def test_curate_near_dup_stage(spark, tmp_path):
     """Opt-in MinHash near-dedup inside the funnel: planted fuzzy copies
     (one word changed — exact dedup can't see them) must be dropped, the
@@ -728,6 +752,29 @@ def test_curate_entropy_gate_stage(spark):
     assert list(f).index("deduped") < list(f).index("entropy_kept") < list(
         f
     ).index("gated")
+
+
+def test_curate_entropy_gate_custom_text_col(spark):
+    """Regression (ADVICE r11): min_entropy with text_col != 'text' —
+    doc_entropy reads a fixed 'text' column, so the curate stage must
+    alias the custom column through like the dsir/decontam stages do
+    (previously raised AnalysisException)."""
+    from haf_plug_play_spark.ext.curate import curate_documents
+
+    rows = [
+        (0, "the reactor coolant loop runs under the turbine hall", "en", "s"),
+        (1, "buy buy buy buy buy buy buy buy", "en", "s"),  # collapsed
+        (2, "tulip compost trellis pergola loam seedling mulch", "en", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string"
+    )
+    curated, f = curate_documents(
+        docs, min_score=-100.0, min_entropy=0.5, text_col="content"
+    )
+    kept = {r.doc_id for r in curated.collect()}
+    assert kept == {0, 2}
+    assert f["entropy_kept"] == 2
 
 
 def test_cli_release_min_entropy_flag(spark, tmp_path, capsys):

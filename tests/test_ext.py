@@ -2233,11 +2233,39 @@ def test_embedding_qc_closed_form(spark):
     )
     rows = {r.label: r for r in embedding_qc(emb).collect()}
     assert rows[0].n_vecs == 2
+    assert rows[0].zero_vecs == 0
     assert rows[0].mean_norm == 1.0
     assert rows[0].mean_cos == rows[0].min_cos == 0.707107
     assert rows[1].n_vecs == 1
     assert rows[1].mean_norm == 5.0
     assert rows[1].mean_cos == rows[1].min_cos == 1.0
+
+
+def test_embedding_qc_zero_norm_vectors(spark):
+    """Zero-norm guard (ADVICE r11): a zero vector takes cosine 0 (not a
+    NULL that silently shrinks the mean_cos numerator while n_vecs keeps
+    the row), counts into zero_vecs, and drags min_cos to 0; an all-zero
+    label reports mean_cos 0 instead of NULL."""
+    from haf_plug_play_spark.ext.embqc import embedding_qc
+
+    emb = spark.createDataFrame(
+        [
+            # label 0: one unit vector + one zero vector
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 0.0], 0),
+            # label 1: entirely zero vectors → zero centroid
+            (3, [0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    rows = {r.label: r for r in embedding_qc(emb).collect()}
+    assert rows[0].n_vecs == 2 and rows[0].zero_vecs == 1
+    assert rows[0].mean_norm == 0.5
+    # centroid [.5, 0]: the unit vector's cosine is 1, the zero vector's
+    # is defined 0 → mean (1+0)/2, min 0 — no NULL anywhere
+    assert rows[0].mean_cos == 0.5 and rows[0].min_cos == 0.0
+    assert rows[1].n_vecs == 1 and rows[1].zero_vecs == 1
+    assert rows[1].mean_cos == 0.0 and rows[1].min_cos == 0.0
 
 
 def test_epoch_plan_closed_form(spark):
