@@ -84,11 +84,24 @@ def windowed_surprisal_drift(
         F.col("logp").isNull().cast("long").alias("_oov"),
         (-F.coalesce(F.col("logp"), F.lit(float(oov_logp)))).alias("_surp"),
     )
-    return scored.groupBy(
-        F.window(ts_col, window).start.alias("w_start"), source_col
-    ).agg(
-        F.count("*").alias("n_tokens"),
-        F.sum("_oov").alias("oov_tokens"),
-        F.round(F.sum("_oov") / F.count("*"), 6).alias("oov_frac"),
-        F.round(F.sum("_surp") / F.count("*"), 6).alias("surprisal_nats"),
+    # group by the FULL window struct, not window(...).start: only the
+    # struct is recognized as the event-time window, so append-mode
+    # emission + watermark state eviction bind to it (grouping by .start
+    # alone degrades the query to un-evictable keyed state)
+    return (
+        scored.groupBy(F.window(ts_col, window).alias("_w"), source_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("_oov").alias("oov_tokens"),
+            F.round(F.sum("_oov") / F.count("*"), 6).alias("oov_frac"),
+            F.round(F.sum("_surp") / F.count("*"), 6).alias("surprisal_nats"),
+        )
+        .select(
+            F.col("_w").start.alias("w_start"),
+            source_col,
+            "n_tokens",
+            "oov_tokens",
+            "oov_frac",
+            "surprisal_nats",
+        )
     )

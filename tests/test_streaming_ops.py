@@ -365,6 +365,92 @@ def test_windowed_surprisal_drift_streaming_equals_batch(spark, tmp_path):
     assert x1[2:] == (2, 2, 1.0, round(-OOV_LOGP, 6))
 
 
+def test_windowed_surprisal_drift_append_mode_watermark(spark, tmp_path):
+    """Append mode is where the watermark actually binds (complete mode
+    leaves it inert — ADVICE r11): the drift aggregation must (a) emit a
+    window exactly once, when the watermark passes its end, (b) ADMIT a
+    late row that arrives while the window's state is still live (the
+    'late data admitted up to the watermark' half of the contract), and
+    (c) DROP a late row arriving after eviction — proving the group-by
+    is on the true event-time window struct and state evicts."""
+    import datetime
+    import os
+    import time
+
+    from haf_plug_play_spark.streaming.drift import (
+        reference_unigram,
+        windowed_surprisal_drift,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ref = reference_unigram(
+        spark.createDataFrame([(0, "a a a b")], "doc_id long, text string")
+    )
+    schema = "doc_id long, ts timestamp, source string, text string"
+    batches = [
+        # batch 0: window [t0, t0+5m) gets 3 known tokens from src X
+        [(0, t0, "X", "a a b")],
+        # batch 1: event time t0+20m → watermark advances to t0+10m,
+        # sealing window 0 at the NEXT micro-batch boundary
+        [(1, t0 + datetime.timedelta(minutes=20), "X", "a")],
+        # batch 2: late row for window 0, but its state is still live
+        # (eviction runs with this batch) → ADMITTED into the final agg
+        [(2, t0 + datetime.timedelta(minutes=1), "X", "b b b b")],
+        # batch 3: late row AFTER window 0 was emitted and evicted →
+        # dropped by the watermark, window 0 must not re-emit
+        [(3, t0 + datetime.timedelta(minutes=2), "X", "z z")],
+    ]
+    src = str(tmp_path / "src")
+    seen: set = set()
+    base = time.time() - 1000
+    for b, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for name in os.listdir(src):
+            path = os.path.join(src, name)
+            if name.startswith("part-") and name not in seen:
+                os.utime(path, (base + b * 10, base + b * 10))
+                seen.add(name)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_surprisal_drift(stream, ref)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("drift_append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    emitted = {
+        (r.w_start, r.source): r
+        for r in spark.sql("SELECT * FROM drift_append").collect()
+    }
+    # exactly one finalized window: the sealing row's own window (t0+20m)
+    # is still open at end of input and correctly withheld
+    assert set(emitted) == {(t0, "X")}
+    # window 0 = batch-0 tokens (a a b) + the admitted batch-2 late
+    # tokens (b b b b): 7 tokens, zero OOV
+    w0 = emitted[(t0, "X")]
+    assert (w0.n_tokens, w0.oov_tokens, w0.oov_frac) == (7, 0, 0.0)
+    # the post-eviction batch-3 tokens were dropped by the watermark, not
+    # silently merged or re-emitted — the counter sees the map-side
+    # partial agg's output, so the 2 'z' tokens arrive as 1 late
+    # (window, source) partial row
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1
+
+
 def test_start_curation_stream_api(spark, tmp_path):
     """The library form of the daily-crawl loop
     (ext/curate.py:start_curation_stream): a 3-file stream curated and
