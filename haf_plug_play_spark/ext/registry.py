@@ -3419,6 +3419,69 @@ def _epoch_plan_sql(budget: int = 1_000_000, temperature: float = 1.0) -> str:
     )
 
 
+def qsd_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor under the oracle gate
+    (streaming/drift.py:windowed_surprisal_drift): per 5-minute
+    event-time window and source, the mean surprisal (nats) of arriving
+    tokens under a PINNED reference unigram LM — here the corpus's 'en'
+    slice, so non-English sources read as high-surprisal/high-OOV drift
+    — with out-of-vocabulary tokens charged ln(1e-9) and counted. This
+    is the BATCH degenerate form of the identical code path; streaming
+    execution is proven separately (stream ≡ batch in complete mode,
+    watermark finalize-once/late-admit/post-eviction-drop in append
+    mode: tests/test_streaming_ops.py). The documents fixture carries
+    no event time, so arrival order is synthesized deterministically as
+    2024-01-01 + doc_id seconds — SQL-expressible on both engines.
+
+    Scale shape: the reference LM is vocabulary-bounded and broadcast;
+    one linear token pass reduces in ONE windowed keyed agg (map-side
+    combinable); output ≤ windows × sources rows; streaming state is
+    bounded by watermark horizon × |sources|."""
+    from haf_plug_play_spark.streaming.drift import (
+        reference_unigram,
+        windowed_surprisal_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = reference_unigram(docs.filter(F.col("lang") == "en"))
+    timed = docs.select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+        "source",
+        "text",
+    )
+    return windowed_surprisal_drift(timed, ref).orderBy("w_start", "source")
+
+
+def _stream_drift_sql() -> str:
+    """DuckDB mirror of the drift monitor's batch degenerate form: same
+    pinned-reference left join (NULL logp → OOV, charged ln(1e-9)) and
+    the same 5-minute bucketing (time_bucket aligns with Spark's window
+    start — both floor to epoch multiples of 300 s)."""
+    return (
+        "WITH d AS (SELECT TIMESTAMP '2024-01-01 00:00:00' "
+        "+ doc_id * INTERVAL 1 SECOND AS ts, source, text FROM documents), "
+        "rt AS (SELECT unnest(string_split(lower(text), ' ')) AS word "
+        "FROM documents WHERE lang = 'en'), "
+        "rc AS (SELECT word, count(*) AS c FROM rt WHERE word <> '' "
+        "GROUP BY word), "
+        "ref AS (SELECT word, ln(c / (SELECT sum(c) FROM rc)) AS logp "
+        "FROM rc), "
+        "tok AS (SELECT ts, source, "
+        "unnest(string_split(lower(text), ' ')) AS word FROM d), "
+        "scored AS (SELECT t.ts, t.source, "
+        "CASE WHEN r.logp IS NULL THEN 1 ELSE 0 END AS oov, "
+        "-coalesce(r.logp, ln(1e-9)) AS surp "
+        "FROM (SELECT * FROM tok WHERE word <> '') t "
+        "LEFT JOIN ref r ON r.word = t.word) "
+        "SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, source, "
+        "CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(oov) AS BIGINT) AS oov_tokens, "
+        "round(sum(oov) / count(*), 6) AS oov_frac, "
+        "round(sum(surp) / count(*), 6) AS surprisal_nats "
+        "FROM scored GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3536,6 +3599,12 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XA-doremi": xa_doremi,
     "XS-embqc": xs_embqc,
     "XA-epoch-plan": xa_epoch_plan,
+    # new in r12 (never driver-checked) — lives here rather than in
+    # queries/advanced.py beside QSB/QSS/QSK so registering it does not
+    # git-invalidate their banked evidence (registry.py is excluded from
+    # the rotation's file signal; the content-hash signal still guards
+    # this wrapper's own text)
+    "QSD-stream-drift": qsd_stream_drift,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3748,4 +3817,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XA-doremi": _doremi_sql(),
     "XS-embqc": _embqc_sql(),
     "XA-epoch-plan": _epoch_plan_sql(),
+    "QSD-stream-drift": _stream_drift_sql(),
 }

@@ -814,6 +814,21 @@ def test_embqc_broadcast_centroids_keyed_aggs(spark):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
 
 
+def test_stream_drift_broadcast_ref_single_windowed_agg(spark):
+    """QSD-stream-drift (batch degenerate form): the pinned reference LM
+    joins back BROADCAST (vocabulary-bounded), the token stream reduces
+    in keyed hash aggregations (no window functions — the event-time
+    window is a projection, not a Window operator), and there is no
+    sort-merge join or data-row cartesian anywhere."""
+    import re
+
+    plan = _plan(EXT_QUERIES["QSD-stream-drift"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+
+
 def test_global_plan_hygiene_sweep(spark):
     """Suite-wide plan invariants over EVERY registered query — canonical,
     advanced, and extension — in one plan-building pass:
