@@ -34,11 +34,17 @@ def windowed_event_aggs(
     src = _as_event_time(events, "ts")
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
-    return src.groupBy(
-        F.window("ts", window).start.alias("w_start"), "event_type"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+    # group by the FULL window struct (same rule as streaming/drift.py):
+    # only the struct binds append-mode emission + watermark eviction
+    return (
+        src.groupBy(F.window("ts", window).alias("_w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+        )
+        .select(
+            F.col("_w").start.alias("w_start"), "event_type", "n", "total_value"
+        )
     )
 
 
