@@ -261,6 +261,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="optional labeled embeddings parquet (vec_id, embedding, "
         "label); adds an embedding_qc key to the bundle",
     )
+    rp.add_argument(
+        "--persist",
+        action="store_true",
+        help="cache the corpus across the bundle's passes (interactive/"
+        "sf-scale; at 100 TB prefer the default re-scan). The shared "
+        "(source, word) vocab table is cached either way.",
+    )
 
     ex = sub.add_parser(
         "explain",
@@ -553,7 +560,7 @@ def main(argv: list[str] | None = None) -> int:
         from haf_plug_play_spark.sources.corpus import read_corpus
 
         docs = read_corpus(spark, args.in_path, args.in_format)
-        bundle = corpus_report(docs)
+        bundle = corpus_report(docs, persist=args.persist)
         if args.embeddings:
             from haf_plug_play_spark.ext.embqc import embedding_qc
 

@@ -27,16 +27,63 @@ def _words(docs: DataFrame, *keys: str) -> DataFrame:
     ).filter(F.col("w") != "")
 
 
-def zipf_diagnostic(docs: DataFrame) -> DataFrame:
+def source_word_counts(docs: DataFrame) -> DataFrame:
+    """The (source, word) → count vocabulary table every distributional
+    diagnostic reduces from — built ONCE and shared (VERDICT r11 #5):
+    kl_drift_report and doremi_weights re-aggregate it directly, and
+    zipf_diagnostic's global word counts are its per-word sums. One
+    map-side-combinable keyed agg over the corpus; output is
+    vocabulary × sources bounded (Heaps-law sublinear in corpus size),
+    which is what makes persisting it in corpus_report safe."""
+    return _words(docs, "source").groupBy("source", "w").agg(
+        F.count("*").alias("c_sw")
+    )
+
+
+def _source_word_stats(sw: DataFrame) -> DataFrame:
+    """Per-source distributional stats from the shared vocab table, in
+    ONE aggregation: n_tokens, n_types, the KL(P_source ‖ P_corpus) sum
+    and the cross-entropy sum — so the kl_drift and doremi legs of a
+    report are a single corpus pass instead of two identical ones. The
+    per-aggregate FP operation sequences are unchanged from the
+    previously-separate forms (each sum still reduces the same terms),
+    so the 6-dp oracle parity carries over."""
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_tot = sw.agg(F.sum("c_sw").alias("n"))
+    joined = (
+        sw.join(cw, "w")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p_sw = F.col("c_sw") / F.col("n_s")
+    p_w = F.col("c_w") / F.col("n")
+    return joined.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(p_sw * F.log(p_sw / p_w)).alias("_kl"),
+        (-F.sum(p_sw * F.log(p_w))).alias("_xent"),
+        F.max("n").alias("_n"),
+    )
+
+
+def zipf_diagnostic(
+    docs: DataFrame, word_counts: DataFrame | None = None
+) -> DataFrame:
     """One row (n_tokens, n_types, ttr, zipf_slope, zipf_r2): weighted
     least-squares fit of ln(frequency) on ln(rank) over the frequency
     HISTOGRAM — see ext/registry.py:xt_zipf for the full scale
     derivation (histogram provably ≤ √(2·n_tokens) rows; tied counts
     enter as one midpoint-log-rank point; degenerate vocabularies yield
-    NULL slope/R² in both engines)."""
+    NULL slope/R² in both engines). ``word_counts`` optionally supplies
+    a precomputed (w, c) table — corpus_report passes the per-word sums
+    of the shared source_word_counts table, which are the identical
+    integers, so the fit is unchanged."""
     from pyspark.sql import Window as W
 
-    counts = _words(docs).groupBy("w").agg(F.count("*").alias("c"))
+    if word_counts is None:
+        word_counts = _words(docs).groupBy("w").agg(F.count("*").alias("c"))
+    counts = word_counts
     hist = counts.groupBy("c").agg(F.count("*").alias("n"))
     cum = W.orderBy(F.desc("c")).rowsBetween(W.unboundedPreceding, -1)
     binned = hist.select(
@@ -94,81 +141,109 @@ def fertility_report(docs: DataFrame) -> DataFrame:
     )
 
 
-def kl_drift_report(docs: DataFrame) -> DataFrame:
+def kl_drift_report(docs: DataFrame, sw: DataFrame | None = None) -> DataFrame:
     """(source, n_tokens, n_types, kl_nats) per source — KL(P_source ‖
-    P_corpus) over word unigrams; see ext/registry.py:xt_kl_drift."""
-    sw = _words(docs, "source").groupBy("source", "w").agg(
-        F.count("*").alias("c_sw")
-    )
-    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
-    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
-    n_tot = sw.agg(F.sum("c_sw").alias("n")).select("n")
-    joined = (
-        sw.join(cw, "w")
-        .join(F.broadcast(totals), "source")
-        .crossJoin(F.broadcast(n_tot))
-    )
-    p_sw = F.col("c_sw") / F.col("n_s")
-    p_w = F.col("c_w") / F.col("n")
+    P_corpus) over word unigrams; see ext/registry.py:xt_kl_drift.
+    ``sw`` optionally supplies the shared source_word_counts table
+    (corpus_report persists one and feeds it to this leg AND doremi)."""
+    if sw is None:
+        sw = source_word_counts(docs)
     return (
-        joined.groupBy("source")
-        .agg(
-            F.max("n_s").cast("long").alias("n_tokens"),
-            F.count("*").cast("long").alias("n_types"),
-            F.round(F.sum(p_sw * F.log(p_sw / p_w)), 6).alias("kl_nats"),
+        _source_word_stats(sw)
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("_kl"), 6).alias("kl_nats"),
         )
         .orderBy("source")
     )
 
 
-def corpus_report(docs: DataFrame) -> dict:
+def report_frames(
+    docs: DataFrame,
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """The six diagnostic DataFrames behind ``corpus_report``, built
+    around ONE shared (source, word) vocab table (returned second, for
+    the caller to persist/unpersist around its collects): the zipf,
+    kl_drift, and doremi legs all reduce from it, so with it cached the
+    whole bundle is FOUR corpus passes — vocab build, fertility,
+    entropy (doc-keyed tokenization with source carried through, no
+    join-back scan), and shingle-HLL — down from the ~6–7 independent
+    passes of the per-function forms (VERDICT r11 #5)."""
+    from haf_plug_play_spark.ext import sketch
+
+    sw = source_word_counts(docs)
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c"))
+    ent = (
+        doc_entropy(docs.select("doc_id", "source", "text"), carry=("source",))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("norm_entropy"), 6).alias("mean_norm_entropy"),
+            F.round(F.min("norm_entropy"), 6).alias("min_norm_entropy"),
+        )
+        .orderBy("source")
+    )
+    ws = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(2), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 3)))
+    items = docs.select("source", F.explode(shingles).alias("item"))
+    frames = {
+        "zipf": zipf_diagnostic(docs, word_counts=cw),
+        "fertility": fertility_report(docs),
+        "kl_drift": kl_drift_report(docs, sw=sw),
+        "doremi_weights": doremi_weights(docs, sw=sw),
+        "entropy_by_source": ent,
+        "distinct_shingles_hll": sketch.hll_distinct_by_group(
+            items, certify=False
+        ),
+    }
+    return frames, sw
+
+
+def corpus_report(docs: DataFrame, persist: bool = False) -> dict:
     """The ``report`` CLI's payload: global Zipf/Heaps structure,
     per-(source, lang) tokenizer fertility, per-source KL drift,
     per-source DoReMi mixture weights, per-source normalized-entropy
     summary (mean + min — the boilerplate screen at a glance), and
     per-source distinct-3-gram-shingle estimates via the HLL
     ``certify=False`` production path. Every leg's output is one row or
-    strata-bounded, so the collects here are bounded by construction."""
-    from haf_plug_play_spark.ext import sketch
+    strata-bounded, so the collects here are bounded by construction.
 
-    zipf = zipf_diagnostic(docs).collect()[0].asDict()
-    fert = [r.asDict() for r in fertility_report(docs).collect()]
-    kl = [r.asDict() for r in kl_drift_report(docs).collect()]
-    doremi = [r.asDict() for r in doremi_weights(docs).collect()]
-    ent = [
-        r.asDict()
-        for r in (
-            doc_entropy(docs.select("doc_id", "text"))
-            .join(docs.select("doc_id", "source"), "doc_id")
-            .groupBy("source")
-            .agg(
-                F.count("*").cast("long").alias("n_docs"),
-                F.round(F.avg("norm_entropy"), 6).alias("mean_norm_entropy"),
-                F.round(F.min("norm_entropy"), 6).alias("min_norm_entropy"),
-            )
-            .orderBy("source")
-            .collect()
-        )
-    ]
-    ws = F.split(F.lower(F.col("text")), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - F.lit(2), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, 3)))
-    items = docs.select("source", F.explode(shingles).alias("item"))
-    distinct_shingles = [
-        r.asDict()
-        for r in sketch.hll_distinct_by_group(items, certify=False).collect()
-    ]
-    return {
-        "zipf": zipf,
-        "fertility": fert,
-        "kl_drift": kl,
-        "doremi_weights": doremi,
-        "entropy_by_source": ent,
-        "distinct_shingles_hll": distinct_shingles,
-    }
+    The shared (source, word) vocab table is ALWAYS persisted across
+    the bundle's collects (vocabulary × sources bounded — Heaps-law
+    sublinear — so the cache is safe at any corpus size); ``persist``
+    additionally caches ``docs`` itself for the sf-scale/interactive
+    case, where re-reading the corpus four times dominates. At 100 TB
+    leave it False: four linear scans beat caching the corpus."""
+    if persist:
+        docs = docs.persist()
+    frames, sw = report_frames(docs)
+    sw = sw.persist()
+    try:
+        zipf = frames["zipf"].collect()[0].asDict()
+        out = {
+            "zipf": zipf,
+            **{
+                k: [r.asDict() for r in frames[k].collect()]
+                for k in (
+                    "fertility",
+                    "kl_drift",
+                    "doremi_weights",
+                    "entropy_by_source",
+                    "distinct_shingles_hll",
+                )
+            },
+        }
+    finally:
+        sw.unpersist()
+        if persist:
+            docs.unpersist()
+    return out
 
 
-def doc_entropy(docs: DataFrame) -> DataFrame:
+def doc_entropy(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-document Shannon entropy of the doc's OWN word distribution
     (bits), plus the length-normalized form in [0, 1] — the classic
     gibberish/boilerplate screen: near-zero entropy is a repeated-token
@@ -179,17 +254,21 @@ def doc_entropy(docs: DataFrame) -> DataFrame:
     caveat: the Σ c·log2 c sum reassociates across the shuffle
     (avg_logp family, absorbed by 6-dp rounding). norm_entropy divides
     by log2(L), NULL-guarded to 0.0 for single-token docs (the XT-zipf
-    degenerate-input rule: both engines return the same literal)."""
-    c = _words(docs, "doc_id").groupBy("doc_id", "w").agg(
+    degenerate-input rule: both engines return the same literal).
+    ``carry`` threads extra doc-level columns (functionally determined
+    by doc_id, e.g. source) through the aggregation so a per-stratum
+    summary needs no second corpus scan for a join-back."""
+    keys = ["doc_id", *carry]
+    c = _words(docs, *keys).groupBy(*keys, "w").agg(
         F.count("*").alias("c")
     )
-    d = c.groupBy("doc_id").agg(
+    d = c.groupBy(*keys).agg(
         F.sum("c").cast("long").alias("n_tokens"),
         F.sum(F.col("c") * F.log2("c")).alias("_s"),
     )
     h = F.log2("n_tokens") - F.col("_s") / F.col("n_tokens")
     return d.select(
-        "doc_id",
+        *keys,
         "n_tokens",
         F.round(h, 6).alias("entropy_bits"),
         F.when(F.col("n_tokens") > 1, F.round(h / F.log2("n_tokens"), 6))
@@ -198,7 +277,9 @@ def doc_entropy(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def doremi_weights(docs: DataFrame, temperature: float = 1.0) -> DataFrame:
+def doremi_weights(
+    docs: DataFrame, temperature: float = 1.0, sw: DataFrame | None = None
+) -> DataFrame:
     """One-shot domain reweighting in the DoReMi spirit (Xie et al.
     2023, public method, simplified to a single pass with the corpus
     unigram LM standing in for the proxy model): a source whose tokens
@@ -223,25 +304,13 @@ def doremi_weights(docs: DataFrame, temperature: float = 1.0) -> DataFrame:
     oracle SQL mirrors the identical form so both engines sum the same
     ≤|sources| doubles. The weight normalizer is the same tiny agg.
     FP caveat: the surprisal sums and the ≤|sources|-row hc/normalizer
-    reassociate (avg_logp family, 6-dp rounding)."""
-    sw = _words(docs, "source").groupBy("source", "w").agg(
-        F.count("*").alias("c_sw")
-    )
-    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
-    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
-    n_tot = sw.agg(F.sum("c_sw").alias("n"))
-    xent = (
-        sw.join(cw, "w")
-        .join(F.broadcast(totals), "source")
-        .crossJoin(F.broadcast(n_tot))
-        .groupBy("source")
-        .agg(
-            F.max("n_s").cast("long").alias("n_tokens"),
-            (-F.sum((F.col("c_sw") / F.col("n_s")) * F.log(F.col("c_w") / F.col("n"))))
-            .alias("_xent"),
-            F.max("n").alias("_n"),
-        )
-        .withColumn("_share", F.col("n_tokens") / F.col("_n"))
+    reassociate (avg_logp family, 6-dp rounding). ``sw`` optionally
+    supplies the shared source_word_counts table — corpus_report builds
+    it ONCE for the kl_drift and doremi legs (VERDICT r11 #5)."""
+    if sw is None:
+        sw = source_word_counts(docs)
+    xent = _source_word_stats(sw).withColumn(
+        "_share", F.col("n_tokens") / F.col("_n")
     )
     # H_corpus = Σ_s share_s · xent_s (token-share-weighted mean
     # surprisal) and the weight normalizer are UNPARTITIONED WINDOW

@@ -705,6 +705,12 @@ def test_cli_report_corpus_diagnostics(spark, capsys):
     for row in got["distinct_shingles_hll"]:
         assert set(row) == {"source", "hll_est", "n_registers_used"}
         assert row["hll_est"] > 0
+    # --persist (interactive corpus cache) changes the physical plan
+    # only — the bundle must be byte-identical
+    cached = _run(
+        capsys, ["report", "--in", f"{SF_SMOKE}/documents.parquet", "--persist"]
+    )
+    assert cached == got
 
 
 def test_cli_report_optional_embedding_qc(spark, capsys):

@@ -814,6 +814,41 @@ def test_embqc_broadcast_centroids_keyed_aggs(spark):
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 4
 
 
+def test_corpus_report_four_corpus_scans(spark):
+    """The report bundle's scan budget (VERDICT r11 #5): with the shared
+    (source, word) vocab table persisted, the zipf / kl_drift / doremi
+    legs read the CACHE (zero parquet scans of the corpus in their
+    plans), so the whole bundle costs exactly four corpus passes —
+    vocab build, fertility, entropy (source carried through the
+    doc-keyed agg, no join-back scan), shingle-HLL."""
+    import re
+
+    from haf_plug_play_spark.ext.report import report_frames
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    frames, sw = report_frames(docs)
+    sw = sw.persist()
+    try:
+        def n_scans(df):
+            return len(re.findall(r"^\(\d+\) Scan parquet", _plan(df), re.M))
+
+        for leg in ("zipf", "kl_drift", "doremi_weights"):
+            p = _plan(frames[leg])
+            # reads the cache; the ONLY parquet scan in the plan text is
+            # the one embedded in the InMemoryRelation's build plan (the
+            # vocab pass, paid once), not a query-time corpus scan
+            assert "InMemoryTableScan" in p, leg
+            assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, leg
+        for leg in ("fertility", "entropy_by_source", "distinct_shingles_hll"):
+            p = _plan(frames[leg])
+            assert "InMemoryTableScan" not in p, leg
+            assert len(re.findall(r"^\(\d+\) Scan parquet", p, re.M)) == 1, leg
+        # + the vocab build itself = 4 corpus passes for the bundle
+        assert n_scans(sw) == 1
+    finally:
+        sw.unpersist()
+
+
 def test_stream_drift_broadcast_ref_single_windowed_agg(spark):
     """QSD-stream-drift (batch degenerate form): the pinned reference LM
     joins back BROADCAST (vocabulary-bounded), the token stream reduces
