@@ -2761,6 +2761,32 @@ def _zipf_sql() -> str:
     )
 
 
+# hll_overlap's pair fan-out replicates each group's m=256 registers to
+# every pair it belongs to: S(S-1)/2 pairs → S·(S-1)·m merged-register
+# rows. Trivial at S≈20 sources (~97k rows), real at S≈10⁴ strata
+# (~25.6e9 rows). The guard below fails LOUDLY past this bound — at that
+# scale shard the pair list (run the matrix in pair-batches over the one
+# persisted register table) instead of one unbounded fan-out.
+HLL_OVERLAP_MAX_GROUPS = 1024
+
+
+def _assert_overlap_fanout_bounded(
+    items: DataFrame, group_col: str, max_groups: int = HLL_OVERLAP_MAX_GROUPS
+) -> int:
+    """Loud scale guard for the overlap matrix's S(S-1)/2 register
+    replication (one distinct-count over the group column — cheap next
+    to the register pass the query runs anyway)."""
+    s = items.select(group_col).distinct().count()
+    if s > max_groups:
+        raise ValueError(
+            f"hll_overlap pair fan-out is quadratic in groups: {s} groups "
+            f"> {max_groups} would replicate registers to {s*(s-1)//2} "
+            "pairs — shard the pair list over the persisted register "
+            "table instead (SCALE.md: 'HLL overlap pair fan-out')"
+        )
+    return s
+
+
 def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source overlap matrix from mergeable HLL sketches
     (ext/sketch.py:hll_overlap) — per unordered source pair, the union
@@ -2782,6 +2808,7 @@ def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3))
     )
     items = docs.select("source", F.explode(shingles).alias("item"))
+    _assert_overlap_fanout_bounded(items, "source")
     return sketch.hll_overlap(items)
 
 

@@ -205,6 +205,25 @@ def test_pq_codes_spread_and_error_nonneg(spark):
     assert all(r.recon_err >= 0 for r in out)
 
 
+def test_hll_overlap_fanout_guard(spark):
+    """The overlap matrix's pair fan-out is quadratic in groups
+    (S(S-1)/2 × 256 replicated registers): the registry guard must fail
+    LOUDLY past max_groups with the sharding hint, and pass silently
+    under it (VERDICT r11 #6)."""
+    import pytest
+
+    from haf_plug_play_spark.ext.registry import (
+        _assert_overlap_fanout_bounded,
+    )
+
+    many = spark.createDataFrame(
+        [(f"s{i}", "x") for i in range(12)], "source string, item string"
+    )
+    assert _assert_overlap_fanout_bounded(many, "source", max_groups=20) == 12
+    with pytest.raises(ValueError, match="shard the pair list"):
+        _assert_overlap_fanout_bounded(many, "source", max_groups=10)
+
+
 def test_hll_overlap_sketch_invariants(spark):
     """Beyond the DuckDB parity (test_ext_oracle[XK-hll-overlap]):
     the estimates must satisfy the SET-algebra the sketches claim —
