@@ -49,6 +49,38 @@ def test_windowed_agg_streaming_equals_batch(spark, events_stream_dir, tmp_path)
     assert g == e
 
 
+def test_windowed_agg_append_mode_runs_and_is_batch_subset(spark,
+                                                           events_stream_dir,
+                                                           tmp_path):
+    """Append mode requires the aggregation to be keyed on the true
+    event-time window STRUCT (grouping on window(...).start alone is not
+    recognized and fails at analysis) — pin that windowed_event_aggs
+    starts in append mode and that every finalized window it emits equals
+    the batch group-by's row for that key (open windows withheld)."""
+    path, schema = events_stream_dir
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        windowed_event_aggs(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_append"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    cols = sorted(windowed_event_aggs(load_table(spark, SF_SMOKE, "events")).columns)
+    batch = {
+        (r.w_start, r.event_type): tuple(r[c] for c in cols)
+        for r in windowed_event_aggs(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    emitted = spark.sql("SELECT * FROM win_append").collect()
+    for r in emitted:
+        assert tuple(r[c] for c in cols) == batch[(r.w_start, r.event_type)]
+
+
 def test_stateful_running_user_state(spark, events_stream_dir, tmp_path):
     path, schema = events_stream_dir
     stream = (
