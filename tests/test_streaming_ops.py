@@ -483,6 +483,59 @@ def test_windowed_surprisal_drift_append_mode_watermark(spark, tmp_path):
     assert dropped == 1
 
 
+def test_qsd_registered_config_streaming_equals_batch(spark, tmp_path):
+    """The oracle-gated QSD-stream-drift query is the BATCH degenerate
+    form; prove its exact registered configuration (documents fixture,
+    'en'-slice reference LM, ts = 2024-01-01 + doc_id seconds, 5-minute
+    windows) also executes as a real multi-file stream with identical
+    results — the same stream ≡ batch contract QSB/QSS carry."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+    from haf_plug_play_spark.sources.tables import load_table
+    from haf_plug_play_spark.streaming.drift import (
+        reference_unigram,
+        windowed_surprisal_drift,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs")
+    docs.repartitionByRange(3, "doc_id").write.parquet(path)
+    ref = reference_unigram(docs.filter(F.col("lang") == "en"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    timed = stream.select(
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+        "source",
+        "text",
+    )
+    q = (
+        windowed_surprisal_drift(timed, ref)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("qsd_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    cols = ["w_start", "source", "n_tokens", "oov_tokens", "oov_frac",
+            "surprisal_nats"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.sql("SELECT * FROM qsd_stream").collect()
+    )
+    batch = sorted(
+        tuple(r[c] for c in cols)
+        for r in EXT_QUERIES["QSD-stream-drift"](spark, SF_SMOKE).collect()
+    )
+    assert got == batch and len(batch) > 0
+
+
 def test_start_curation_stream_api(spark, tmp_path):
     """The library form of the daily-crawl loop
     (ext/curate.py:start_curation_stream): a 3-file stream curated and
