@@ -783,6 +783,57 @@ def test_curate_entropy_gate_custom_text_col(spark):
     assert f["entropy_kept"] == 2
 
 
+def test_curate_all_stages_custom_text_col(spark):
+    """Every opt-in funnel stage must thread text_col (the ADVICE r11
+    bug class): run the FULL stage stack — near-dup, decontam, DSIR,
+    entropy, span-removal, recipe mixing — over a corpus whose text
+    column is named 'content' and assert the funnel completes with the
+    input column preserved (any hardcoded 'text' reference raises
+    AnalysisException at plan time)."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext.curate import curate_documents
+
+    rows = [
+        (
+            i,
+            f"alpha beta gamma delta epsilon zeta eta theta iota kappa w{i}",
+            "en",
+            "s0" if i % 2 else "s1",
+        )
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, source string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, content string",
+    )
+    curated, f = curate_documents(
+        docs,
+        min_score=-100.0,
+        text_col="content",
+        near_dup_threshold=0.5,
+        decontam_eval=ev,
+        dsir_target=F.col("source") == "s0",
+        dsir_tau=-1e9,
+        min_entropy=0.1,
+        remove_dup_spans=8,
+        mix_targets={"s0": 0.5, "s1": 0.5},
+    )
+    assert "content" in curated.columns and "text" not in curated.columns
+    # the funnel's stage keys all materialized, in order
+    stages = ["input", "deduped", "near_deduped", "decontaminated",
+              "dsir_kept", "entropy_kept", "gated", "curated", "mixed"]
+    assert [k for k in f if k in stages] == stages
+    assert f["input"] == 20
+    # semantics, not plumbing: all 20 docs share a 10-word prefix, so
+    # span-removal strips it corpus-wide, leaving ~1-token docs whose
+    # norm_entropy is 0 — the entropy gate then correctly drops them
+    assert f["entropy_kept"] == 0 and curated.count() == 0
+
+
 def test_cli_release_min_entropy_flag(spark, tmp_path, capsys):
     """--min-entropy reaches the release funnel (flag parity with
     curate): the entropy stage appears in the funnel counters and a
