@@ -2241,6 +2241,66 @@ def test_embedding_qc_closed_form(spark):
     assert rows[1].mean_cos == rows[1].min_cos == 1.0
 
 
+def test_report_frames_equal_standalone_forms(spark):
+    """The shared-vocab report bundle (VERDICT r11 #5) is a pure plan
+    refactor: on normal, degenerate (single-token docs), and
+    single-source corpora, every leg of report_frames must equal its
+    standalone per-function form — including the entropy leg, whose
+    carry-through aggregation replaces the old doc_entropy + join-back
+    and must reproduce it row-for-row."""
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext.report import (
+        doc_entropy,
+        doremi_weights,
+        fertility_report,
+        kl_drift_report,
+        report_frames,
+        zipf_diagnostic,
+    )
+
+    corpora = {
+        "normal": [
+            (1, "the cat sat on the mat", "en", "a"),
+            (2, "a dog ran over the hill and far away", "en", "a"),
+            (3, "reactor coolant loop pressure falling fast", "en", "b"),
+            (4, "tulip compost trellis pergola loam", "de", "b"),
+        ],
+        "degenerate": [(1, "x", "en", "a"), (2, "y", "en", "b")],
+        "single_source": [
+            (1, "alpha beta gamma", "en", "only"),
+            (2, "beta gamma delta", "en", "only"),
+        ],
+    }
+    for name, rows in corpora.items():
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        frames, _sw = report_frames(docs)
+        assert frames["zipf"].collect() == zipf_diagnostic(docs).collect(), name
+        assert (
+            frames["kl_drift"].collect() == kl_drift_report(docs).collect()
+        ), name
+        assert (
+            frames["doremi_weights"].collect() == doremi_weights(docs).collect()
+        ), name
+        assert (
+            frames["fertility"].collect() == fertility_report(docs).collect()
+        ), name
+        old_ent = (
+            doc_entropy(docs.select("doc_id", "text"))
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.round(F.avg("norm_entropy"), 6).alias("mean_norm_entropy"),
+                F.round(F.min("norm_entropy"), 6).alias("min_norm_entropy"),
+            )
+            .orderBy("source")
+        )
+        assert frames["entropy_by_source"].collect() == old_ent.collect(), name
+
+
 def test_embedding_qc_zero_norm_vectors(spark):
     """Zero-norm guard (ADVICE r11): a zero vector takes cosine 0 (not a
     NULL that silently shrinks the mean_cos numerator while n_vecs keeps
