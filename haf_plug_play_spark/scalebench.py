@@ -313,6 +313,11 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # epoch planning is arithmetic over the doremi report; its cost
         # IS doremi's one (source, word) aggregation
         "XA-epoch-plan": ("dedup", reg.xa_epoch_plan),
+        # r12: the drift monitor's batch form — one token pass against a
+        # broadcast vocabulary-bounded reference LM, reduced by ONE
+        # (window, source)-keyed agg; the XT-entropy cost class with a
+        # time-bucket key instead of a doc key
+        "QSD-stream-drift": ("vocab", reg.qsd_stream_drift),
     }
 
 
