@@ -251,7 +251,7 @@ def curate_documents(
 
     survivors = scored.filter(F.col(final_flag)).drop(
         "_keep_dedup", "_keep_near", "_keep_clean", "_keep_dsir",
-        "_gate", "_sample", "_keep_mix",
+        "_keep_entropy", "_gate", "_sample", "_keep_mix",
     )
     split = sampling.split_assign(
         survivors, id_col, splits or DEFAULT_SPLITS, seed=seed

@@ -823,6 +823,8 @@ def test_curate_all_stages_custom_text_col(spark):
         mix_targets={"s0": 0.5, "s1": 0.5},
     )
     assert "content" in curated.columns and "text" not in curated.columns
+    # no internal stage flags leak into the curated output
+    assert not [c for c in curated.columns if c.startswith("_")]
     # the funnel's stage keys all materialized, in order
     stages = ["input", "deduped", "near_deduped", "decontaminated",
               "dsir_kept", "entropy_kept", "gated", "curated", "mixed"]
