@@ -40,13 +40,29 @@ from haf_plug_play_spark.streaming.windowed import _as_event_time
 OOV_LOGP = math.log(1e-9)
 
 
-def reference_unigram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def reference_unigram(
+    docs: DataFrame, text_col: str = "text", max_vocab: int | None = None
+) -> DataFrame:
     """(word, logp) from a BATCH reference corpus — the pinned side of the
-    drift monitor. logp = ln(count/total); vocabulary-bounded output."""
+    drift monitor. logp = ln(count/total); vocabulary-bounded output.
+
+    ``max_vocab`` caps the reference at the top-K words by count
+    (deterministic tie-break on the word) for the 100 TB case: the
+    monitor BROADCASTS this table, and a web-scale corpus's raw
+    vocabulary (hundreds of millions of junk types) would blow the
+    broadcast budget, while its probability mass lives in the head.
+    Probabilities stay normalized over the FULL token count, so a capped
+    reference is a true sub-distribution — tail words simply fall into
+    the monitor's OOV accounting (floored + counted), which is exactly
+    where a drift signal wants them."""
     words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     tok = docs.select(F.explode(words).alias("word"))
     counts = tok.groupBy("word").agg(F.count("*").alias("_c"))
     total = counts.agg(F.sum("_c").alias("_n"))
+    if max_vocab is not None:
+        counts = counts.orderBy(
+            F.desc("_c"), F.asc("word")
+        ).limit(int(max_vocab))
     return counts.crossJoin(F.broadcast(total)).select(
         "word", F.log(F.col("_c") / F.col("_n")).alias("logp")
     )

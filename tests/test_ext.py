@@ -2241,6 +2241,32 @@ def test_embedding_qc_closed_form(spark):
     assert rows[1].mean_cos == rows[1].min_cos == 1.0
 
 
+def test_embedding_qc_custom_column_names(spark):
+    """label_col/id_col/vec_col must thread through the whole two-pass
+    plan (the ADVICE r11 hardcoded-column bug class): non-default names
+    produce the identical report, keyed by the custom label column."""
+    from haf_plug_play_spark.ext.embqc import embedding_qc
+
+    rows = [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0), (3, [3.0, 4.0], 1)]
+    default = embedding_qc(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+    ).collect()
+    custom = embedding_qc(
+        spark.createDataFrame(
+            rows, "row_key long, vec array<double>, cluster int"
+        ),
+        label_col="cluster",
+        id_col="row_key",
+        vec_col="vec",
+    ).collect()
+    assert [r.asDict() for r in default] == [
+        {("label" if k == "cluster" else k): v for k, v in r.asDict().items()}
+        for r in custom
+    ]
+
+
 def test_report_frames_equal_standalone_forms(spark):
     """The shared-vocab report bundle (VERDICT r11 #5) is a pure plan
     refactor: on normal, degenerate (single-token docs), and

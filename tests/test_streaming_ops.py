@@ -483,6 +483,45 @@ def test_windowed_surprisal_drift_append_mode_watermark(spark, tmp_path):
     assert dropped == 1
 
 
+def test_reference_unigram_max_vocab_cap(spark):
+    """The broadcast-safety cap: max_vocab keeps the top-K words by
+    count (word-ordered tie-break), probabilities stay normalized over
+    the FULL token count (a true sub-distribution), and capped-out tail
+    words land in the monitor's OOV accounting instead of the LM."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.streaming.drift import (
+        reference_unigram,
+        windowed_surprisal_drift,
+    )
+
+    ref_docs = spark.createDataFrame(
+        # counts: a=4, b=2, c=1, d=1 (total 8); top-2 = a, b
+        [(0, "a a a a b b c d")], "doc_id long, text string"
+    )
+    capped = {r.word: r.logp for r in
+              reference_unigram(ref_docs, max_vocab=2).collect()}
+    assert set(capped) == {"a", "b"}
+    assert abs(capped["a"] - math.log(4 / 8)) < 1e-12
+    assert abs(capped["b"] - math.log(2 / 8)) < 1e-12
+    # tie-break determinism: c and d tie at count 1 → word order decides
+    top3 = {r.word for r in reference_unigram(ref_docs, max_vocab=3).collect()}
+    assert top3 == {"a", "b", "c"}
+    # capped-out words are charged as OOV by the monitor
+    import datetime
+
+    probe = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), "X", "a c")],
+        "doc_id long, ts timestamp, source string, text string",
+    )
+    row = windowed_surprisal_drift(
+        probe, reference_unigram(ref_docs, max_vocab=2)
+    ).collect()[0]
+    assert (row.n_tokens, row.oov_tokens, row.oov_frac) == (2, 1, 0.5)
+
+
 def test_qsd_registered_config_streaming_equals_batch(spark, tmp_path):
     """The oracle-gated QSD-stream-drift query is the BATCH degenerate
     form; prove its exact registered configuration (documents fixture,
