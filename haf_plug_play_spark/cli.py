@@ -26,13 +26,21 @@ def plan_hygiene_summary(qid: str, plan: str) -> dict:
     formatted plan's details section ("(N) NodeName" headers), so every
     counter — including row_udf — counts each physical node exactly once
     (the tree section renders nodes without the leading "(N) ", so it
-    never double-counts)."""
+    never double-counts). The capture tolerates punctuation in the
+    header tail (ADVICE r12) — "Scan parquet spark_catalog.default.t"
+    or "Filter [codegen id : 1]" both yield their leading node words;
+    only the word-token prefix is kept, so the counters' exact-match
+    names stay stable."""
     import re
 
-    nodes = re.findall(r"^\(\d+\) (\w[\w ]*?)\s*$", plan, re.M)
+    nodes = re.findall(r"^\(\d+\) (\S+(?: \w+)*)", plan, re.M)
     return {
         "query": qid,
-        "scans": sum(n.startswith("Scan") for n in nodes),
+        # leaf reads: file/RDD scans plus LocalTableScan (a batch-degenerate
+        # stateful query's local-relation leaf) — every plan has >= 1
+        "scans": sum(
+            n.startswith("Scan") or n == "LocalTableScan" for n in nodes
+        ),
         "exchanges": sum(n == "Exchange" for n in nodes),
         "bhj": sum(n == "BroadcastHashJoin" for n in nodes),
         "smj": sum(n == "SortMergeJoin" for n in nodes),

@@ -2770,21 +2770,42 @@ def _zipf_sql() -> str:
 HLL_OVERLAP_MAX_GROUPS = 1024
 
 
-def _assert_overlap_fanout_bounded(
-    items: DataFrame, group_col: str, max_groups: int = HLL_OVERLAP_MAX_GROUPS
-) -> int:
-    """Loud scale guard for the overlap matrix's S(S-1)/2 register
-    replication (one distinct-count over the group column — cheap next
-    to the register pass the query runs anyway)."""
-    s = items.select(group_col).distinct().count()
-    if s > max_groups:
-        raise ValueError(
-            f"hll_overlap pair fan-out is quadratic in groups: {s} groups "
-            f"> {max_groups} would replicate registers to {s*(s-1)//2} "
-            "pairs — shard the pair list over the persisted register "
-            "table instead (SCALE.md: 'HLL overlap pair fan-out')"
+def _overlap_fanout_guard(
+    docs: DataFrame, group_col: str, max_groups: int = HLL_OVERLAP_MAX_GROUPS
+) -> DataFrame:
+    """LAZY scale guard for the overlap matrix's S(S-1)/2 register
+    replication (ADVICE r12): a 1-row frame whose EXECUTION raises past
+    ``max_groups`` — cross-joined (broadcast) into the shingle stream,
+    so the broadcast BUILD trips the guard before the quadratic pair
+    fan-out's probe side runs, while merely CONSTRUCTING the query
+    (``explain --all``, the plan-hygiene sweep, scalebench plan
+    building) launches no job at all. The distinct-count runs on the
+    PRE-explode docs frame — same answer (every doc yields ≥1 shingle
+    row), but a column-pruned scan of ``group_col`` instead of a full
+    3-gram explode pass. The Filter references ``_s``, so column
+    pruning cannot elide the aggregate the guard depends on."""
+    return (
+        docs.groupBy()
+        .agg(F.countDistinct(group_col).alias("_s"))
+        .where(
+            F.when(
+                F.col("_s") <= F.lit(int(max_groups)), F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "hll_overlap pair fan-out is quadratic in groups: "
+                        "%s groups > %s would replicate registers to "
+                        "s*(s-1)/2 pairs — shard the pair list over the "
+                        "persisted register table instead (SCALE.md: "
+                        "'HLL overlap pair fan-out')",
+                        F.col("_s"),
+                        F.lit(int(max_groups)),
+                    )
+                )
+            )
         )
-    return s
+        .select(F.lit(1).alias("_fanout_guard"))
+    )
 
 
 def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2796,7 +2817,9 @@ def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ("how much of source B is new over source A?") at 100 TB: one
     map-side-combinable register pass, then everything pairwise runs on
     ≤ sources × 256 broadcast rows; the exact legs are the droppable
-    certification, as in XK-hll."""
+    certification, as in XK-hll. The quadratic-fan-out guard rides the
+    plan itself (broadcast 1-row frame, _overlap_fanout_guard) so query
+    construction stays lazy."""
     from haf_plug_play_spark.ext import sketch
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2808,7 +2831,8 @@ def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3))
     )
     items = docs.select("source", F.explode(shingles).alias("item"))
-    _assert_overlap_fanout_bounded(items, "source")
+    guard = _overlap_fanout_guard(docs, "source")
+    items = items.crossJoin(F.broadcast(guard)).drop("_fanout_guard")
     return sketch.hll_overlap(items)
 
 

@@ -40,6 +40,18 @@ from haf_plug_play_spark.streaming.windowed import _as_event_time
 OOV_LOGP = math.log(1e-9)
 
 
+#: hard ceiling on ``max_vocab``: the capped reference is BROADCAST by
+#: the monitor, so the top-K rows must fit on the driver and every
+#: executor regardless of how the cap is computed — the limit's
+#: TakeOrderedAndProject driver materialization is bounded by the same
+#: budget as the broadcast it feeds. 4M (word, count) rows ≈ 150–300 MB
+#: in driver memory / ~100 MB broadcast payload — the practical edge of
+#: a healthy broadcast; a reference past this stops being a "small
+#: pinned side" and should become a persisted table joined by key
+#: (shuffle join), not a broadcast drift monitor.
+MAX_REFERENCE_VOCAB = 4_000_000
+
+
 def reference_unigram(
     docs: DataFrame, text_col: str = "text", max_vocab: int | None = None
 ) -> DataFrame:
@@ -54,7 +66,21 @@ def reference_unigram(
     Probabilities stay normalized over the FULL token count, so a capped
     reference is a true sub-distribution — tail words simply fall into
     the monitor's OOV accounting (floored + counted), which is exactly
-    where a drift signal wants them."""
+    where a drift signal wants them.
+
+    The top-K compiles to TakeOrderedAndProject, which materializes all
+    K rows on the driver — acceptable precisely because the broadcast
+    the monitor performs next does the same; ``MAX_REFERENCE_VOCAB``
+    fails loudly past the point where that shared budget stops holding
+    (ADVICE r12), with the shuffle-join escape hatch in its docstring."""
+    if max_vocab is not None and int(max_vocab) > MAX_REFERENCE_VOCAB:
+        raise ValueError(
+            f"max_vocab={max_vocab} exceeds MAX_REFERENCE_VOCAB="
+            f"{MAX_REFERENCE_VOCAB}: the capped reference is broadcast "
+            "(and its top-K materializes on the driver), so K this large "
+            "blows the broadcast budget — persist the reference as a "
+            "table and join by key instead of broadcasting it"
+        )
     words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     tok = docs.select(F.explode(words).alias("word"))
     counts = tok.groupBy("word").agg(F.count("*").alias("_c"))

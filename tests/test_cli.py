@@ -274,7 +274,10 @@ def test_cli_explain_all_hygiene_summary(spark, capsys):
     assert {r["query"] for r in lines} == set(entry.queries())
     for r in lines:
         assert r["cartesian"] == 0 and r["row_udf"] == 0, r
-        assert r["scans"] >= 0 and r["exchanges"] >= 0
+        # every declared query reads at least one table — a zero scans
+        # count means the header regex stopped matching, not a scanless
+        # plan (ADVICE r12)
+        assert r["scans"] > 0 and r["exchanges"] >= 0, r
 
 
 def test_plan_hygiene_summary_counts_row_udf_once(spark):
@@ -299,6 +302,35 @@ def test_plan_hygiene_summary_counts_row_udf_once(spark):
     got = cli.plan_hygiene_summary("probe", plan)
     assert got["row_udf"] == 1
     assert got["cartesian"] == 0
+
+
+def test_plan_hygiene_summary_counts_punctuated_headers(spark):
+    """Regression (ADVICE r12): detail headers with punctuation — a
+    catalog-qualified "Scan parquet spark_catalog.default.t" or a
+    "[codegen id : N]" annotation — must still be counted. Build a real
+    plan over a REGISTERED catalog table and assert scans lands > 0."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS hygiene_probe_t")
+    spark.range(8).withColumn("v", F.col("id") * 2).write.saveAsTable(
+        "hygiene_probe_t"
+    )
+    try:
+        df = spark.table("hygiene_probe_t").where(F.col("v") > 4)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # the punctuation trap this test exists for
+        assert "spark_catalog.default.hygiene_probe_t" in plan
+        got = cli.plan_hygiene_summary("probe", plan)
+        assert got["scans"] > 0
+        assert got["cartesian"] == 0 and got["row_udf"] == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hygiene_probe_t")
 
 
 def test_curate_near_dup_stage(spark, tmp_path):

@@ -207,21 +207,42 @@ def test_pq_codes_spread_and_error_nonneg(spark):
 
 def test_hll_overlap_fanout_guard(spark):
     """The overlap matrix's pair fan-out is quadratic in groups
-    (S(S-1)/2 × 256 replicated registers): the registry guard must fail
-    LOUDLY past max_groups with the sharding hint, and pass silently
-    under it (VERDICT r11 #6)."""
+    (S(S-1)/2 × 256 replicated registers): the guard must fail LOUDLY
+    past max_groups with the sharding hint, pass silently under it
+    (VERDICT r11 #6) — and stay LAZY: constructing the guarded frame
+    launches NO Spark job (ADVICE r12 — plan-only paths like
+    ``explain --all`` must not pay a corpus scan), the raise happens at
+    execution, during the guard's broadcast build, before the fan-out."""
     import pytest
+    from pyspark.sql import functions as F
 
-    from haf_plug_play_spark.ext.registry import (
-        _assert_overlap_fanout_bounded,
-    )
+    from haf_plug_play_spark.ext.registry import _overlap_fanout_guard
 
     many = spark.createDataFrame(
         [(f"s{i}", "x") for i in range(12)], "source string, item string"
     )
-    assert _assert_overlap_fanout_bounded(many, "source", max_groups=20) == 12
-    with pytest.raises(ValueError, match="shard the pair list"):
-        _assert_overlap_fanout_bounded(many, "source", max_groups=10)
+
+    def guarded(max_groups: int):
+        g = _overlap_fanout_guard(many, "source", max_groups=max_groups)
+        return many.crossJoin(F.broadcast(g)).drop("_fanout_guard")
+
+    # laziness pin: construction (and explain) inside a fresh job group
+    # must schedule zero jobs
+    sc = spark.sparkContext
+    sc.setJobGroup("fanout-guard-lazy", "laziness pin")
+    try:
+        over = guarded(10)  # 12 groups > 10: would raise if eager
+        over.explain()
+        tracker = sc.statusTracker()
+        assert tracker.getJobIdsForGroup("fanout-guard-lazy") == []
+    finally:
+        sc.setJobGroup("", "")
+
+    # pass case: 12 groups <= 20, rows flow through unchanged
+    assert guarded(20).count() == 12
+    # fail case: raises AT EXECUTION with the sharding hint
+    with pytest.raises(Exception, match="shard the pair list"):
+        over.collect()
 
 
 def test_hll_overlap_sketch_invariants(spark):

@@ -77,6 +77,10 @@ def test_windowed_agg_append_mode_runs_and_is_batch_subset(spark,
         for r in windowed_event_aggs(load_table(spark, SF_SMOKE, "events")).collect()
     }
     emitted = spark.sql("SELECT * FROM win_append").collect()
+    # a regressed-to-empty append stream would make the subset loop
+    # vacuously pass (ADVICE r12) — availableNow over per-file triggers
+    # must finalize at least one window
+    assert len(emitted) > 0
     for r in emitted:
         assert tuple(r[c] for c in cols) == batch[(r.w_start, r.event_type)]
 
@@ -520,6 +524,26 @@ def test_reference_unigram_max_vocab_cap(spark):
         probe, reference_unigram(ref_docs, max_vocab=2)
     ).collect()[0]
     assert (row.n_tokens, row.oov_tokens, row.oov_frac) == (2, 1, 0.5)
+
+
+def test_reference_unigram_max_vocab_hard_ceiling(spark):
+    """The capped reference is BROADCAST (and its top-K materializes on
+    the driver), so a cap past MAX_REFERENCE_VOCAB must fail loudly at
+    construction with the persist-and-shuffle-join escape hatch
+    (ADVICE r12) — never quietly schedule a driver-OOM-sized
+    TakeOrderedAndProject."""
+    import pytest
+
+    from haf_plug_play_spark.streaming.drift import (
+        MAX_REFERENCE_VOCAB,
+        reference_unigram,
+    )
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="broadcast budget"):
+        reference_unigram(docs, max_vocab=MAX_REFERENCE_VOCAB + 1)
+    # at the ceiling itself the plan still constructs lazily
+    reference_unigram(docs, max_vocab=MAX_REFERENCE_VOCAB).explain()
 
 
 def test_qsd_registered_config_streaming_equals_batch(spark, tmp_path):
