@@ -2848,6 +2848,79 @@ def _hll_overlap_sql() -> str:
     return hll_overlap_sql(item_sql)
 
 
+def xk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-word cardinality from a K-minimum-values /
+    theta sketch (ext/sketch.py:kmv_distinct_by_group), certified
+    against the exact count in the same query — the order-statistics
+    alternative to XK-hll's register estimator, and the sketch whose
+    merge supports direct intersection set-algebra. The k-smallest
+    selection is two-level (per-(source, partition) rank, then a rank
+    over the ≤ k×P candidates), so no corpus-sized group is ever sorted
+    in one partition; the exact leg is the droppable certification."""
+    from haf_plug_play_spark.ext import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    items = docs.select("source", F.explode(words).alias("item"))
+    return sketch.kmv_distinct_by_group(items)
+
+
+def _kmv_sql() -> str:
+    from haf_plug_play_spark.ext.sketch import kmv_group_sql
+
+    item_sql = (
+        "SELECT source, unnest(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS item FROM documents"
+    )
+    return kmv_group_sql(item_sql)
+
+
+_QLM_MU = 300.0
+
+
+def xr_qlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood top-10 with Dirichlet smoothing against the
+    XR-bm25 bag-of-words query (ext/retrieval.py:qlm_topk) — the
+    language-modeling lexical leg: ranks by how plausibly the document's
+    unigram LM generated the query, smoothing zero-tf terms through the
+    corpus LM. Same scale contract as XR-bm25: term stream filtered to
+    the query's literal set before aggregation, cf/|C| broadcast,
+    TakeOrderedAndProject top-k."""
+    from haf_plug_play_spark.ext import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.qlm_topk(docs, _BM25_QUERY, k=10, mu=_QLM_MU)
+
+
+def _qlm_sql(query_terms: list[str], k: int = 10, mu: float = 300.0) -> str:
+    """DuckDB mirror of qlm_topk: exact-integer tf/cf/dl/ctot, the
+    identical left-associated double arithmetic per term ((μ·cf)/|C|,
+    single ln), 6-dp-rounded per-document sum, id tie-break."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return (
+        "WITH w AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '') AS ws FROM documents), "
+        "lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w), "
+        "tot AS (SELECT CAST(sum(dl) AS BIGINT) AS ctot FROM lens), "
+        "terms AS (SELECT doc_id, unnest(ws) AS t FROM w), "
+        f"ft AS (SELECT doc_id, t FROM terms WHERE t IN ({terms})), "
+        "cf AS (SELECT t, CAST(count(*) AS BIGINT) AS cf FROM ft GROUP BY 1), "
+        "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf "
+        "FROM ft GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT doc_id FROM tf), "
+        "grid AS (SELECT cand.doc_id, cf.t, cf.cf FROM cand CROSS JOIN cf), "
+        "sc AS (SELECT g.doc_id, "
+        f"ln((coalesce(tf.tf, 0) + {float(mu)!r} * g.cf / ctot) / "
+        f"(dl + {float(mu)!r})) AS s, "
+        "CASE WHEN tf.tf IS NULL THEN 0 ELSE 1 END AS hit "
+        "FROM grid g LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.t = tf.t "
+        "JOIN lens ON g.doc_id = lens.doc_id CROSS JOIN tot) "
+        "SELECT doc_id, CAST(sum(hit) AS BIGINT) AS n_hits, "
+        "round(sum(s), 6) AS qlm FROM sc GROUP BY 1 "
+        f"ORDER BY qlm DESC, doc_id LIMIT {k}"
+    )
+
+
 def xd_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-SOURCE contamination matrix: near-duplicate pairs (the
     XD-minhash-pairs banded machinery) whose two documents come from
@@ -3656,6 +3729,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the rotation's file signal; the content-hash signal still guards
     # this wrapper's own text)
     "QSD-stream-drift": qsd_stream_drift,
+    # new in r13 (never driver-checked)
+    "XK-kmv": xk_kmv,
+    "XR-qlm": xr_qlm,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3869,4 +3945,7 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XS-embqc": _embqc_sql(),
     "XA-epoch-plan": _epoch_plan_sql(),
     "QSD-stream-drift": _stream_drift_sql(),
+    # new in r13
+    "XK-kmv": _kmv_sql(),
+    "XR-qlm": _qlm_sql(_BM25_QUERY, 10, _QLM_MU),
 }

@@ -132,3 +132,72 @@ def rrf_fuse(
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), id_col).limit(k)
+
+
+def qlm_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 300.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by query-likelihood with Dirichlet smoothing
+    (Zhai & Lafferty 2001, public method) — the language-modeling
+    counterpart to BM25's probabilistic ranking:
+
+        score(D) = Σ_{t∈Q'} ln( (tf_tD + μ·cf_t/|C|) / (|D| + μ) )
+
+    where cf_t is t's corpus frequency, |C| the corpus token count, and
+    Q' the query terms that occur in the corpus at all (a term with
+    cf = 0 contributes ln(0) for every document equally, so it is
+    dropped — the standard OOV-query-term treatment). Documents with at
+    least one query-term hit are candidates; each is scored over ALL of
+    Q', smoothing the zero-tf terms through the corpus LM. QLM ranks
+    by how plausibly the document's language model generated the query,
+    which surfaces long on-topic documents BM25's length normalization
+    suppresses — the complementary lexical leg for topical slicing.
+
+    Scale shape (the XR-bm25 contract): the corpus term stream is
+    FILTERED to the query's literal term set before any aggregation;
+    cf and |C| are |Q|-row / 1-row aggregates cross-joined by
+    BROADCAST; the candidate×Q' grid is posting-volume bounded; top-k
+    plans as TakeOrderedAndProject. Nothing corpus-sized shuffles
+    except the (doc, query-term) tf pairs and the doc-length join.
+
+    Oracle-parity: tf/cf/|D|/|C| are exact integers; the per-term
+    expression is the identical left-associated double arithmetic in
+    both engines ((μ·cf)/|C|, then the single ln); the per-document Σ
+    over ≤|Q'| terms is the one shuffle-reassociated double sum (6-dp
+    rounding absorbs it, the BM25 caveat family). Ties break on the id.
+    Output: (id, n_hits, qlm) top-k by (qlm desc, id).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+    lens = docs.select(F.col(id_col), F.size(words).cast("long").alias("_dl"))
+    tot = lens.agg(F.sum("_dl").cast("long").alias("_ctot"))
+    terms = (
+        docs.select(F.col(id_col), F.explode(words).alias("_w"))
+        .filter(F.col("_w").isin([t.lower() for t in query_terms]))
+    )
+    cf = terms.groupBy("_w").agg(F.count("*").cast("long").alias("_cf"))
+    tf = terms.groupBy(id_col, "_w").agg(F.count("*").cast("long").alias("_tf"))
+    cand = tf.select(id_col).distinct()
+    grid = cand.crossJoin(F.broadcast(cf))
+    scored = (
+        grid.join(tf, [id_col, "_w"], "left")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(tot))
+    )
+    contrib = F.log(
+        (
+            F.coalesce(F.col("_tf"), F.lit(0))
+            + F.lit(float(mu)) * F.col("_cf") / F.col("_ctot")
+        )
+        / (F.col("_dl") + F.lit(float(mu)))
+    )
+    hit = F.when(F.col("_tf").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(hit).cast("long").alias("n_hits"),
+        F.round(F.sum(contrib), 6).alias("qlm"),
+    )
+    return per_doc.orderBy(F.desc("qlm"), id_col).limit(k)

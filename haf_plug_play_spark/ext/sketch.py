@@ -937,3 +937,117 @@ def loglinear_quantiles(
         )
         .orderBy("q")
     )
+
+
+# ------------------------------------------------------------- KMV / theta
+
+KMV_K = 256
+#: md5_int's range is [0, 2^60) — 15 hex chars of md5 (ext/hashing.py)
+KMV_HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct_by_group(
+    items: DataFrame,
+    group_col: str = "source",
+    item_col: str = "item",
+    k: int = KMV_K,
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group, certified against the
+    exact count in the same query (Bar-Yossef, Jayram, Kumar,
+    Sivakumar & Trevisan 2002 — the estimator inside Apache
+    DataSketches' theta sketch). The fifth mergeable sketch beside CMS,
+    Bloom, HLL and the quantile histogram: where HLL merges by register
+    max, a KMV sketch merges by re-taking the k smallest of the
+    combined value sets, which additionally supports DIRECT intersection
+    estimates (theta set algebra) rather than inclusion–exclusion.
+
+    The sketch keeps the ``k`` smallest md5 hash values of the group's
+    distinct items; with U_k = (k-th smallest)/2^60, the estimate is
+    (k−1)/U_k — σ ≈ 1/√(k−2) relative. A group with fewer than ``k``
+    distinct values is answered exactly by its own sketch size.
+
+    Scale shape — the k-smallest selection NEVER sorts a corpus-sized
+    group in one partition: level 1 ranks within (group,
+    input-partition) — S×P window groups, each partition-local —
+    keeping ≤ k distinct hash values per (group, partition), a superset
+    of the true global k smallest under ANY partitioning (a value
+    globally in the top-k smallest has < k values below it in total,
+    hence < k within its own partition); level 2 dedupes and re-ranks
+    only that ≤ k×P candidate set. The exact leg (count distinct items)
+    is the droppable certification, as across this module.
+
+    Output: (group_col, n_exact, kmv_est, rel_err) ordered by group.
+    """
+    from pyspark.sql import Window as W
+
+    hashed = items.select(
+        F.col(group_col).alias("_g"),
+        md5_int(F.col(item_col)).alias("_h"),
+        F.col(item_col).alias("_i"),
+    )
+    lvl1 = hashed.withColumn("_pid", F.spark_partition_id())
+    w1 = W.partitionBy("_g", "_pid").orderBy("_h")
+    cand = (
+        lvl1.withColumn("_r", F.dense_rank().over(w1))
+        .where(F.col("_r") <= k)
+        .select("_g", "_h")
+        .dropDuplicates(["_g", "_h"])
+    )
+    w2 = W.partitionBy("_g").orderBy("_h")
+    kept = (
+        cand.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= k)
+    )
+    sk = kept.groupBy("_g").agg(
+        F.count("*").cast("long").alias("_kn"),
+        F.max("_h").alias("_hk"),
+    )
+    exact = hashed.groupBy("_g").agg(
+        F.countDistinct("_i").cast("long").alias("n_exact")
+    )
+    est = F.when(F.col("_kn") < k, F.col("_kn").cast("double")).otherwise(
+        F.lit(float(k - 1))
+        / (
+            F.greatest(F.col("_hk"), F.lit(1)).cast("double")
+            / F.lit(KMV_HASH_SPACE)
+        )
+    )
+    return (
+        sk.join(exact, "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            "n_exact",
+            F.round(est, 4).alias("kmv_est"),
+            F.round(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def kmv_group_sql(
+    item_sql: str, group_col: str = "source", k: int = KMV_K
+) -> str:
+    """DuckDB mirror of ``kmv_distinct_by_group`` — same md5 hash, same
+    rank-k selection (the oracle ranks globally per group; the engine's
+    two-level selection keeps an identical final k-set by the superset
+    property), identical double arithmetic for the estimate."""
+    h = md5_int_sql("item")
+    space = repr(KMV_HASH_SPACE)
+    return (
+        f"WITH items AS ({item_sql}), "
+        f"h AS (SELECT DISTINCT {group_col} AS g, {h} AS h FROM items), "
+        "r AS (SELECT g, h, row_number() OVER "
+        "(PARTITION BY g ORDER BY h) AS r FROM h), "
+        f"sk AS (SELECT g, CAST(count(*) AS BIGINT) AS kn, max(h) AS hk "
+        f"FROM r WHERE r <= {k} GROUP BY g), "
+        f"ex AS (SELECT {group_col} AS g, CAST(count(DISTINCT item) AS BIGINT) "
+        "AS n_exact FROM items GROUP BY 1), "
+        f"e AS (SELECT g, n_exact, CASE WHEN kn < {k} THEN CAST(kn AS DOUBLE) "
+        f"ELSE {float(k - 1)!r} / (CAST(greatest(hk, 1) AS DOUBLE) / {space}) "
+        "END AS est FROM sk JOIN ex USING (g)) "
+        f"SELECT g AS {group_col}, n_exact, round(est, 4) AS kmv_est, "
+        "round(abs(est - n_exact) / n_exact, 4) AS rel_err "
+        f"FROM e ORDER BY {group_col}"
+    )

@@ -318,6 +318,13 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # (window, source)-keyed agg; the XT-entropy cost class with a
         # time-bucket key instead of a doc key
         "QSD-stream-drift": ("vocab", reg.qsd_stream_drift),
+        # r13: KMV rides the k-bounded WindowGroupLimit selection plus
+        # the exact-census leg (so its measured exponent is the exact
+        # leg's distinct-agg, like XK-hll's certify leg); QLM is the
+        # XR-bm25 cost class — a query-term-filtered token pass with
+        # broadcast cf/|C| and a TakeOrderedAndProject
+        "XK-kmv": ("dedup", reg.xk_kmv),
+        "XR-qlm": ("dedup", reg.xr_qlm),
     }
 
 

@@ -728,6 +728,40 @@ def test_rrf_fusion_is_leg_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_kmv_two_level_selection_no_corpus_sort(spark):
+    """XK-kmv: the k-smallest selection must run as two WINDOWED rank
+    stages that Catalyst compiles to WindowGroupLimit (a map-side
+    partial group-limit BEFORE each exchange, so no corpus-sized group
+    is ever sorted whole), the sketch×exact join must be broadcast, and
+    nothing may sort-merge or go cartesian. The only SinglePartition
+    shapes allowed are scalar singletons (none expected here)."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XK-kmv"](spark, SF_ORACLE))
+    assert "WindowGroupLimit" in plan  # rank<=k pushed below the shuffle
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    for m in re.finditer(r"Arguments: SinglePartition", plan):
+        raise AssertionError("single-partition exchange in kmv plan")
+
+
+def test_qlm_broadcast_legs_and_topk(spark):
+    """XR-qlm: the XR-bm25 scale contract — cf and |C| ride broadcast
+    joins, the candidate grid never sort-merges or goes cartesian, the
+    final top-k is a TakeOrderedAndProject, and no rank window exists
+    anywhere (ranking is top-k only)."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XR-qlm"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_burstiness_topk_no_global_sort(spark):
     """Burstiness: two keyed hash aggregations (per-(word, doc) counts,
     per-word sums), N broadcast as a single-row nested-loop join, and

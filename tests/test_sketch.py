@@ -328,3 +328,37 @@ def test_hll_certify_false_production_paths(spark):
     po = plan(prodo)
     assert "_it" not in po  # the exact pairwise self-join is gone
     assert "SortMergeJoin" not in po
+
+
+def test_kmv_accuracy_and_partition_invariance(spark):
+    """Beyond the DuckDB parity (test_ext_oracle[XK-kmv]): (1) the KMV
+    estimate's accuracy — rel_err within 4σ = 4/√(k−2) on a synthetic
+    group with ≫k distinct values; (2) the exact-below-k contract — a
+    group with < k distinct values is answered exactly; (3) PARTITION
+    INVARIANCE of the two-level selection — the k-set (hence every
+    output number) is identical under a hostile repartition, proving
+    the level-1 (group, partition) rank keeps a superset of the true
+    global k smallest for ANY partitioning."""
+    from haf_plug_play_spark.ext.sketch import KMV_K, kmv_distinct_by_group
+
+    big_n, small_n = 20_000, 100
+    rows = [("big", f"item-{i}") for i in range(big_n)] + [
+        ("small", f"item-{i}") for i in range(small_n)
+    ]
+    items = spark.createDataFrame(rows, "source string, item string")
+    out = {r.source: r for r in kmv_distinct_by_group(items).collect()}
+
+    assert out["small"].n_exact == small_n
+    assert out["small"].kmv_est == float(small_n)  # exact-below-k leg
+    assert out["small"].rel_err == 0.0
+
+    assert out["big"].n_exact == big_n
+    sigma = 1.0 / (KMV_K - 2) ** 0.5
+    assert out["big"].rel_err <= 4 * sigma, out["big"]
+
+    hostile = {
+        r.source: r
+        for r in kmv_distinct_by_group(items.repartition(64)).collect()
+    }
+    for src in ("big", "small"):
+        assert hostile[src] == out[src]
