@@ -242,6 +242,21 @@ def _embcos_lsh_scaled(n_vecs: int):
     return run
 
 
+def _qlm_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XR-qlm against the generated corpus's hot stop-phrase words
+    (``STOP``): the planted ~80%-document-frequency terms make every
+    stop-carrying doc a candidate, so the measured exponent reflects the
+    worst-case posting volume rather than the empty-result path the
+    registry's fixed query terms would time on this corpus."""
+    from haf_plug_play_spark.ext import retrieval
+    from haf_plug_play_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.qlm_topk(
+        docs, ["quick", "brown", "fox", "lazy", "dog"], k=10
+    )
+
+
 def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
     """query name → (corpus kind, callable(spark, sf_dir) -> DataFrame).
     The VERDICT r6 heavy tail plus the r7 additions (VERDICT r7 #5):
@@ -322,9 +337,12 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # the exact-census leg (so its measured exponent is the exact
         # leg's distinct-agg, like XK-hll's certify leg); QLM is the
         # XR-bm25 cost class — a query-term-filtered token pass with
-        # broadcast cf/|C| and a TakeOrderedAndProject
+        # broadcast cf/|C| and a TakeOrderedAndProject. The measured
+        # QLM queries the corpus's HOT stop-phrase words (~80% of docs
+        # are candidates — the worst-case posting volume; the registry's
+        # fixed terms would match nothing here and time the empty path)
         "XK-kmv": ("dedup", reg.xk_kmv),
-        "XR-qlm": ("dedup", reg.xr_qlm),
+        "XR-qlm": ("dedup", _qlm_hot_terms),
     }
 
 

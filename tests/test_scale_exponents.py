@@ -41,7 +41,7 @@ def test_planted_structure_scales_linearly(exponents):
     generator whose planted structure stayed constant would make the
     timing exponents vacuous."""
     for name, e in exponents.items():
-        if name in ("XS-ivfadc", "XR-rrf"):
+        if name in ("XS-ivfadc", "XR-rrf", "XR-qlm"):
             # top-k / fused top-k: output is k at every scale
             assert e["rows_base"] == e["rows_big"] == 10
             continue
@@ -56,7 +56,7 @@ def test_planted_structure_scales_linearly(exponents):
         if name in ("XK-hll-strat", "XK-hll-overlap", "XA-topk-strat",
                     "XT-fertility", "XT-kl-drift", "XA-reservoir",
                     "XA-dedup-savings", "XA-doremi", "XS-embqc",
-                    "XA-epoch-plan"):
+                    "XA-epoch-plan", "XK-kmv"):
             # strata-bounded outputs: one row per source / source pair /
             # (source, lang) / (source, rank≤k) — the generator's strata
             # are fixed, so these cannot grow with the corpus
