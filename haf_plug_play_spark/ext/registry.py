@@ -2875,6 +2875,36 @@ def _kmv_sql() -> str:
     return kmv_group_sql(item_sql)
 
 
+def xk_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap matrix from KMV/theta sketches
+    (ext/sketch.py:kmv_overlap) — the DIRECT set-algebra alternative to
+    XK-hll-overlap's inclusion–exclusion: per unordered source pair,
+    union/intersection/Jaccard estimated from the θ_ab-thresholded
+    sample of combined k-smallest hash values, each beside its exact
+    counterpart. The pairwise stage runs on ≤ sources × k broadcast
+    rows after the shared WindowGroupLimit-bounded selection; the pair
+    fan-out is quadratic in groups, so the same lazy broadcast guard as
+    XK-hll-overlap rides the plan."""
+    from haf_plug_play_spark.ext import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    items = docs.select("source", F.explode(words).alias("item"))
+    guard = _overlap_fanout_guard(docs, "source")
+    items = items.crossJoin(F.broadcast(guard)).drop("_fanout_guard")
+    return sketch.kmv_overlap(items)
+
+
+def _theta_overlap_sql() -> str:
+    from haf_plug_play_spark.ext.sketch import kmv_overlap_sql
+
+    item_sql = (
+        "SELECT source, unnest(list_filter(string_split(lower(text), ' '), "
+        "x -> x <> '')) AS item FROM documents"
+    )
+    return kmv_overlap_sql(item_sql)
+
+
 _QLM_MU = 300.0
 
 
@@ -3732,6 +3762,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # new in r13 (never driver-checked)
     "XK-kmv": xk_kmv,
     "XR-qlm": xr_qlm,
+    "XK-theta-overlap": xk_theta_overlap,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3948,4 +3979,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     # new in r13
     "XK-kmv": _kmv_sql(),
     "XR-qlm": _qlm_sql(_BM25_QUERY, 10, _QLM_MU),
+    "XK-theta-overlap": _theta_overlap_sql(),
 }

@@ -946,6 +946,33 @@ KMV_K = 256
 KMV_HASH_SPACE = float(1 << 60)
 
 
+def _kmv_kept(hashed: DataFrame, k: int) -> DataFrame:
+    """(_g, _h): the ≤ k smallest DISTINCT hash values per group — the
+    two-level selection shared by the KMV estimator and the theta-style
+    overlap. Level 1 dense-ranks within (group, input-partition) so no
+    corpus-sized group is sorted whole (Catalyst compiles both levels to
+    WindowGroupLimit with map-side partial limits); level 2 dedupes and
+    row-number-ranks the ≤ k×P candidates. The result is identical to a
+    global per-group rank (superset property — see
+    kmv_distinct_by_group), which is what the DuckDB oracles run."""
+    from pyspark.sql import Window as W
+
+    lvl1 = hashed.withColumn("_pid", F.spark_partition_id())
+    w1 = W.partitionBy("_g", "_pid").orderBy("_h")
+    cand = (
+        lvl1.withColumn("_r", F.dense_rank().over(w1))
+        .where(F.col("_r") <= k)
+        .select("_g", "_h")
+        .dropDuplicates(["_g", "_h"])
+    )
+    w2 = W.partitionBy("_g").orderBy("_h")
+    return (
+        cand.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= k)
+        .select("_g", "_h")
+    )
+
+
 def kmv_distinct_by_group(
     items: DataFrame,
     group_col: str = "source",
@@ -978,26 +1005,12 @@ def kmv_distinct_by_group(
 
     Output: (group_col, n_exact, kmv_est, rel_err) ordered by group.
     """
-    from pyspark.sql import Window as W
-
     hashed = items.select(
         F.col(group_col).alias("_g"),
         md5_int(F.col(item_col)).alias("_h"),
         F.col(item_col).alias("_i"),
     )
-    lvl1 = hashed.withColumn("_pid", F.spark_partition_id())
-    w1 = W.partitionBy("_g", "_pid").orderBy("_h")
-    cand = (
-        lvl1.withColumn("_r", F.dense_rank().over(w1))
-        .where(F.col("_r") <= k)
-        .select("_g", "_h")
-        .dropDuplicates(["_g", "_h"])
-    )
-    w2 = W.partitionBy("_g").orderBy("_h")
-    kept = (
-        cand.withColumn("_r", F.row_number().over(w2))
-        .where(F.col("_r") <= k)
-    )
+    kept = _kmv_kept(hashed, k)
     sk = kept.groupBy("_g").agg(
         F.count("*").cast("long").alias("_kn"),
         F.max("_h").alias("_hk"),
@@ -1050,4 +1063,198 @@ def kmv_group_sql(
         f"SELECT g AS {group_col}, n_exact, round(est, 4) AS kmv_est, "
         "round(abs(est - n_exact) / n_exact, 4) AS rel_err "
         f"FROM e ORDER BY {group_col}"
+    )
+
+
+def kmv_overlap(
+    items: DataFrame,
+    item_col: str = "item",
+    group_col: str = "source",
+    k: int = KMV_K,
+    certify: bool = True,
+) -> DataFrame:
+    """Cross-group overlap matrix from KMV/theta sketches — the DIRECT
+    set-algebra alternative to :func:`hll_overlap`'s inclusion–exclusion
+    (the theta-sketch intersection of Apache DataSketches; estimator
+    family Bar-Yossef et al. 2002, set operations Dasgupta, Lang, Rhodes
+    & Thaler 2016, public methods): per unordered pair (a, b) the two
+    k-smallest-hash sketches are combined under the SHARED threshold
+    θ_ab = min(θ_a, θ_b) (θ = k-th smallest hash / 2^60, or 1 for a
+    non-full sketch); values below θ_ab form a uniform θ_ab-sample of
+    A∪B in which membership of BOTH sketches marks A∩B — so
+    union_est = |S|/θ_ab, inter_est = |S∩both|/θ_ab, and the Jaccard
+    estimate is the RATIO estimator |S∩both|/|S|. Unlike I-E the
+    intersection here is a direct sample count, so its error scales
+    with the intersection's own sampled size rather than the union's.
+
+    Scale contract: after the shared two-level k-smallest pass
+    (:func:`_kmv_kept` — WindowGroupLimit-bounded, never a corpus-sized
+    sort), everything pairwise runs on ≤ groups × k broadcast-joined
+    rows. The pair fan-out replicates each group's ≤ k values to every
+    pair it belongs to (S(S−1)/2 pairs) — the same quadratic-in-groups
+    shape as hll_overlap, guarded the same way by the caller. The exact
+    legs (per-group distinct counts + the pairwise item self-join) are
+    the droppable certification, as across this module.
+
+    Output per unordered pair (a < b): (source_a, source_b,
+    n_union_exact, union_est, n_inter_exact, inter_est, jaccard_exact,
+    jaccard_est, union_certified), ordered by (source_a, source_b).
+    ``certify=False`` (production) drops the exact legs, returning
+    (source_a, source_b, union_est, inter_est, jaccard_est)."""
+    sigma4 = 4.0 / (k - 2) ** 0.5
+    hashed = items.select(
+        F.col(group_col).alias("_g"),
+        md5_int(F.col(item_col)).alias("_h"),
+        F.col(item_col).alias("_i"),
+    )
+    kept = _kmv_kept(hashed, k)
+    stats = kept.groupBy("_g").agg(
+        F.count("*").cast("long").alias("_kn"),
+        F.max("_h").alias("_hk"),
+    )
+    theta = F.when(F.col("_kn") < k, F.lit(1.0)).otherwise(
+        F.greatest(F.col("_hk"), F.lit(1)).cast("double")
+        / F.lit(KMV_HASH_SPACE)
+    )
+    th = stats.select("_g", theta.alias("_th"))
+    ta = th.select(
+        F.col("_g").alias("source_a"), F.col("_th").alias("_ta")
+    )
+    tb = th.select(
+        F.col("_g").alias("source_b"), F.col("_th").alias("_tb")
+    )
+    pairs = (
+        ta.crossJoin(F.broadcast(tb))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.least("_ta", "_tb").alias("_tab"),
+        )
+    )
+    # replicate each group's kept values to its pairs (two broadcast
+    # equi-joins on the tiny pair list, the hll_overlap shape)
+    ka = kept.join(
+        F.broadcast(pairs), kept["_g"] == pairs["source_a"]
+    ).select("source_a", "source_b", "_tab", "_h")
+    kb = kept.join(
+        F.broadcast(pairs), kept["_g"] == pairs["source_b"]
+    ).select("source_a", "source_b", "_tab", "_h")
+    both = ka.unionByName(kb).where(
+        F.col("_h") < F.col("_tab") * F.lit(KMV_HASH_SPACE)
+    )
+    # per-(pair, value) multiplicity: 2 = value sampled in BOTH sketches
+    perh = both.groupBy("source_a", "source_b", "_tab", "_h").agg(
+        F.count("*").alias("_m")
+    )
+    cnt = perh.groupBy("source_a", "source_b", "_tab").agg(
+        F.count("*").cast("long").alias("_nu"),
+        F.sum((F.col("_m") == 2).cast("long")).cast("long").alias("_ni"),
+    )
+    union_est = F.col("_nu") / F.col("_tab")
+    inter_est = F.col("_ni") / F.col("_tab")
+    jac_est = F.col("_ni") / F.col("_nu")
+    if not certify:
+        return cnt.select(
+            "source_a",
+            "source_b",
+            F.round(union_est, 2).alias("union_est"),
+            F.round(inter_est, 2).alias("inter_est"),
+            F.round(jac_est, 6).alias("jaccard_est"),
+        ).orderBy("source_a", "source_b")
+    # exact certification legs (droppable at scale — the hll_overlap shape)
+    d = items.select(group_col, item_col).distinct()
+    n_by = d.groupBy(group_col).agg(F.count("*").alias("_n"))
+    na = n_by.select(
+        F.col(group_col).alias("source_a"), F.col("_n").alias("_n_a")
+    )
+    nb = n_by.select(
+        F.col(group_col).alias("source_b"), F.col("_n").alias("_n_b")
+    )
+    x = d.select(F.col(group_col).alias("source_a"), F.col(item_col).alias("_it"))
+    y = d.select(F.col(group_col).alias("source_b"), F.col(item_col).alias("_it"))
+    inter = (
+        x.join(y, "_it")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("_n_inter"))
+    )
+    out = (
+        cnt.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .withColumn("_n_inter", F.coalesce(F.col("_n_inter"), F.lit(0)))
+    )
+    union_exact = F.col("_n_a") + F.col("_n_b") - F.col("_n_inter")
+    rel = F.abs(union_est / union_exact.cast("double") - 1.0)
+    return (
+        out.select(
+            "source_a",
+            "source_b",
+            union_exact.cast("long").alias("n_union_exact"),
+            F.round(union_est, 2).alias("union_est"),
+            F.col("_n_inter").cast("long").alias("n_inter_exact"),
+            F.round(inter_est, 2).alias("inter_est"),
+            F.round(
+                F.col("_n_inter") / union_exact.cast("double"), 6
+            ).alias("jaccard_exact"),
+            F.round(jac_est, 6).alias("jaccard_est"),
+            (rel <= F.lit(sigma4)).alias("union_certified"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def kmv_overlap_sql(
+    item_sql: str, group_col: str = "source", k: int = KMV_K
+) -> str:
+    """DuckDB mirror of ``kmv_overlap`` — same md5 hash, same global
+    per-group rank-k (identical k-set by the superset property), the
+    identical double arithmetic for θ, the θ_ab filter, and all three
+    estimates."""
+    h = md5_int_sql("item")
+    space = repr(KMV_HASH_SPACE)
+    sigma4 = repr(4.0 / (k - 2) ** 0.5)
+    return (
+        f"WITH items AS ({item_sql}), "
+        f"hv AS (SELECT DISTINCT {group_col} AS g, {h} AS h FROM items), "
+        "r AS (SELECT g, h, row_number() OVER "
+        "(PARTITION BY g ORDER BY h) AS r FROM hv), "
+        f"kept AS (SELECT g, h FROM r WHERE r <= {k}), "
+        "st AS (SELECT g, CAST(count(*) AS BIGINT) AS kn, max(h) AS hk "
+        "FROM kept GROUP BY g), "
+        f"th AS (SELECT g, CASE WHEN kn < {k} THEN 1.0 ELSE "
+        f"CAST(greatest(hk, 1) AS DOUBLE) / {space} END AS th FROM st), "
+        "pairs AS (SELECT a.g AS sa, b.g AS sb, least(a.th, b.th) AS tab "
+        "FROM th a CROSS JOIN th b WHERE a.g < b.g), "
+        "rep AS (SELECT p.sa, p.sb, p.tab, k1.h FROM pairs p "
+        "JOIN kept k1 ON k1.g = p.sa "
+        "UNION ALL SELECT p.sa, p.sb, p.tab, k2.h FROM pairs p "
+        "JOIN kept k2 ON k2.g = p.sb), "
+        f"below AS (SELECT * FROM rep WHERE h < tab * {space}), "
+        "perh AS (SELECT sa, sb, tab, h, count(*) AS m FROM below "
+        "GROUP BY 1, 2, 3, 4), "
+        "cnt AS (SELECT sa, sb, tab, CAST(count(*) AS BIGINT) AS nu, "
+        "CAST(sum(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ni "
+        "FROM perh GROUP BY 1, 2, 3), "
+        f"d AS (SELECT DISTINCT {group_col} AS g, item FROM items), "
+        "nb AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1), "
+        "ex AS (SELECT x.g AS sa, y.g AS sb, "
+        "CAST(count(*) AS BIGINT) AS n_inter "
+        "FROM d x JOIN d y ON x.item = y.item AND x.g < y.g GROUP BY 1, 2), "
+        "j AS (SELECT c.sa, c.sb, c.tab, c.nu, c.ni, na.n AS n_a, "
+        "nb2.n AS n_b, coalesce(ex.n_inter, 0) AS n_inter "
+        "FROM cnt c JOIN nb na ON na.g = c.sa JOIN nb nb2 ON nb2.g = c.sb "
+        "LEFT JOIN ex ON ex.sa = c.sa AND ex.sb = c.sb) "
+        f"SELECT sa AS source_a, sb AS source_b, "
+        "CAST(n_a + n_b - n_inter AS BIGINT) AS n_union_exact, "
+        "round(nu / tab, 2) AS union_est, "
+        "CAST(n_inter AS BIGINT) AS n_inter_exact, "
+        "round(ni / tab, 2) AS inter_est, "
+        "round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) "
+        "AS jaccard_exact, "
+        "round(ni / nu, 6) AS jaccard_est, "
+        f"(abs(nu / tab / CAST(n_a + n_b - n_inter AS DOUBLE) - 1.0) "
+        f"<= {sigma4}) AS union_certified "
+        "FROM j ORDER BY source_a, source_b"
     )

@@ -343,6 +343,11 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # fixed terms would match nothing here and time the empty path)
         "XK-kmv": ("dedup", reg.xk_kmv),
         "XR-qlm": ("dedup", _qlm_hot_terms),
+        # the theta overlap should measure like XK-hll-overlap: one
+        # k-bounded selection pass, then everything pairwise on
+        # broadcast sketch rows; its exact pair self-join is the
+        # droppable certify leg that dominates the measured cost
+        "XK-theta-overlap": ("dedup", reg.xk_theta_overlap),
     }
 
 

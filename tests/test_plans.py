@@ -747,6 +747,20 @@ def test_kmv_two_level_selection_no_corpus_sort(spark):
         raise AssertionError("single-partition exchange in kmv plan")
 
 
+def test_theta_overlap_bounded_pair_stage(spark):
+    """XK-theta-overlap: the pairwise stage must run on broadcast
+    sketch/pair tables (the XK-hll-overlap contract) — no sort-merge
+    join, no cartesian product; the k-smallest selection must carry the
+    WindowGroupLimit map-side partial limits, and the only nested-loop
+    joins are the tiny broadcast pair builders + the 1-row fan-out
+    guard."""
+    plan = _plan(EXT_QUERIES["XK-theta-overlap"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_qlm_broadcast_legs_and_topk(spark):
     """XR-qlm: the XR-bm25 scale contract — cf and |C| ride broadcast
     joins, the candidate grid never sort-merges or goes cartesian, the

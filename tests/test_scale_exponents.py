@@ -56,7 +56,7 @@ def test_planted_structure_scales_linearly(exponents):
         if name in ("XK-hll-strat", "XK-hll-overlap", "XA-topk-strat",
                     "XT-fertility", "XT-kl-drift", "XA-reservoir",
                     "XA-dedup-savings", "XA-doremi", "XS-embqc",
-                    "XA-epoch-plan", "XK-kmv"):
+                    "XA-epoch-plan", "XK-kmv", "XK-theta-overlap"):
             # strata-bounded outputs: one row per source / source pair /
             # (source, lang) / (source, rank≤k) — the generator's strata
             # are fixed, so these cannot grow with the corpus

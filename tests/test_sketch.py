@@ -362,3 +362,68 @@ def test_kmv_accuracy_and_partition_invariance(spark):
     }
     for src in ("big", "small"):
         assert hostile[src] == out[src]
+
+
+def test_kmv_overlap_set_algebra_and_certify_false(spark):
+    """Beyond the DuckDB parity (test_ext_oracle[XK-theta-overlap]):
+    (1) the theta set-algebra on the planted-overlap fixture — exact
+    legs recover the planted union/intersection, estimates certified at
+    4σ, Jaccards in [0, 1], direct intersection ≤ union sample; (2) with
+    groups SMALLER than k every sketch is exact (θ = 1), so the
+    estimates must EQUAL the exact legs; (3) certify=False returns the
+    identical estimate columns with the exact legs dropped."""
+    from haf_plug_play_spark.ext.sketch import kmv_overlap
+
+    docs = spark.createDataFrame(
+        [(f"s{i % 3}", f"item{j}") for i in range(3) for j in range(i * 40, i * 40 + 120)],
+        "source string, item string",
+    )
+    rows = kmv_overlap(docs).collect()
+    assert len(rows) == 3
+    by_pair = {(r.source_a, r.source_b): r for r in rows}
+    for pair, (union, inter) in {
+        ("s0", "s1"): (160, 80),
+        ("s1", "s2"): (160, 80),
+        ("s0", "s2"): (200, 40),
+    }.items():
+        r = by_pair[pair]
+        assert (r.n_union_exact, r.n_inter_exact) == (union, inter), r
+        assert r.union_certified, r
+        assert 0.0 <= r.jaccard_exact <= 1.0
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert 0.0 <= r.inter_est <= r.union_est
+        # 120 < k=256: every sketch is exact, theta=1, estimates == exact
+        assert r.union_est == float(r.n_union_exact), r
+        assert r.inter_est == float(r.n_inter_exact), r
+
+    prod = kmv_overlap(docs, certify=False)
+    assert prod.columns == [
+        "source_a", "source_b", "union_est", "inter_est", "jaccard_est"
+    ]
+    got = {(r.source_a, r.source_b): r for r in prod.collect()}
+    for pair, r in by_pair.items():
+        p = got[pair]
+        assert (p.union_est, p.inter_est, p.jaccard_est) == (
+            r.union_est, r.inter_est, r.jaccard_est
+        )
+
+
+def test_kmv_overlap_estimates_under_sampling(spark):
+    """Groups LARGER than k force real theta sampling: with two 4,000-item
+    groups sharing 2,000, the union/intersection estimates must land
+    within 4σ-ish relative bands (σ = 1/√(k−2)) and the ratio-Jaccard
+    near the true 1/3."""
+    from haf_plug_play_spark.ext.sketch import kmv_overlap
+
+    rows = [("a", f"item-{j}") for j in range(4000)] + [
+        ("b", f"item-{j}") for j in range(2000, 6000)
+    ]
+    docs = spark.createDataFrame(rows, "source string, item string")
+    r = kmv_overlap(docs).collect()[0]
+    assert (r.n_union_exact, r.n_inter_exact) == (6000, 2000)
+    assert r.union_certified, r
+    sigma = 1.0 / (256 - 2) ** 0.5
+    assert abs(r.union_est / 6000 - 1.0) <= 4 * sigma, r
+    # the direct-sample intersection: looser band (smaller sample)
+    assert abs(r.inter_est / 2000 - 1.0) <= 8 * sigma, r
+    assert abs(r.jaccard_est - 1 / 3) <= 0.15, r
