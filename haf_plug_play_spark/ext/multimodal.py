@@ -308,6 +308,62 @@ def image_features(media: DataFrame, grid: int = 4) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_features, FEATURES_SCHEMA)
 
 
+PIXEL_STATS_SCHEMA = (
+    "media_id long, format string, width int, height int, n_pixels long, "
+    "px_mean double, px_std double"
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode + per-image pixel statistics in one Arrow-batched
+    mapInPandas pass (no shuffle): format/dims from the container, mean
+    and std from EXACT INTEGER moments — Σx and Σx² are exact int64
+    sums of uint8 pixels, so ``mean = Σx/n`` and
+    ``std = sqrt(Σx²/n − mean²)`` are the same two correctly-rounded
+    double operations in any engine. That (not ``np.std``, whose
+    subtract-then-sum order reassociates) is what lets a SQL oracle
+    reproduce the numbers bit-for-bit: the oracle regenerates the fake
+    container's pixel stream arithmetically and runs the identical
+    moment expressions (the registry's XM-imagestats)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                buf = bytes(content)
+                px = _decode_image(mid, buf)
+                h, w = px.shape
+                fmt = "pgm" if buf[:2] == b"P5" else (
+                    "fakeimg" if buf[:8] == b"FAKEIMG\x00" else "image"
+                )
+                n = int(px.size)
+                s1 = int(px.astype(np.int64).sum())
+                s2 = int((px.astype(np.int64) ** 2).sum())
+                mean = s1 / n
+                var = s2 / n - mean * mean
+                rows.append(
+                    (mid, fmt, w, h, n, mean, math.sqrt(max(var, 0.0)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "n_pixels", "px_mean", "px_std",
+                ],
+            )
+
+    from haf_plug_play_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(media.sparkSession)
+    return media.select("media_id", "content").mapInPandas(
+        _stats, PIXEL_STATS_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 

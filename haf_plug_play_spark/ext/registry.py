@@ -337,6 +337,49 @@ def xm_bytestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def xm_imagestats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + per-image pixel statistics through the REAL media path
+    (ext/multimodal.py: attach_fake_media → image_pixel_stats, one
+    Arrow-batched mapInPandas pass, no shuffle) — the multimodal query
+    whose oracle checks the decoded PIXELS, not just payload bytes: the
+    fake container's pixel stream is pure arithmetic
+    ((media_id·31 + i) mod 256), so DuckDB regenerates it and runs the
+    identical exact-integer-moment expressions. 12×12 images
+    deliberately (a 16×16 stream is a full mod-256 cycle — every image
+    would have the same stats; 144 pixels leave doc-varying moments)."""
+    from haf_plug_play_spark.ext import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_fake_media(docs, width=12, height=12)
+    stats = multimodal.image_pixel_stats(media)
+    return stats.select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_pixels",
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+    ).orderBy("media_id")
+
+
+def _imagestats_sql(w: int = 12, h: int = 12) -> str:
+    n = w * h
+    return (
+        f"WITH px AS (SELECT doc_id, (doc_id * 31 + i) % 256 AS v "
+        f"FROM documents, range({n}) t(i)), "
+        "s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS s1, "
+        "CAST(sum(v * v) AS BIGINT) AS s2 FROM px GROUP BY 1) "
+        f"SELECT doc_id AS media_id, 'fakeimg' AS format, "
+        f"CAST({w} AS INT) AS width, CAST({h} AS INT) AS height, "
+        f"CAST({n} AS BIGINT) AS n_pixels, "
+        f"round(s1 / {n}.0, 6) AS px_mean, "
+        f"round(sqrt(greatest(s2 / {n}.0 - (s1 / {n}.0) * (s1 / {n}.0), "
+        "0.0)), 6) AS px_std "
+        "FROM s ORDER BY media_id"
+    )
+
+
 _QUERY_VEC = [((i * 2654435761) % 1000) / 1000.0 - 0.5 for i in range(64)]
 
 
@@ -3763,6 +3806,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XK-kmv": xk_kmv,
     "XR-qlm": xr_qlm,
     "XK-theta-overlap": xk_theta_overlap,
+    "XM-imagestats": xm_imagestats,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -3980,4 +4024,5 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XK-kmv": _kmv_sql(),
     "XR-qlm": _qlm_sql(_BM25_QUERY, 10, _QLM_MU),
     "XK-theta-overlap": _theta_overlap_sql(),
+    "XM-imagestats": _imagestats_sql(),
 }

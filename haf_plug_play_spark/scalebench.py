@@ -348,6 +348,11 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # broadcast sketch rows; its exact pair self-join is the
         # droppable certify leg that dominates the measured cost
         "XK-theta-overlap": ("dedup", reg.xk_theta_overlap),
+        # the multimodal decode+stats pass is the harness's one
+        # Arrow/Python-path scale point: linear mapInPandas, no shuffle,
+        # rows == docs — its exponent certifies the per-row Python cost
+        # stays flat as partitions grow
+        "XM-imagestats": ("dedup", reg.xm_imagestats),
     }
 
 

@@ -2376,3 +2376,41 @@ def test_epoch_plan_closed_form(spark):
     # budget under the corpus size: nobody repeats (a: 3/6, b: 1/2 epochs)
     assert not small["a"].repeated and small["a"].epochs == 0.5
     assert not small["b"].repeated and small["b"].epochs == 0.5
+
+
+def test_image_pixel_stats_exact_moments_both_formats(spark):
+    """image_pixel_stats must (1) agree with hand-computed exact-integer
+    moments on a FAKEIMG container, (2) decode the real PGM branch with
+    fmt='pgm', and (3) compute std via Sx/Sx2 (not np.std's
+    subtract-order sums) — pinned by comparing against the explicit
+    moment formula, the property that makes the XM-imagestats oracle
+    reproducible in SQL."""
+    import math
+
+    from haf_plug_play_spark.ext import multimodal
+
+    w, h = 5, 3
+    fake = multimodal.make_fake_image(7, w, h)
+    pix = [(7 * 31 + i) % 256 for i in range(w * h)]
+    pgm_pix = [[(r * 16 + c) for c in range(4)] for r in range(2)]
+    pgm = multimodal.make_pgm(pgm_pix)
+    media = spark.createDataFrame(
+        [(7, "image", fake, None), (8, "image", pgm, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in multimodal.image_pixel_stats(media).collect()}
+
+    def moments(vals):
+        n, s1, s2 = len(vals), sum(vals), sum(v * v for v in vals)
+        mean = s1 / n
+        return mean, math.sqrt(max(s2 / n - mean * mean, 0.0))
+
+    r7 = out[7]
+    m, s = moments(pix)
+    assert (r7.format, r7.width, r7.height, r7.n_pixels) == ("fakeimg", w, h, w * h)
+    assert r7.px_mean == m and r7.px_std == s
+
+    r8 = out[8]
+    m, s = moments([v for row in pgm_pix for v in row])
+    assert (r8.format, r8.width, r8.height, r8.n_pixels) == ("pgm", 4, 2, 8)
+    assert r8.px_mean == m and r8.px_std == s
