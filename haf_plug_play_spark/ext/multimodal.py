@@ -217,28 +217,39 @@ def byte_histogram(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_hist, HIST_SCHEMA)
 
 
-def _decode_image(mid, buf: bytes):
-    """Pixel grid from any format the engine can decode without codec
-    libraries: the FAKEIMG test container or real binary PGM. Compressed
-    formats raise where a PIL call would go."""
+def _decode_image_fmt(mid, buf: bytes):
+    """(pixel grid, format label) from any format the engine can decode
+    without codec libraries: the FAKEIMG test container or real binary
+    PGM; Pillow formats when the gate is open (labelled exactly as
+    ``decode_media`` labels them, so the two format columns can never
+    disagree on the same row). Compressed formats without Pillow raise
+    where the PIL call would go."""
     import numpy as np
 
     if buf[:8] == b"FAKEIMG\x00":
         w, h = struct.unpack("<II", buf[8:16])
-        return np.frombuffer(buf[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+        px = np.frombuffer(buf[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+        return px, "fakeimg"
     if buf[:2] == b"P5":
         _, _, px = _parse_pgm(buf)
-        return px
+        return px, "pgm"
     img = _pil_open(buf)
     if img is not None:
         # grayscale grid keeps every downstream op (resize/features)
         # format-agnostic; color-preserving paths add a channel axis
-        return np.asarray(img.convert("L"), dtype=np.uint8)
+        fmt = (img.format or "unknown").lower()
+        return np.asarray(img.convert("L"), dtype=np.uint8), fmt
     raise NotImplementedError(
         f"image decode for this format not available "
         f"(media_id={mid}, magic={buf[:8]!r}; Pillow "
         f"{'found no image' if _PILImage else 'not installed'})"
     )
+
+
+def _decode_image(mid, buf: bytes):
+    """Pixel grid only — the historical signature used by resize/
+    features/phash, now a thin wrapper over ``_decode_image_fmt``."""
+    return _decode_image_fmt(mid, buf)[0]
 
 
 RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
@@ -334,15 +345,12 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                buf = bytes(content)
-                px = _decode_image(mid, buf)
+                px, fmt = _decode_image_fmt(mid, bytes(content))
                 h, w = px.shape
-                fmt = "pgm" if buf[:2] == b"P5" else (
-                    "fakeimg" if buf[:8] == b"FAKEIMG\x00" else "image"
-                )
                 n = int(px.size)
-                s1 = int(px.astype(np.int64).sum())
-                s2 = int((px.astype(np.int64) ** 2).sum())
+                px64 = px.astype(np.int64)
+                s1 = int(px64.sum())
+                s2 = int((px64 * px64).sum())
                 mean = s1 / n
                 var = s2 / n - mean * mean
                 rows.append(

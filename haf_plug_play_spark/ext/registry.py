@@ -2826,10 +2826,20 @@ def _overlap_fanout_guard(
     PRE-explode docs frame — same answer (every doc yields ≥1 shingle
     row), but a column-pruned scan of ``group_col`` instead of a full
     3-gram explode pass. The Filter references ``_s``, so column
-    pruning cannot elide the aggregate the guard depends on."""
+    pruning cannot elide the aggregate the guard depends on. NULL is a
+    real group downstream (groupBy keeps NULL keys in the pair fan-out),
+    so it counts toward the bound — countDistinct alone would ignore it
+    (the coalesce keeps an empty corpus from evaluating the raise)."""
     return (
         docs.groupBy()
-        .agg(F.countDistinct(group_col).alias("_s"))
+        .agg(
+            (
+                F.countDistinct(group_col)
+                + F.coalesce(
+                    F.max(F.col(group_col).isNull().cast("int")), F.lit(0)
+                )
+            ).alias("_s")
+        )
         .where(
             F.when(
                 F.col("_s") <= F.lit(int(max_groups)), F.lit(True)
@@ -2891,6 +2901,21 @@ def _hll_overlap_sql() -> str:
     return hll_overlap_sql(item_sql)
 
 
+#: the (source, word) item stream shared by the KMV family — ONE
+#: definition each for the Spark side and the SQL mirror, so a
+#: tokenization tweak cannot silently break engine/oracle parity for
+#: one of the consumers (XK-kmv, XK-theta-overlap) but not the other
+_SOURCE_WORD_ITEMS_SQL = (
+    "SELECT source, unnest(list_filter(string_split(lower(text), ' '), "
+    "x -> x <> '')) AS item FROM documents"
+)
+
+
+def _source_word_items(docs: DataFrame) -> DataFrame:
+    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
+    return docs.select("source", F.explode(words).alias("item"))
+
+
 def xk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-word cardinality from a K-minimum-values /
     theta sketch (ext/sketch.py:kmv_distinct_by_group), certified
@@ -2903,19 +2928,13 @@ def xk_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haf_plug_play_spark.ext import sketch
 
     docs = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
-    items = docs.select("source", F.explode(words).alias("item"))
-    return sketch.kmv_distinct_by_group(items)
+    return sketch.kmv_distinct_by_group(_source_word_items(docs))
 
 
 def _kmv_sql() -> str:
     from haf_plug_play_spark.ext.sketch import kmv_group_sql
 
-    item_sql = (
-        "SELECT source, unnest(list_filter(string_split(lower(text), ' '), "
-        "x -> x <> '')) AS item FROM documents"
-    )
-    return kmv_group_sql(item_sql)
+    return kmv_group_sql(_SOURCE_WORD_ITEMS_SQL)
 
 
 def xk_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2931,8 +2950,7 @@ def xk_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haf_plug_play_spark.ext import sketch
 
     docs = load_table(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.lower(F.col("text")), " "), lambda w: w != "")
-    items = docs.select("source", F.explode(words).alias("item"))
+    items = _source_word_items(docs)
     guard = _overlap_fanout_guard(docs, "source")
     items = items.crossJoin(F.broadcast(guard)).drop("_fanout_guard")
     return sketch.kmv_overlap(items)
@@ -2941,11 +2959,7 @@ def xk_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _theta_overlap_sql() -> str:
     from haf_plug_play_spark.ext.sketch import kmv_overlap_sql
 
-    item_sql = (
-        "SELECT source, unnest(list_filter(string_split(lower(text), ' '), "
-        "x -> x <> '')) AS item FROM documents"
-    )
-    return kmv_overlap_sql(item_sql)
+    return kmv_overlap_sql(_SOURCE_WORD_ITEMS_SQL)
 
 
 _QLM_MU = 300.0

@@ -46,6 +46,16 @@ def get_spark(app_name: str = "haf_plug_play_spark", master: str | None = None) 
         # (database/plugs.py:14,99); FIFO would let one plug's backfill
         # starve every other plug's live sync
         .config("spark.scheduler.mode", "FAIR")
+        # The engine deliberately builds small broadcast frames FROM
+        # corpus scans (scalar stats tables, the lazy quadratic-fan-out
+        # guards on the overlap matrices): at 100 TB those builds are
+        # column-pruned corpus aggregations that can exceed the 300 s
+        # default, which would surface as a misleading "Could not
+        # execute broadcast" instead of the query's own result/guard
+        # message. One hour matches the longest leg a backfill chunk
+        # may legitimately take.
+        .config("spark.sql.broadcastTimeout", os.environ.get(
+            "SPARK_GRAFT_BROADCAST_TIMEOUT", "3600"))
         .config("spark.ui.enabled", "false")
     )
     # In local mode the driver is the only JVM; give it headroom if offered.

@@ -78,8 +78,9 @@ def reference_unigram(
             f"max_vocab={max_vocab} exceeds MAX_REFERENCE_VOCAB="
             f"{MAX_REFERENCE_VOCAB}: the capped reference is broadcast "
             "(and its top-K materializes on the driver), so K this large "
-            "blows the broadcast budget — persist the reference as a "
-            "table and join by key instead of broadcasting it"
+            "blows the broadcast budget — drop the cap and run the "
+            "monitor with broadcast_reference=False (windowed_"
+            "surprisal_drift joins the reference by key instead)"
         )
     words = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
     tok = docs.select(F.explode(words).alias("word"))
@@ -103,6 +104,7 @@ def windowed_surprisal_drift(
     window: str = "5 minutes",
     watermark: str = "10 minutes",
     oov_logp: float = OOV_LOGP,
+    broadcast_reference: bool = True,
 ) -> DataFrame:
     """(w_start, source, n_tokens, oov_tokens, oov_frac, surprisal_nats)
     per event-time window and source: mean −ln P_ref(token), with
@@ -112,7 +114,17 @@ def windowed_surprisal_drift(
 
     ``reference`` is a (word, logp) batch frame (reference_unigram);
     ``docs`` may be streaming (watermarked windowed agg, late data
-    admitted up to the watermark) or batch (same code, plain group-by)."""
+    admitted up to the watermark) or batch (same code, plain group-by).
+
+    ``broadcast_reference`` is the MAX_REFERENCE_VOCAB escape hatch made
+    real: the default broadcasts the reference (right whenever it is
+    vocabulary-bounded — a capped or curated LM), while ``False`` joins
+    by key instead, for an uncapped web-scale reference that would blow
+    the broadcast budget the ceiling guards. The monitor cannot cheaply
+    check the caller-supplied frame's row count itself (counting is a
+    corpus pass), so the cap guard lives where the size is decided
+    (``reference_unigram(max_vocab=...)``) and this flag is the
+    documented path when no cap applies."""
     src = _as_event_time(docs, ts_col)
     if src.isStreaming:
         src = src.withWatermark(ts_col, watermark)
@@ -120,7 +132,8 @@ def windowed_surprisal_drift(
     tok = src.select(
         F.col(ts_col), F.col(source_col), F.explode(words).alias("word")
     )
-    scored = tok.join(F.broadcast(reference), "word", "left").select(
+    ref = F.broadcast(reference) if broadcast_reference else reference
+    scored = tok.join(ref, "word", "left").select(
         ts_col,
         source_col,
         F.col("logp").isNull().cast("long").alias("_oov"),

@@ -427,3 +427,29 @@ def test_kmv_overlap_estimates_under_sampling(spark):
     # the direct-sample intersection: looser band (smaller sample)
     assert abs(r.inter_est / 2000 - 1.0) <= 8 * sigma, r
     assert abs(r.jaccard_est - 1 / 3) <= 0.15, r
+
+
+def test_fanout_guard_counts_null_group(spark):
+    """NULL is a real group in the downstream pair fan-out (groupBy keeps
+    NULL keys), so the guard must count it toward the bound —
+    countDistinct alone ignores NULLs (code-review r13). 3 named groups
+    + a NULL group against max_groups=3 must raise; without the NULL
+    rows it must pass."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from haf_plug_play_spark.ext.registry import _overlap_fanout_guard
+
+    with_null = spark.createDataFrame(
+        [("s0", "x"), ("s1", "x"), ("s2", "x"), (None, "x")],
+        "source string, item string",
+    )
+
+    def run(docs, max_groups):
+        g = _overlap_fanout_guard(docs, "source", max_groups=max_groups)
+        return docs.crossJoin(F.broadcast(g)).drop("_fanout_guard").count()
+
+    assert run(with_null, 4) == 4
+    with pytest.raises(Exception, match="shard the pair list"):
+        run(with_null, 3)
+    assert run(with_null.where(F.col("source").isNotNull()), 3) == 3

@@ -665,3 +665,51 @@ def test_start_curation_stream_api(spark, tmp_path):
     )
     assert q2.awaitTermination(300)
     assert len(sn.committed_chain(table, fs)) == 3
+
+
+def test_drift_monitor_key_join_reference_escape_hatch(spark):
+    """broadcast_reference=False is the MAX_REFERENCE_VOCAB escape hatch
+    made real (code-review r13): the monitor must produce IDENTICAL
+    results joining the reference by key, and the reference join in that
+    plan must not be a broadcast build (web-scale references must not be
+    collected to the driver)."""
+    import datetime
+    import io
+    from contextlib import redirect_stdout
+
+    from haf_plug_play_spark.streaming.drift import (
+        reference_unigram,
+        windowed_surprisal_drift,
+    )
+
+    ref_docs = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 30), "X", "a b z"),
+            (2, datetime.datetime(2024, 1, 1, 0, 7, 0), "Y", "c c q"),
+        ],
+        "doc_id long, ts timestamp, source string, text string",
+    )
+    ref = reference_unigram(ref_docs)
+    cols = ["w_start", "source", "n_tokens", "oov_tokens", "oov_frac",
+            "surprisal_nats"]
+    bcast = {
+        (r.w_start, r.source): tuple(r[c] for c in cols)
+        for r in windowed_surprisal_drift(probe, ref).collect()
+    }
+    keyed_df = windowed_surprisal_drift(probe, ref, broadcast_reference=False)
+    keyed = {
+        (r.w_start, r.source): tuple(r[c] for c in cols)
+        for r in keyed_df.collect()
+    }
+    assert keyed == bcast and len(keyed) == 2
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        keyed_df.explain("formatted")
+    # the reference side must reach the token stream through a non-
+    # broadcast join (AQE may still pick its own strategy at runtime;
+    # the pin is that WE no longer force a broadcast hint)
+    assert "ResolvedHint" not in buf.getvalue()
