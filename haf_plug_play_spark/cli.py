@@ -319,6 +319,53 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("--threshold", type=float, default=0.5,
                     help="near-dup Jaccard threshold")
 
+    dr = sub.add_parser(
+        "drift",
+        help="corpus-drift monitor (streaming/drift.py): score --in "
+        "against a pinned reference unigram LM built from --reference — "
+        "per event-time window and source, mean surprisal (nats) and "
+        "OOV rate. Batch form of the identical streaming code path "
+        "(QSD-stream-drift); output is windows × sources bounded.",
+    )
+    dr.add_argument(
+        "--in", dest="in_path", required=True,
+        help="documents corpus to score (parquet, .jsonl, or .csv)",
+    )
+    dr.add_argument(
+        "--in-format", default=None, choices=["parquet", "jsonl", "csv"]
+    )
+    dr.add_argument(
+        "--reference", required=True,
+        help="reference corpus the pinned unigram LM is built from",
+    )
+    dr.add_argument(
+        "--reference-format", default=None,
+        choices=["parquet", "jsonl", "csv"],
+    )
+    dr.add_argument(
+        "--max-vocab", type=int, default=None,
+        help="cap the reference at the top-K words by count "
+        "(streaming/drift.py:reference_unigram) — the broadcast-budget "
+        "dial for a web-scale reference; hard ceiling "
+        "MAX_REFERENCE_VOCAB, past which use --no-broadcast-reference "
+        "with no cap instead",
+    )
+    dr.add_argument(
+        "--no-broadcast-reference", dest="broadcast_reference",
+        action="store_false", default=True,
+        help="join the reference by key instead of broadcasting it — "
+        "the posture for an uncapped reference too large to broadcast",
+    )
+    dr.add_argument(
+        "--window", default="5 minutes", help="event-time window width"
+    )
+    dr.add_argument(
+        "--ts-col", default=None,
+        help="event-time column in --in; when absent, arrival order is "
+        "synthesized deterministically from doc_id (2024-01-01 + "
+        "doc_id seconds, the QSD-stream-drift convention)",
+    )
+
     sn = sub.add_parser(
         "snapshot",
         help="manifest-committed snapshot table ops — the object-store-safe "
@@ -577,6 +624,73 @@ def main(argv: list[str] | None = None) -> int:
                 r.asDict() for r in embedding_qc(emb).collect()
             ]
         print(json.dumps(bundle))
+    elif args.cmd == "drift":
+        from pyspark.sql import functions as F
+
+        from haf_plug_play_spark.sources.corpus import read_corpus
+        from haf_plug_play_spark.streaming.drift import (
+            reference_unigram,
+            windowed_surprisal_drift,
+        )
+
+        ref_docs = read_corpus(spark, args.reference, args.reference_format)
+        try:
+            ref = reference_unigram(ref_docs, max_vocab=args.max_vocab)
+        except ValueError as exc:
+            # the MAX_REFERENCE_VOCAB ceiling: same clean usage-error
+            # exit as the other flag-validation failures
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        docs = read_corpus(spark, args.in_path, args.in_format)
+        if args.ts_col is not None:
+            if args.ts_col not in docs.columns:
+                print(
+                    f"error: --ts-col {args.ts_col!r} not in input columns "
+                    f"{docs.columns}", file=sys.stderr,
+                )
+                return 2
+            timed = docs.select(
+                F.col(args.ts_col).cast("timestamp").alias("ts"),
+                "source",
+                "text",
+            )
+        elif "doc_id" in docs.columns:
+            timed = docs.select(
+                F.timestamp_seconds(
+                    F.lit(1704067200) + F.col("doc_id")
+                ).alias("ts"),
+                "source",
+                "text",
+            )
+        else:
+            print(
+                "error: input has neither --ts-col nor doc_id to "
+                "synthesize event time from", file=sys.stderr,
+            )
+            return 2
+        out = (
+            windowed_surprisal_drift(
+                timed,
+                ref,
+                window=args.window,
+                broadcast_reference=args.broadcast_reference,
+            )
+            .orderBy("w_start", "source")
+            .collect()
+        )
+        print(
+            json.dumps(
+                {
+                    "action": "drift",
+                    "max_vocab": args.max_vocab,
+                    "broadcast_reference": args.broadcast_reference,
+                    "rows": [
+                        {**r.asDict(), "w_start": str(r.w_start)}
+                        for r in out
+                    ],
+                }
+            )
+        )
     elif args.cmd == "snapshot":
         from haf_plug_play_spark.runner import snapshots as sn
         from haf_plug_play_spark.runner.fs import (

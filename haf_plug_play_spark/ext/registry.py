@@ -2826,9 +2826,11 @@ def _overlap_fanout_guard(
     PRE-explode docs frame — same answer (every doc yields ≥1 shingle
     row), but a column-pruned scan of ``group_col`` instead of a full
     3-gram explode pass. The Filter references ``_s``, so column
-    pruning cannot elide the aggregate the guard depends on. NULL is a
-    real group downstream (groupBy keeps NULL keys in the pair fan-out),
-    so it counts toward the bound — countDistinct alone would ignore it
+    pruning cannot elide the aggregate the guard depends on. NULL joins
+    the register/sketch pass (groupBy keeps NULL keys) but never the
+    ``a < b`` pair list (NULL comparisons are NULL, so NULL-keyed pairs
+    are filtered out); counting it — countDistinct alone would ignore
+    it — merely tightens the bound by one, a deliberate conservatism
     (the coalesce keeps an empty corpus from evaluating the raise)."""
     return (
         docs.groupBy()
@@ -2861,6 +2863,20 @@ def _overlap_fanout_guard(
     )
 
 
+def _overlap_shingle_items(docs: DataFrame) -> DataFrame:
+    """The (source, 3-gram shingle) item stream XK-hll-overlap sketches —
+    ONE definition shared with the scalebench certify-A/B production
+    form, so the two postures always measure the identical stream."""
+    words = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(words) - F.lit(2), F.lit(1))
+    )
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3))
+    )
+    return docs.select("source", F.explode(shingles).alias("item"))
+
+
 def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source overlap matrix from mergeable HLL sketches
     (ext/sketch.py:hll_overlap) — per unordered source pair, the union
@@ -2876,14 +2892,7 @@ def xk_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haf_plug_play_spark.ext import sketch
 
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), " ")
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size(words) - F.lit(2), F.lit(1))
-    )
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3))
-    )
-    items = docs.select("source", F.explode(shingles).alias("item"))
+    items = _overlap_shingle_items(docs)
     guard = _overlap_fanout_guard(docs, "source")
     items = items.crossJoin(F.broadcast(guard)).drop("_fanout_guard")
     return sketch.hll_overlap(items)

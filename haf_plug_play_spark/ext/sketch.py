@@ -1087,6 +1087,15 @@ def kmv_overlap(
     intersection here is a direct sample count, so its error scales
     with the intersection's own sampled size rather than the union's.
 
+    Threshold membership is EXACT INTEGER arithmetic (ADVICE r13): the
+    integer k-th-smallest hash rides the pair rows and the sample
+    filter compares ``_h < least(T_a, T_b)`` directly — never
+    round-tripping the threshold through a double divide-then-multiply
+    near 2^60, which sits beyond the 2^53 exact-integer range of
+    doubles and made membership ulp-sensitive. θ (the double) is used
+    ONLY for the /θ scaling of the final estimates, where a half-ulp
+    on a ratio is harmless and the oracle's arithmetic is identical.
+
     Scale contract: after the shared two-level k-smallest pass
     (:func:`_kmv_kept` — WindowGroupLimit-bounded, never a corpus-sized
     sort), everything pairwise runs on ≤ groups × k broadcast-joined
@@ -1112,37 +1121,41 @@ def kmv_overlap(
         F.count("*").cast("long").alias("_kn"),
         F.max("_h").alias("_hk"),
     )
-    theta = F.when(F.col("_kn") < k, F.lit(1.0)).otherwise(
-        F.greatest(F.col("_hk"), F.lit(1)).cast("double")
-        / F.lit(KMV_HASH_SPACE)
-    )
-    th = stats.select("_g", theta.alias("_th"))
+    # integer threshold T = k-th smallest hash (2^60 = whole space for a
+    # non-full sketch); θ = T / 2^60 exists only to scale the estimates.
+    # least() over the integer T matches least() over θ because x/2^60
+    # rounds monotonically, so the double θ_ab is bit-identical to the
+    # previous least-of-doubles form while membership is now exact.
+    thr_i = F.when(
+        F.col("_kn") < k, F.lit(1 << 60).cast("long")
+    ).otherwise(F.greatest(F.col("_hk"), F.lit(1)))
+    th = stats.select("_g", thr_i.alias("_ti"))
     ta = th.select(
-        F.col("_g").alias("source_a"), F.col("_th").alias("_ta")
+        F.col("_g").alias("source_a"), F.col("_ti").alias("_tia")
     )
     tb = th.select(
-        F.col("_g").alias("source_b"), F.col("_th").alias("_tb")
+        F.col("_g").alias("source_b"), F.col("_ti").alias("_tib")
     )
+    tab_i = F.least("_tia", "_tib")
     pairs = (
         ta.crossJoin(F.broadcast(tb))
         .filter(F.col("source_a") < F.col("source_b"))
         .select(
             "source_a",
             "source_b",
-            F.least("_ta", "_tb").alias("_tab"),
+            tab_i.alias("_tab_i"),
+            (tab_i.cast("double") / F.lit(KMV_HASH_SPACE)).alias("_tab"),
         )
     )
     # replicate each group's kept values to its pairs (two broadcast
     # equi-joins on the tiny pair list, the hll_overlap shape)
     ka = kept.join(
         F.broadcast(pairs), kept["_g"] == pairs["source_a"]
-    ).select("source_a", "source_b", "_tab", "_h")
+    ).select("source_a", "source_b", "_tab_i", "_tab", "_h")
     kb = kept.join(
         F.broadcast(pairs), kept["_g"] == pairs["source_b"]
-    ).select("source_a", "source_b", "_tab", "_h")
-    both = ka.unionByName(kb).where(
-        F.col("_h") < F.col("_tab") * F.lit(KMV_HASH_SPACE)
-    )
+    ).select("source_a", "source_b", "_tab_i", "_tab", "_h")
+    both = ka.unionByName(kb).where(F.col("_h") < F.col("_tab_i"))
     # per-(pair, value) multiplicity: 2 = value sampled in BOTH sketches
     perh = both.groupBy("source_a", "source_b", "_tab", "_h").agg(
         F.count("*").alias("_m")
@@ -1210,8 +1223,9 @@ def kmv_overlap_sql(
 ) -> str:
     """DuckDB mirror of ``kmv_overlap`` — same md5 hash, same global
     per-group rank-k (identical k-set by the superset property), the
-    identical double arithmetic for θ, the θ_ab filter, and all three
-    estimates."""
+    same EXACT-INTEGER threshold comparison for sample membership
+    (``h < least(T_a, T_b)``), and identical double arithmetic for the
+    /θ-scaled estimates."""
     h = md5_int_sql("item")
     space = repr(KMV_HASH_SPACE)
     sigma4 = repr(4.0 / (k - 2) ** 0.5)
@@ -1223,15 +1237,16 @@ def kmv_overlap_sql(
         f"kept AS (SELECT g, h FROM r WHERE r <= {k}), "
         "st AS (SELECT g, CAST(count(*) AS BIGINT) AS kn, max(h) AS hk "
         "FROM kept GROUP BY g), "
-        f"th AS (SELECT g, CASE WHEN kn < {k} THEN 1.0 ELSE "
-        f"CAST(greatest(hk, 1) AS DOUBLE) / {space} END AS th FROM st), "
-        "pairs AS (SELECT a.g AS sa, b.g AS sb, least(a.th, b.th) AS tab "
+        f"th AS (SELECT g, CASE WHEN kn < {k} THEN {1 << 60} ELSE "
+        "greatest(hk, 1) END AS t FROM st), "
+        "pairs AS (SELECT a.g AS sa, b.g AS sb, least(a.t, b.t) AS tab_i, "
+        f"CAST(least(a.t, b.t) AS DOUBLE) / {space} AS tab "
         "FROM th a CROSS JOIN th b WHERE a.g < b.g), "
-        "rep AS (SELECT p.sa, p.sb, p.tab, k1.h FROM pairs p "
+        "rep AS (SELECT p.sa, p.sb, p.tab_i, p.tab, k1.h FROM pairs p "
         "JOIN kept k1 ON k1.g = p.sa "
-        "UNION ALL SELECT p.sa, p.sb, p.tab, k2.h FROM pairs p "
+        "UNION ALL SELECT p.sa, p.sb, p.tab_i, p.tab, k2.h FROM pairs p "
         "JOIN kept k2 ON k2.g = p.sb), "
-        f"below AS (SELECT * FROM rep WHERE h < tab * {space}), "
+        "below AS (SELECT * FROM rep WHERE h < tab_i), "
         "perh AS (SELECT sa, sb, tab, h, count(*) AS m FROM below "
         "GROUP BY 1, 2, 3, 4), "
         "cnt AS (SELECT sa, sb, tab, CAST(count(*) AS BIGINT) AS nu, "

@@ -257,6 +257,36 @@ def _qlm_hot_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _overlap_certify_form(which: str, certify: bool):
+    """The two overlap sketches with an explicit certify posture, on the
+    registry's own item streams (one shared definition each) and the
+    same lazy fan-out guard — so `XK-*-overlap` vs `XK-*-overlap-prod`
+    is a pure certify=True/False A/B (VERDICT r13 #1a): identical scan,
+    identical sketch stage; only the exact legs differ."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from haf_plug_play_spark.ext import sketch
+        from haf_plug_play_spark.ext.registry import (
+            _overlap_fanout_guard,
+            _overlap_shingle_items,
+            _source_word_items,
+        )
+        from haf_plug_play_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        items = (
+            _overlap_shingle_items(docs)
+            if which == "hll"
+            else _source_word_items(docs)
+        )
+        guard = _overlap_fanout_guard(docs, "source")
+        items = items.crossJoin(F.broadcast(guard)).drop("_fanout_guard")
+        fn = sketch.hll_overlap if which == "hll" else sketch.kmv_overlap
+        return fn(items, certify=certify)
+
+    return run
+
+
 def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
     """query name → (corpus kind, callable(spark, sf_dir) -> DataFrame).
     The VERDICT r6 heavy tail plus the r7 additions (VERDICT r7 #5):
@@ -353,6 +383,19 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
         # rows == docs — its exponent certifies the per-row Python cost
         # stays flat as partitions grow
         "XM-imagestats": ("dedup", reg.xm_imagestats),
+        # r14 (VERDICT r13 #1): XK-cms was the only benched sketch
+        # without a measured exponent — its depth×width counter table is
+        # corpus-INdependent, so it should measure like XK-hll; the two
+        # `-prod` entries are the certify=False production forms of the
+        # overlap sketches on the registry's own item streams, turning
+        # the "exact legs dominate, production drops them" claim into a
+        # same-corpus timed A/B against their certified twins above
+        "XK-cms": ("dedup", reg.xk_cms),
+        "XK-hll-overlap-prod": ("dedup", _overlap_certify_form("hll", False)),
+        "XK-theta-overlap-prod": (
+            "dedup",
+            _overlap_certify_form("theta", False),
+        ),
     }
 
 

