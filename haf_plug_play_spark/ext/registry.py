@@ -3702,6 +3702,94 @@ def _stream_drift_sql() -> str:
     )
 
 
+def xt_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (ext/colloc.py:pmi_collocations — Church & Hanks 1990), the
+    association-strength complement of raw bigram frequency: the
+    multi-word-expression signal a tokenizer/vocabulary pipeline reads
+    before choosing merge candidates. min_count floors out the
+    spurious-PMI rare pairs before ranking. One zip+explode token pass
+    feeds two vocab-bounded count tables; unigram counts join the
+    bigram TABLE (never the stream), totals ride broadcast rows, and
+    the top-k is a TakeOrderedAndProject."""
+    from haf_plug_play_spark.ext import colloc
+
+    docs = _spread(load_table(spark, sf_dir, "documents"))
+    return colloc.pmi_collocations(docs)
+
+
+def _pmi_sql(k: int = 20, min_count: int = 5) -> str:
+    """DuckDB mirror of pmi_collocations: same (prev, word) stream as
+    the bigram-LM oracle, same count tables, the identical FP op order
+    ln((cb/nb) / ((c1/n)·(c2/n))), same rounded-PMI-then-(w1,w2) sort."""
+    return (
+        "WITH w AS (SELECT string_split(lower(text), ' ') AS ws "
+        "FROM documents), "
+        "tok AS (SELECT unnest([struct_pack(wd := ws[i], "
+        "pv := CASE WHEN i > 1 THEN ws[i-1] END) "
+        "FOR i IN range(1, len(ws)+1)]) AS t FROM w), "
+        "s AS (SELECT t.wd AS w, t.pv AS pv FROM tok), "
+        "uni AS (SELECT w, count(*) AS cu FROM s GROUP BY 1), "
+        "tot AS (SELECT sum(cu) AS n FROM uni), "
+        "bi AS (SELECT pv, w, count(*) AS cb FROM s "
+        f"WHERE pv IS NOT NULL GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        "nbt AS (SELECT count(*) AS nb FROM s WHERE pv IS NOT NULL), "
+        "j AS (SELECT bi.pv AS w1, bi.w AS w2, bi.cb, u1.cu AS c1, "
+        "u2.cu AS c2, nbt.nb, tot.n FROM bi "
+        "JOIN uni u1 ON u1.w = bi.pv JOIN uni u2 ON u2.w = bi.w "
+        "CROSS JOIN nbt CROSS JOIN tot) "
+        "SELECT w1, w2, CAST(cb AS BIGINT) AS n_pair, "
+        "round(ln((CAST(cb AS DOUBLE) / nb) / "
+        "((CAST(c1 AS DOUBLE) / n) * (CAST(c2 AS DOUBLE) / n))), 6) AS pmi "
+        f"FROM j ORDER BY pmi DESC, w1, w2 LIMIT {k}"
+    )
+
+
+def xt_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence against the corpus word
+    distribution (ext/report.py:jsd_drift_report — Lin 1991): the
+    symmetric, [0, ln 2]-bounded complement of XT-kl-drift, comparable
+    across sources with very different vocabulary coverage. The
+    absent-word tail folds closed-form into ½·ln2·(1 − covered corpus
+    mass), so the source × vocabulary cross product is never built —
+    one join over existing (source, word) rows, one keyed agg, the
+    XT-kl-drift cost class."""
+    from haf_plug_play_spark.ext import report
+
+    return report.jsd_drift_report(load_table(spark, sf_dir, "documents"))
+
+
+def _jsd_sql() -> str:
+    """DuckDB mirror of jsd_drift_report: same vocab-table join, the
+    identical FP op order for both KL(P_s‖M)-family terms and the
+    closed-form absent-word tail (½·ln2 as the same folded double)."""
+    import math
+
+    half_ln2 = repr(0.5 * math.log(2.0))
+    d = "CAST(n_s AS DOUBLE)"
+    nn = "CAST(n AS DOUBLE)"
+    mm = f"((c_sw / {d} + c_w / {nn}) / 2.0)"
+    return (
+        "WITH w AS (SELECT source, unnest(string_split(lower(text), ' ')) "
+        "AS w FROM documents), "
+        "sw AS (SELECT source, w, count(*) AS c_sw FROM w WHERE w <> '' "
+        "GROUP BY 1, 2), "
+        "cw AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1), "
+        "ts AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1), "
+        "tn AS (SELECT sum(c_sw) AS n FROM sw), "
+        "a AS (SELECT sw.source, CAST(max(ts.n_s) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_types, "
+        f"sum((c_sw / {d}) * ln((c_sw / {d}) / {mm}) "
+        f"+ (c_w / {nn}) * ln((c_w / {nn}) / {mm})) AS pres, "
+        f"sum(c_w / {nn}) AS mass "
+        "FROM sw JOIN cw ON sw.w = cw.w JOIN ts ON ts.source = sw.source "
+        "CROSS JOIN tn GROUP BY 1) "
+        "SELECT source, n_tokens, n_types, "
+        f"round(0.5 * pres + {half_ln2} * (1.0 - mass), 6) AS jsd_nats "
+        "FROM a ORDER BY source"
+    )
+
+
 # Declaration order here is only a TIE-BREAK: since round 6,
 # __spark_entry__._evidence_order computes the driver's 50-query
 # correctness window from the banked CORRECTNESS_r*.json files
@@ -3830,6 +3918,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "XR-qlm": xr_qlm,
     "XK-theta-overlap": xk_theta_overlap,
     "XM-imagestats": xm_imagestats,
+    # new in r14 (never driver-checked)
+    "XT-pmi": xt_pmi,
+    "XT-jsd": xt_jsd,
 }
 
 from haf_plug_play_spark.ext.sampling import uniform_sql as _u_sql
@@ -4048,4 +4139,6 @@ EXT_ORACLE_SQL: dict[str, str] = {
     "XR-qlm": _qlm_sql(_BM25_QUERY, 10, _QLM_MU),
     "XK-theta-overlap": _theta_overlap_sql(),
     "XM-imagestats": _imagestats_sql(),
+    "XT-pmi": _pmi_sql(),
+    "XT-jsd": _jsd_sql(),
 }

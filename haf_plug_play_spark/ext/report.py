@@ -160,6 +160,60 @@ def kl_drift_report(docs: DataFrame, sw: DataFrame | None = None) -> DataFrame:
     )
 
 
+def jsd_drift_report(docs: DataFrame, sw: DataFrame | None = None) -> DataFrame:
+    """(source, n_tokens, n_types, jsd_nats) per source —
+    Jensen-Shannon divergence JSD(P_source ‖ P_corpus) over word
+    unigrams (public method: Lin 1991, "Divergence measures based on
+    the Shannon entropy"): the SYMMETRIC, bounded-[0, ln 2] complement
+    of XT-kl-drift's KL, finite even when a source is missing corpus
+    words — the drift ranking that stays comparable across sources
+    with very different vocabulary coverage, where raw KL of the
+    converse direction would be +∞.
+
+    With M = ½(P_s + P), JSD = ½·KL(P_s‖M) + ½·KL(P‖M). The second
+    term sums over ALL corpus words, but words ABSENT from the source
+    (p_sw = 0, so m_w = p_w/2) each contribute exactly p_w·ln 2 — so
+    the absent-word tail folds CLOSED-FORM into
+    ½·ln 2·(1 − corpus mass of the source's own vocabulary), and the
+    computation never materializes the source × vocabulary cross
+    product: one join over the (source, word) rows that EXIST, one
+    per-source aggregation, same cost class as kl_drift_report.
+    ``sw`` optionally supplies the shared source_word_counts table.
+
+    FP caveat: the per-source sums reassociate across the shuffle (the
+    kl_drift caveat family, absorbed by 6-dp rounding)."""
+    import math
+
+    if sw is None:
+        sw = source_word_counts(docs)
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    totals = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    n_tot = sw.agg(F.sum("c_sw").alias("n"))
+    joined = (
+        sw.join(cw, "w")
+        .join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    p_sw = F.col("c_sw") / F.col("n_s")
+    p_w = F.col("c_w") / F.col("n")
+    m = (p_sw + p_w) / F.lit(2.0)
+    agg = joined.groupBy("source").agg(
+        F.max("n_s").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(p_sw * F.log(p_sw / m) + p_w * F.log(p_w / m)).alias("_pres"),
+        F.sum(p_w).alias("_mass"),
+    )
+    jsd = F.lit(0.5) * F.col("_pres") + F.lit(0.5 * math.log(2.0)) * (
+        F.lit(1.0) - F.col("_mass")
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(jsd, 6).alias("jsd_nats"),
+    ).orderBy("source")
+
+
 def report_frames(
     docs: DataFrame,
 ) -> tuple[dict[str, DataFrame], DataFrame]:
@@ -214,9 +268,13 @@ def corpus_report(docs: DataFrame, persist: bool = False) -> dict:
     The shared (source, word) vocab table is ALWAYS persisted across
     the bundle's collects (vocabulary × sources bounded — Heaps-law
     sublinear — so the cache is safe at any corpus size); ``persist``
-    additionally caches ``docs`` itself for the sf-scale/interactive
-    case, where re-reading the corpus four times dominates. At 100 TB
-    leave it False: four linear scans beat caching the corpus."""
+    additionally caches ``docs`` itself. MEASURED (r14, min-of-2,
+    vocab corpus): persist buys a flat ~12% at both 1× and 10× —
+    not a multiple, because the passes already share the cached vocab
+    table and the corpus re-scans are column-pruned parquet reads.
+    Crossover: persist wins modestly while the corpus fits in cluster
+    memory; past that the cache spills and the re-scan wins — so the
+    default stays False and True is the interactive/sf-scale dial."""
     if persist:
         docs = docs.persist()
     frames, sw = report_frames(docs)

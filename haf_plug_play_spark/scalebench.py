@@ -396,6 +396,13 @@ def heavy_tail(n_vecs: int) -> dict[str, tuple[str, object]]:
             "dedup",
             _overlap_certify_form("theta", False),
         ),
+        # r14 additions: PMI is the XT-bigram-lm keyed-agg class with a
+        # count floor and a top-k (its surviving pairs here are the
+        # planted stop-phrase bigrams — fixed at every scale); JSD is
+        # the XT-kl-drift vocab-table reduction with a closed-form
+        # absent-word tail (strata-bounded output)
+        "XT-pmi": ("dedup", reg.xt_pmi),
+        "XT-jsd": ("dedup", reg.xt_jsd),
     }
 
 

@@ -2414,3 +2414,57 @@ def test_image_pixel_stats_exact_moments_both_formats(spark):
     m, s = moments([v for row in pgm_pix for v in row])
     assert (r8.format, r8.width, r8.height, r8.n_pixels) == ("pgm", 4, 2, 8)
     assert r8.px_mean == m and r8.px_std == s
+
+
+def test_pmi_collocations_planted_pair(spark):
+    """PMI goldens: a pair that ALWAYS co-occurs adjacently and whose
+    members never appear apart is the maximal collocation — with
+    one-off filler bigrams floored out by min_count, it is the ONLY
+    surviving row, with the closed-form PMI ln(N^2 / (Nb * c))."""
+    import math
+
+    from haf_plug_play_spark.ext.colloc import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(i, f"los angeles w{i}a w{i}b") for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs).collect()
+    assert len(rows) == 1  # every filler pair is below the count floor
+    r = rows[0]
+    assert (r.w1, r.w2, r.n_pair) == ("los", "angeles", 6)
+    n, nb, c = 24, 18, 6  # 4 tokens x 6 docs; 3 bigrams x 6; 6 pairs
+    assert r.pmi == round(math.log((c / nb) / ((c / n) * (c / n))), 6)
+    assert r.pmi > 0
+
+
+def test_jsd_drift_closed_form_endpoints(spark):
+    """JSD goldens against hand-computed values: identical per-source
+    distributions give exactly 0; equal-size single-word disjoint
+    sources give the closed form ½(ln(4/3) + ½ln(2/3)) + ¼ln2 for BOTH
+    sources (symmetry), strictly inside (0, ln 2)."""
+    import math
+
+    from haf_plug_play_spark.ext.report import jsd_drift_report
+
+    same = spark.createDataFrame(
+        [(1, "a b", "s1"), (2, "a b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r.source: r for r in jsd_drift_report(same).collect()}
+    assert rows["s1"].jsd_nats == 0.0 and rows["s2"].jsd_nats == 0.0
+
+    disjoint = spark.createDataFrame(
+        [(1, "a a a", "s1"), (2, "b b b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    expect = round(
+        0.5 * (math.log(4.0 / 3.0) + 0.5 * math.log(2.0 / 3.0))
+        + 0.25 * math.log(2.0),
+        6,
+    )
+    drows = {r.source: r for r in jsd_drift_report(disjoint).collect()}
+    for r in drows.values():
+        assert r.jsd_nats == expect
+        assert 0.0 < r.jsd_nats < math.log(2.0)
+        assert r.n_tokens == 3 and r.n_types == 1

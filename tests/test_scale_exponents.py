@@ -58,7 +58,7 @@ def test_planted_structure_scales_linearly(exponents):
                     "XA-dedup-savings", "XA-doremi", "XS-embqc",
                     "XA-epoch-plan", "XK-kmv", "XK-theta-overlap",
                     "XK-hll-overlap-prod", "XK-theta-overlap-prod",
-                    "XK-cms"):
+                    "XK-cms", "XT-pmi", "XT-jsd"):
             # strata-bounded outputs: one row per source / source pair /
             # (source, lang) / (source, rank≤k) — the generator's strata
             # are fixed, so these cannot grow with the corpus (XK-cms:
