@@ -912,6 +912,46 @@ def test_stream_drift_broadcast_ref_single_windowed_agg(spark):
     assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
 
 
+def test_pmi_topk_keyed_aggs_no_corpus_join(spark):
+    """XT-pmi: bigram and unigram counts are two-phase keyed hash
+    aggregations (map-side combine before every exchange), the unigram
+    tables join the vocab-bounded BIGRAM table via broadcast hash joins
+    — never the raw token stream — scalar totals ride single-row
+    broadcast nested loops, and the ranking is a TakeOrderedAndProject
+    with no rank window and no global sort. A sort-merge join here
+    would mean a count table stopped broadcasting; a Window would mean
+    the ranking regressed to the banned vocabulary-rank shape
+    (XT-zipf-r10)."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XT-pmi"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) TakeOrderedAndProject", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # partial+final pairs for each count table: >= 6 hash aggregates
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M)) >= 6
+
+
+def test_jsd_drift_bounded_vocab_joins(spark):
+    """XT-jsd: every join runs keyed on the word column between
+    vocab-bounded count tables (broadcast hash joins at this SF), the
+    absent-word tail is a scalar broadcast (single-row nested loop, not
+    a source x vocabulary cross product), and the only sort is the
+    final ORDER BY source over <= |sources| rows. No sort-merge join,
+    no cartesian, no window anywhere — the XT-kl-drift contract plus
+    the closed-form tail."""
+    import re
+
+    plan = _plan(EXT_QUERIES["XT-jsd"](spark, SF_ORACLE))
+    assert len(re.findall(r"^\(\d+\) Window\b", plan, re.M)) == 0
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
 def test_global_plan_hygiene_sweep(spark):
     """Suite-wide plan invariants over EVERY registered query — canonical,
     advanced, and extension — in one plan-building pass:

@@ -875,3 +875,96 @@ def test_dedup_savings_accounting_invariants(spark, docs, tmp_path_factory):
         assert r.savings_pct == round(
             100.0 * (1.0 - r.kept_tokens * 1.0 / r.n_tokens), 6
         )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(st.text(_TEXT_ALPHABET, min_size=1, max_size=40), min_size=1, max_size=12))
+def test_pmi_matches_python_reference(spark, texts):
+    """pmi_collocations must agree with a plain-Python PMI computed from
+    the same tokenization (lower + split-on-space, adjacent pairs only,
+    bigrams never crossing document boundaries) on arbitrary text —
+    min_count=1 and an unreachable k so the full pair set is compared,
+    not just the planted head. Guards the count-table join wiring (a
+    wrong join key or a stream-side join would change counts) and the
+    log/ratio arithmetic."""
+    import math
+    from collections import Counter
+
+    from haf_plug_play_spark.ext.colloc import pmi_collocations
+
+    toks = [t.lower().split(" ") for t in texts]
+    uni = Counter(w for ws in toks for w in ws)
+    n = sum(uni.values())
+    bi = Counter((ws[i - 1], ws[i]) for ws in toks for i in range(1, len(ws)))
+    nb = sum(bi.values())
+    ref = {
+        (a, b): (c, math.log((c / nb) / ((uni[a] / n) * (uni[b] / n))))
+        for (a, b), c in bi.items()
+    }
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = pmi_collocations(df, k=10**6, min_count=1).collect()
+    got = {(r.w1, r.w2): (r.n_pair, r.pmi) for r in rows}
+    assert set(got) == set(ref)
+    for key, (c_ref, pmi_ref) in ref.items():
+        c_got, pmi_got = got[key]
+        assert c_got == c_ref, key
+        assert abs(pmi_got - pmi_ref) <= 5.1e-7, (key, pmi_got, pmi_ref)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                  st.text(_TEXT_ALPHABET, min_size=0, max_size=40)),
+        min_size=1, max_size=12,
+    )
+)
+def test_jsd_matches_naive_full_vocabulary_sum(spark, docs):
+    """jsd_drift_report's closed-form absent-word tail must equal the
+    NAIVE JSD computed in Python by summing over the FULL corpus
+    vocabulary for every source (p_sw = 0 on absent words, m = p_w/2) —
+    an independent derivation of the same quantity, so an algebra slip
+    in the folded tail (the 1/2·ln2·(1−mass) term) cannot cancel out.
+    Also pins n_tokens/n_types and that zero-token sources are absent
+    from the output, mirroring the (source, word) row semantics."""
+    import math
+    from collections import Counter
+
+    from haf_plug_play_spark.ext.report import jsd_drift_report
+
+    per_source: dict[str, Counter] = {}
+    for s, t in docs:
+        ws = [w for w in t.lower().split(" ") if w != ""]
+        if ws:
+            per_source.setdefault(s, Counter()).update(ws)
+    corpus = Counter()
+    for c in per_source.values():
+        corpus.update(c)
+    n = sum(corpus.values())
+
+    ref = {}
+    for s, cnt in per_source.items():
+        n_s = sum(cnt.values())
+        jsd = 0.0
+        for w, c_w in corpus.items():
+            p_w = c_w / n
+            p_sw = cnt.get(w, 0) / n_s
+            m = (p_sw + p_w) / 2.0
+            if p_sw > 0.0:
+                jsd += 0.5 * p_sw * math.log(p_sw / m)
+            jsd += 0.5 * p_w * math.log(p_w / m)
+        ref[s] = (n_s, len(cnt), jsd)
+
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in jsd_drift_report(df).collect()}
+    assert set(rows) == set(ref)
+    for s, (n_s, n_types, jsd) in ref.items():
+        r = rows[s]
+        assert (r.n_tokens, r.n_types) == (n_s, n_types), s
+        assert abs(r.jsd_nats - jsd) <= 1.1e-6, (s, r.jsd_nats, jsd)
