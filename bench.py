@@ -143,31 +143,50 @@ def main() -> None:
     # r8 idle-box band (295-327 blocks/s, measured post-suite) missed the
     # driver's 385.2 (measured in a fresh process). First-position puts
     # both measurements in the same process state.
+    # Two legs (VERDICT r14 what's-wrong #1): the first carries the plug
+    # write path's cold start (JIT, codegen, committer init) and is what
+    # the 290 blocks/s floor has historically been applied to; the second
+    # leg re-runs the identical backfill into a fresh output tree in the
+    # now-warm process and measures steady-state throughput — the number
+    # that actually models a long-running sync. Reporting both lets the
+    # floor test throughput instead of box temperature.
     sync_blocks_per_sec = None
+    sync_blocks_per_sec_warm = None
     import shutil
     import tempfile
 
-    work = tempfile.mkdtemp(prefix="bench_sync_")
     try:
         from haf_plug_play_spark import fixtures
         from haf_plug_play_spark.plugs import PLUGS
         from haf_plug_play_spark.runner.batch import PlugRunner
 
-        ops_df, trx_df = fixtures.as_dataframes(spark, 10_000, 42)
-        ops_df.write.parquet(f"{work}/ops")
-        trx_df.write.parquet(f"{work}/trx")
-        lo = ops_df.agg({"block_num": "min"}).first()[0]
-        hi = ops_df.agg({"block_num": "max"}).first()[0]
-        runner = PlugRunner(
-            spark, PLUGS["podping"], f"{work}/ops", f"{work}/trx", f"{work}/out", step=500
-        )
-        t0 = time.perf_counter()
-        runner.backfill(lo, hi)
-        sync_blocks_per_sec = round((hi - lo + 1) / (time.perf_counter() - t0), 1)
+        for leg in ("cold", "warm"):
+            work = tempfile.mkdtemp(prefix=f"bench_sync_{leg}_")
+            try:
+                ops_df, trx_df = fixtures.as_dataframes(spark, 10_000, 42)
+                ops_df.write.parquet(f"{work}/ops")
+                trx_df.write.parquet(f"{work}/trx")
+                lo = ops_df.agg({"block_num": "min"}).first()[0]
+                hi = ops_df.agg({"block_num": "max"}).first()[0]
+                runner = PlugRunner(
+                    spark,
+                    PLUGS["podping"],
+                    f"{work}/ops",
+                    f"{work}/trx",
+                    f"{work}/out",
+                    step=500,
+                )
+                t0 = time.perf_counter()
+                runner.backfill(lo, hi)
+                rate = round((hi - lo + 1) / (time.perf_counter() - t0), 1)
+                if leg == "cold":
+                    sync_blocks_per_sec = rate
+                else:
+                    sync_blocks_per_sec_warm = rate
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
     except Exception as exc:  # probe must never break the bench contract
         print(f"sync throughput probe failed: {exc!r}", file=sys.stderr)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
 
     timings, first_run, errors = run_queries(spark, queries, sf_dir)
 
@@ -214,6 +233,7 @@ def main() -> None:
         "all_queries_first_run_sec": round(sum(first_run.values()), 4),
         "canonical_suite_runs": canonical_suite_runs,
         "sync_blocks_per_sec": sync_blocks_per_sec,
+        "sync_blocks_per_sec_warm": sync_blocks_per_sec_warm,
         # self-describing estimator (VERDICT r9 #5): `value` is min-of-3
         # for sub-2s queries / min-of-2 for the heavy tail; `value_first_run`
         # is the r1–r5 single-shot series. Cross-round comparisons must key
