@@ -654,6 +654,20 @@ def main(argv: list[str] | None = None) -> int:
                 "source",
                 "text",
             )
+            # ADVICE r14: an unparseable (or NULL) value silently casts
+            # to NULL and would land in a null-window row — make it the
+            # same clean exit-2 usage error as every other flag-
+            # validation failure. limit(1) keeps the probe bounded: it
+            # short-circuits at the first bad value instead of counting
+            # them all.
+            if timed.filter(F.col("ts").isNull()).limit(1).count():
+                print(
+                    f"error: --ts-col {args.ts_col!r} contains values "
+                    "that are NULL or do not parse as timestamps; the "
+                    "cast would place those rows in a null window",
+                    file=sys.stderr,
+                )
+                return 2
         elif "doc_id" in docs.columns:
             timed = docs.select(
                 F.timestamp_seconds(

@@ -48,6 +48,16 @@ def pmi_collocations(
     Output: (w1, w2, n_pair, pmi) — the ``k`` highest-PMI adjacent
     pairs with n_pair >= min_count, PMI descending (6-dp rounded, with
     (w1, w2) as the deterministic tie-break).
+
+    Tokenization convention (ADVICE r14): this stream splits on single
+    spaces WITHOUT filtering empty tokens, deliberately matching
+    ext/text.py's bigram_lm_scores stream (consecutive/trailing spaces
+    yield "" tokens in both, and the DuckDB oracle mirrors it) — NOT
+    report.py's ``_words``, which filters ``w != ''`` for JSD/KL. The
+    two conventions are each internally consistent with their oracles;
+    unifying them would silently change banked oracle results on both
+    sides, so any future unification must change engine + oracle
+    together and re-front every dependent query for re-verification.
     """
     words = F.split(F.lower(F.col(text_col)), " ")
     n = F.size(words)

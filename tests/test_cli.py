@@ -954,3 +954,36 @@ def test_cli_drift_monitor_knobs_end_to_end(spark, capsys):
     rc = cli.main(base + ["--max-vocab", "5000001"])
     assert rc == 2
     assert "MAX_REFERENCE_VOCAB" in capsys.readouterr().err
+
+
+def test_cli_drift_ts_col_validation(spark, tmp_path, capsys):
+    """ADVICE r14: `drift --ts-col` rejects a column whose timestamp
+    cast produces NULLs (unparseable or NULL values) with the clean
+    exit-2 usage error instead of silently emitting a null-window row;
+    a fully parseable column still runs end-to-end."""
+    good = str(tmp_path / "good")
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma", "web", "2024-01-01 00:00:00"),
+         (1, "delta epsilon zeta", "web", "2024-01-01 00:05:00")],
+        "doc_id long, text string, source string, crawled string",
+    ).write.parquet(good)
+    spark.createDataFrame(
+        [(0, "alpha beta gamma", "web", "2024-01-01 00:00:00"),
+         (1, "delta epsilon zeta", "web", "not-a-timestamp")],
+        "doc_id long, text string, source string, crawled string",
+    ).write.parquet(bad)
+
+    base = ["drift", "--reference", good]
+    got = _run(capsys, base + ["--in", good, "--ts-col", "crawled"])
+    assert got["rows"] and all(r["w_start"] != "None" for r in got["rows"])
+
+    rc = cli.main(base + ["--in", bad, "--ts-col", "crawled"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "crawled" in err and "null window" in err
+
+    # a column that isn't there at all keeps its own exit-2 message
+    rc = cli.main(base + ["--in", good, "--ts-col", "nope"])
+    assert rc == 2
+    assert "nope" in capsys.readouterr().err
