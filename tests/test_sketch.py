@@ -453,3 +453,36 @@ def test_fanout_guard_counts_null_group(spark):
     with pytest.raises(Exception, match="shard the pair list"):
         run(with_null, 3)
     assert run(with_null.where(F.col("source").isNotNull()), 3) == 3
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name,which",
+    [("XK-hll-overlap", "hll"), ("XK-theta-overlap", "theta")],
+)
+def test_overlap_prod_equals_certified_sf001(spark, name, which):
+    """VERDICT r14 #4: regression-lock the 100 TB posture (certification
+    dropped) on the REAL sf0.01 fixture, not just synthetic frames —
+    for each overlap sketch, the scalebench certify=False production
+    form must return exactly the certified registry query's estimate
+    columns, pair for pair. This is the same-stream A/B the scalebench
+    `-prod` entries time; here it is an equivalence gate."""
+    from haf_plug_play_spark.ext.registry import EXT_QUERIES
+    from haf_plug_play_spark.scalebench import _overlap_certify_form
+    from tests.conftest import SF_ORACLE
+
+    cert = {
+        (r.source_a, r.source_b): (r.union_est, r.inter_est, r.jaccard_est)
+        for r in EXT_QUERIES[name](spark, SF_ORACLE).collect()
+    }
+    prod_df = _overlap_certify_form(which, False)(spark, SF_ORACLE)
+    assert prod_df.columns == [
+        "source_a", "source_b", "union_est", "inter_est", "jaccard_est"
+    ]
+    prod = {
+        (r.source_a, r.source_b): (r.union_est, r.inter_est, r.jaccard_est)
+        for r in prod_df.collect()
+    }
+    assert prod == cert
