@@ -205,6 +205,16 @@ def build_parser() -> argparse.ArgumentParser:
     # full-funnel parity with `curate`: run_release already plumbs these
     # (ext/curate.py:run_release), the flags just weren't exposed (r7 gap)
     rl.add_argument(
+        "--near-dup", type=float, default=None, metavar="JACCARD",
+        help="also MinHash-near-dedup exact-dedup survivors at this "
+        "Jaccard threshold (see `curate --near-dup`)",
+    )
+    rl.add_argument(
+        "--dedup-spans", type=int, default=None, metavar="WINDOW",
+        help="pre-funnel keep-one-copy exact-substring removal at this "
+        "word window (see `curate --dedup-spans`)",
+    )
+    rl.add_argument(
         "--decontam-eval", default=None, metavar="PATH",
         help="drop documents whose n-gram shingles overlap this eval "
         "corpus before release (see `curate --decontam-eval`)",
@@ -520,6 +530,8 @@ def main(argv: list[str] | None = None) -> int:
                 sample_rate=args.rate,
                 budget=args.budget,
                 seed=args.seed,
+                near_dup_threshold=args.near_dup,
+                remove_dup_spans=args.dedup_spans,
                 decontam_eval_path=args.decontam_eval,
                 decontam_min_frac=args.decontam_min_frac,
                 dsir_target_expr=args.dsir_target,

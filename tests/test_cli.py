@@ -987,3 +987,45 @@ def test_cli_drift_ts_col_validation(spark, tmp_path, capsys):
     rc = cli.main(base + ["--in", good, "--ts-col", "nope"])
     assert rc == 2
     assert "nope" in capsys.readouterr().err
+
+
+def test_cli_release_near_dup_and_span_flags(spark, tmp_path, capsys):
+    """Full-funnel parity for `release` (the r7 gap pattern, closed for
+    the last two stages): --near-dup and --dedup-spans were plumbed in
+    run_release but not exposed on the release parser, so the composed
+    release path could not run the CCNet-order fuzzy dedup the `curate`
+    CLI runs. A planted near-duplicate (one appended word, Jaccard
+    20/21) must survive exact dedup and fall to --near-dup; the
+    span-cleaned release must publish the same doc set."""
+    import hashlib
+
+    def salad(tag: str, n: int = 20) -> str:
+        return " ".join(
+            hashlib.md5(f"{tag}-{k}".encode()).hexdigest()[:8] for k in range(n)
+        )
+
+    rows = [(i, salad(f"d{i}"), "en", "src0") for i in range(6)]
+    rows.append((10, rows[0][1] + " zz", "en", "src0"))  # near-dup of doc 0
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+
+    base = ["release", "--in", src, "--min-score", "-100", "--batch-id", "1"]
+    plain = _run(capsys, base + ["--table", str(tmp_path / "t0")])
+    assert plain["funnel"]["deduped"] == 7  # exact dedup keeps the near-dup
+
+    fuzzy = _run(
+        capsys,
+        base + ["--table", str(tmp_path / "t1"), "--near-dup", "0.6"],
+    )
+    f = fuzzy["funnel"]
+    assert list(f)[:3] == ["input", "deduped", "near_deduped"]
+    assert f["deduped"] == 7 and f["near_deduped"] == 6
+    assert sum(s["docs"] for s in fuzzy["splits"].values()) == 6
+
+    spans = _run(
+        capsys,
+        base + ["--table", str(tmp_path / "t2"), "--dedup-spans", "8"],
+    )
+    assert spans["funnel"]["input"] == 7  # span rewrite precedes the funnel
