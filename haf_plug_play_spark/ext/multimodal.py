@@ -511,14 +511,27 @@ def _dct_mat(n: int):
 
 def _phash_bits(mid, buf: bytes) -> int:
     """63-bit DCT perceptual hash of one image payload (shared by the
-    per-image and per-video-frame paths)."""
+    per-image and per-video-frame paths).
+
+    The 8x8 low-frequency block is computed with FIXED-ORDER summation
+    (non-optimized einsum — plain C loops, no BLAS dispatch): a BLAS
+    matmul reassociates the inner sums differently per implementation
+    (OpenBLAS/MKL/generic), and coefficients sitting within fp-noise of
+    the median then flip bits between machines — the same image hashed
+    on two boxes must agree for cross-corpus dedup to be meaningful.
+    Slicing the DCT matrices to their first 8 rows BEFORE the product
+    also drops the per-image cost from O(n^3) (full n x n DCT, 63/4096
+    of it used) to O(8 n^2)."""
     import numpy as np
 
     px = _decode_image(mid, buf).astype(np.float64)
     h, w = px.shape
     if h < 8 or w < 8:
         raise ValueError(f"phash needs >=8x8 pixels, got {h}x{w} (media_id={mid})")
-    c = (_dct_mat(h) @ px @ _dct_mat(w).T)[:8, :8].ravel()[1:]
+    dh8 = _dct_mat(h)[:8]
+    dw8 = _dct_mat(w)[:8]
+    t = np.einsum("ki,ij->kj", dh8, px, optimize=False)
+    c = np.einsum("kj,lj->kl", t, dw8, optimize=False).ravel()[1:]
     med = np.median(c)
     bits = 0
     for j, v in enumerate(c):
