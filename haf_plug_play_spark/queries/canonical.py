@@ -107,17 +107,23 @@ def qf8_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def qj1_left_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/X10 — composite-key left join, ops ⟕ transactions analog
-    (database/sql/sync.sql:93-95). Both sides derive from the same scan, so
-    Catalyst reuses the exchange; the agg side is pre-reduced before the join.
+    (database/sql/sync.sql:93-95). The per-key count joined back to every
+    row IS a window count over the same key: one pass, one hash exchange,
+    instead of a second scan + a table-sized BroadcastExchange build
+    (r15: the broadcast hash relation was |distinct key pairs|-sized —
+    at 100 TB an unbuildable relation, locally the query's whole cost).
+    Join-vs-window semantics agree because lineitem's composite key is
+    non-null throughout (a null key never equi-joins, but counts in its
+    window partition; the fixture generator emits no null keys — oracle-
+    verified at every SF).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    d = lineitem.groupBy("l_orderkey", "l_suppkey").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("l_orderkey", "l_suppkey")
     return (
-        lineitem.join(d, ["l_orderkey", "l_suppkey"], "left")
-        .select(
+        lineitem.select(
             "l_orderkey",
             "l_linenumber",
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.count("*").over(w).alias("cnt"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
