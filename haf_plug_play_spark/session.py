@@ -32,13 +32,18 @@ def _default_driver_memory() -> str:
     4.30→2.86 s at sf0.1 going 1g→16g, idle-box min-of-3 A/B). On a real
     cluster this function is irrelevant: spark-submit sizes driver and
     executors explicitly. Clamping to half of RAM keeps small CI boxes
-    safe; the cap keeps the shared sandbox polite."""
+    safe. The cap is 8g, not more: ContextCleaner work (broadcast and
+    shuffle cleanup) is driven by weak references, i.e. by GC frequency —
+    at 16g the shuffle-heaviest query (XD-minhash-acc) ran 1.5× SLOWER
+    (4.95 s vs 3.32 at 1g, vs 3.06 at 8g, isolated min-of-3) and the
+    bench suite degraded run-over-run as stale broadcasts accumulated;
+    the periodic-GC conf in get_spark is the other half of that fix."""
     try:
         with open("/proc/meminfo") as fh:
             kb = int(
                 next(l for l in fh if l.startswith("MemTotal")).split()[1]
             )
-        gb = max(2, min(16, kb // (2 * 1024 * 1024)))
+        gb = max(2, min(8, kb // (2 * 1024 * 1024)))
     except Exception:  # non-Linux fallback
         gb = 4
     return f"{gb}g"
@@ -93,6 +98,13 @@ def get_spark(app_name: str = "haf_plug_play_spark", master: str | None = None) 
         .config("spark.sql.broadcastTimeout", os.environ.get(
             "SPARK_GRAFT_BROADCAST_TIMEOUT", "3600"))
         .config("spark.ui.enabled", "false")
+        # ContextCleaner is weak-reference-driven: on a roomy heap full
+        # GCs become rare and stale broadcasts / shuffle registrations
+        # pile up across a long query sequence (measured r15: the 162-
+        # query bench degraded run-over-run at 16g, third canonical pass
+        # 40.6 s vs 12.4). A periodic System.gc keeps cleanup flowing;
+        # 2 min costs microseconds on an 8g heap.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     # Conf mirror of the pre-launch heap sizing above — a no-op for an
     # already-running local JVM, but it makes the intended size visible in

@@ -64,14 +64,59 @@ def _session_defaults(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+#: Tables below this size are left on their natural splits: fanning a
+#: dimension table out to every core costs more in task scheduling than
+#: the map work it parallelizes.
+_PARALLELIZE_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_PARALLELIZE_MIN_BYTES", 256 * 1024)
+)
+
+
+def _input_parallelize(spark: SparkSession, df: DataFrame, size: int) -> DataFrame:
+    """Give a low-split input the session's parallelism (r15, guide §2.2).
+
+    Parquet assigns one ROW GROUP to one task, so a table written as a
+    single row group — every sf0.001–0.1 fixture, and any badly-compacted
+    production file — runs its whole map side (scan, explode, hash,
+    partial aggregation) on ONE core while the rest idle; measured r15,
+    this single-core map stage dominated every heavy query (e.g. the
+    4.5 s corpus-pass aggregations in XK-hll-overlap). A round-robin
+    repartition of the narrow base rows unlocks the map side for a few MB
+    of shuffle. Scale-adaptive by construction: the estimated split count
+    comes from file bytes / maxPartitionBytes, so any input wide enough
+    to feed half the cores — every real 100 TB layout — takes the plain
+    scan with zero added shuffle. Predicate pushdown and column pruning
+    both traverse Repartition, so PushedFilters/ReadSchema on the scan
+    are unaffected."""
+    par = spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m").lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    max_split = (
+        int(raw[:-1]) * mult[raw[-1]] if raw[-1] in mult else int(raw)
+    )
+    est_splits = max(1, (size + max_split - 1) // max_split)
+    if size >= _PARALLELIZE_MIN_BYTES and est_splits < par // 2:
+        return df.repartition(par)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _session_defaults(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         field = df.schema[col]
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return _normalize_timestamps(df)
+    try:
+        size = os.path.getsize(path)
+    except OSError:  # directory-style parquet (runner output trees)
+        size = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        ) if os.path.isdir(path) else 0
+    return _input_parallelize(spark, _normalize_timestamps(df), size)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
