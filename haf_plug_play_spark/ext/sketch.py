@@ -35,6 +35,29 @@ from haf_plug_play_spark.ext.hashing import (
 )
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Materialize a multiply-consumed reduced intermediate ONCE (r15).
+
+    Catalyst clones a shared subtree per consumer, and every consumer
+    that pushes a different filter into its copy (each equi-join adds
+    isnotnull on its keys) forks the subtree so runtime exchange reuse
+    cannot unify them — the corpus-sized lineage below re-executes once
+    per consumer. An eager localCheckpoint runs that lineage once and
+    every consumer reads the stored blocks; it also collapses the
+    logical plan, which on the overlap sketches cut multi-second
+    driver-side Catalyst planning (314-node physical plans).
+
+    Sequencing note (measured r15): with single-split inputs this trade
+    LOST (redundant single-core legs overlapped for free on an idle box
+    while the checkpoint serialized the job chain — XK-kmv 1.60→4.18 s);
+    AFTER input parallelization the redundant legs contend for the same
+    cores and deduplication wins (XK-hll-overlap 5.44→3.21 s, identical
+    results). Applied only to tables already reduced far below the
+    corpus (distinct item sets, register tables), so the stored
+    footprint is the sketch's own bounded size."""
+    return df.localCheckpoint()
+
+
 # ------------------------------------------------------------- count-min
 
 def cms_heavy_hitters(
@@ -616,10 +639,25 @@ def hll_overlap(
     m = 1 << p
     sigma4 = 4.0 * 1.04 / (m ** 0.5)
     hashed = hll_observables(F.col(item_col), p).alias("_o")
-    obs = items.select(F.col(group_col), hashed).select(
+    # r15 single-pass restructure (see _materialize): certify mode runs
+    # ONE corpus pass — the distinct (group, item) table — and derives
+    # the register table AND all three exact legs from it (register max
+    # over distinct items is identical to register max over the raw
+    # stream). Production skips the distinct pass and materializes only
+    # the ≤ groups × m register table, which its four consumers
+    # (estimates, source list, both pair replications) previously each
+    # recomputed from the corpus.
+    if certify:
+        d = _materialize(items.select(group_col, item_col).distinct())
+        src = d
+    else:
+        src = items
+    obs = src.select(F.col(group_col), hashed).select(
         group_col, F.col("_o._idx").alias("_idx"), F.col("_o._rho").alias("_rho")
     )
-    regs = obs.groupBy(group_col, "_idx").agg(F.max("_rho").alias("_m"))
+    regs = _materialize(
+        obs.groupBy(group_col, "_idx").agg(F.max("_rho").alias("_m"))
+    )
     ests = hll_register_estimate(regs, p, "_est", group_cols=[group_col])
     srcs = regs.select(group_col).distinct()
     pairs = (
@@ -669,8 +707,8 @@ def hll_overlap(
             )
             .orderBy("source_a", "source_b")
         )
-    # exact certification legs (droppable at scale)
-    d = items.select(group_col, item_col).distinct()
+    # exact certification legs (droppable at scale), all reading the one
+    # materialized distinct pass ``d``
     n_by = d.groupBy(group_col).agg(F.count("*").alias("_n"))
     na = n_by.select(
         F.col(group_col).alias("source_a"), F.col("_n").alias("_n_a")
@@ -1005,18 +1043,27 @@ def kmv_distinct_by_group(
 
     Output: (group_col, n_exact, kmv_est, rel_err) ordered by group.
     """
-    hashed = items.select(
-        F.col(group_col).alias("_g"),
-        md5_int(F.col(item_col)).alias("_h"),
-        F.col(item_col).alias("_i"),
+    # r15 single-pass restructure (see _materialize): the hashed stream
+    # fed both the k-smallest selection and the exact count, re-running
+    # the corpus lineage twice. One materialized distinct (group, item)
+    # pass feeds both — _kmv_kept selects the k smallest DISTINCT
+    # hashes, so running it over the deduplicated table is identical,
+    # and the exact per-group distinct is count(*) over it. The
+    # k-smallest windows stay lazy ABOVE the stored table, keeping the
+    # WindowGroupLimit selection visible in the final plan.
+    d = _materialize(
+        items.select(
+            F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+        ).distinct()
     )
+    hashed = d.select("_g", md5_int(F.col("_i")).alias("_h"))
     kept = _kmv_kept(hashed, k)
     sk = kept.groupBy("_g").agg(
         F.count("*").cast("long").alias("_kn"),
         F.max("_h").alias("_hk"),
     )
-    exact = hashed.groupBy("_g").agg(
-        F.countDistinct("_i").cast("long").alias("n_exact")
+    exact = d.groupBy("_g").agg(
+        F.count("*").cast("long").alias("n_exact")
     )
     est = F.when(F.col("_kn") < k, F.col("_kn").cast("double")).otherwise(
         F.lit(float(k - 1))
@@ -1111,12 +1158,31 @@ def kmv_overlap(
     ``certify=False`` (production) drops the exact legs, returning
     (source_a, source_b, union_est, inter_est, jaccard_est)."""
     sigma4 = 4.0 / (k - 2) ** 0.5
-    hashed = items.select(
-        F.col(group_col).alias("_g"),
-        md5_int(F.col(item_col)).alias("_h"),
-        F.col(item_col).alias("_i"),
-    )
-    kept = _kmv_kept(hashed, k)
+    # r15 single-pass restructure (see _materialize): the ≤ groups × k
+    # kept table is consumed three times below (thresholds + both pair-
+    # replication joins) and, in certify mode, the distinct item table
+    # three more times — each consumer previously re-ran the corpus
+    # lineage. Certify mode materializes ONE distinct (group, item) pass
+    # and derives both the sketch and the exact legs from it (_kmv_kept
+    # selects the k smallest DISTINCT hashes, so the deduplicated input
+    # is equivalent); the k-smallest windows stay lazy above the stored
+    # table so the WindowGroupLimit selection stays visible in the
+    # final plan. Production has no distinct pass to anchor on, so it
+    # materializes the kept table itself.
+    if certify:
+        d = _materialize(
+            items.select(
+                F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+            ).distinct()
+        )
+        hashed = d.select("_g", md5_int(F.col("_i")).alias("_h"))
+        kept = _kmv_kept(hashed, k)
+    else:
+        hashed = items.select(
+            F.col(group_col).alias("_g"),
+            md5_int(F.col(item_col)).alias("_h"),
+        )
+        kept = _materialize(_kmv_kept(hashed, k))
     stats = kept.groupBy("_g").agg(
         F.count("*").cast("long").alias("_kn"),
         F.max("_h").alias("_hk"),
@@ -1175,17 +1241,13 @@ def kmv_overlap(
             F.round(inter_est, 2).alias("inter_est"),
             F.round(jac_est, 6).alias("jaccard_est"),
         ).orderBy("source_a", "source_b")
-    # exact certification legs (droppable at scale — the hll_overlap shape)
-    d = items.select(group_col, item_col).distinct()
-    n_by = d.groupBy(group_col).agg(F.count("*").alias("_n"))
-    na = n_by.select(
-        F.col(group_col).alias("source_a"), F.col("_n").alias("_n_a")
-    )
-    nb = n_by.select(
-        F.col(group_col).alias("source_b"), F.col("_n").alias("_n_b")
-    )
-    x = d.select(F.col(group_col).alias("source_a"), F.col(item_col).alias("_it"))
-    y = d.select(F.col(group_col).alias("source_b"), F.col(item_col).alias("_it"))
+    # exact certification legs (droppable at scale — the hll_overlap
+    # shape), all reading the one materialized distinct pass ``d``
+    n_by = d.groupBy("_g").agg(F.count("*").alias("_n"))
+    na = n_by.select(F.col("_g").alias("source_a"), F.col("_n").alias("_n_a"))
+    nb = n_by.select(F.col("_g").alias("source_b"), F.col("_n").alias("_n_b"))
+    x = d.select(F.col("_g").alias("source_a"), F.col("_i").alias("_it"))
+    y = d.select(F.col("_g").alias("source_b"), F.col("_i").alias("_it"))
     inter = (
         x.join(y, "_it")
         .filter(F.col("source_a") < F.col("source_b"))
