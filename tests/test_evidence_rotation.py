@@ -465,16 +465,22 @@ def test_editing_registry_inlined_wrapper_refronts_exactly_it():
     last = entry_mod._last_green_round()
     current = dict(entry_mod._current_evidence_hashes(q, e.oracle_sql()))
     # use the bank as if freshly written at HEAD: baseline = current, so
-    # only the simulated edit below can produce a mismatch
+    # only the simulated edit below can produce a mismatch. The git FILE
+    # signal is neutralized (empty dep sets): mid-round, shared glue like
+    # sources/tables.py legitimately carries commits newer than the last
+    # bank, which would front wide swaths of the matrix through the OTHER
+    # signal and mask exactly the hash-signal behavior under test (r15:
+    # the input-parallelize commit to tables.py did precisely that).
+    no_deps = {n: () for n in names}
     baseline = dict(current)
     before = entry_mod._tier1_changed(
-        names, last, queries_by_name=q,
+        names, last, queries_by_name=q, dep_files=no_deps,
         banked_hashes=baseline, current_hashes=current,
     )
     edited = dict(current)
     edited["XD-exact-census"] = "0" * 64  # the wrapper was edited
     after = entry_mod._tier1_changed(
-        names, last, queries_by_name=q,
+        names, last, queries_by_name=q, dep_files=no_deps,
         banked_hashes=baseline, current_hashes=edited,
     )
     assert after - before == {"XD-exact-census"}
