@@ -469,7 +469,12 @@ def bigram_lm_scores(
             )
         ).alias("t"),
     ).select(F.col(id_col), F.col("t.w").alias("w"), F.col("t.pv").alias("pv"))
-    uni = tok.groupBy("w").agg(F.count("*").alias("_cu"))
+    # One corpus tokenize+explode, one unigram table (r15, guide §2.4/§5
+    # — the trigram/sketch-family finding): without the checkpoints the
+    # shared subtrees re-execute once per consumer (tok feeds uni/bi/
+    # scored; uni feeds total/up/the scored join), ~6 corpus passes.
+    tok = tok.localCheckpoint()
+    uni = tok.groupBy("w").agg(F.count("*").alias("_cu")).localCheckpoint()
     total = uni.agg(F.sum("_cu").alias("_t"))
     bi = (
         tok.filter(F.col("pv").isNotNull())
@@ -587,6 +592,17 @@ def kn_trigram_lm_scores(
         F.col("t.pv").alias("pv"),
         F.col("t.ppv").alias("ppv"),
     )
+    # Materialize the token stream and the two large count tables ONCE
+    # (r15, guide §2.4/§5 — the sketch-family finding applied here):
+    # Catalyst clones a shared subtree per consumer, and the pushed
+    # isnotnull/join filters fork the copies so runtime exchange reuse
+    # cannot unify them — without the checkpoints this plan tokenizes and
+    # explodes the whole corpus 22 times (22 parquet scans / 22 Generate
+    # nodes / 78 Exchanges measured at sf0.1). One corpus pass feeds
+    # uni/bi/tri; bi and tri each feed 4 derived statistics, so they
+    # materialize too. This is the KenLM posture at crawl scale: the
+    # count tables ARE the model and get built exactly once.
+    tok = tok.localCheckpoint()
     uni = tok.groupBy("w").agg(F.count("*").alias("_cu"))
     bi = (
         tok.filter(F.col("pv").isNotNull())
@@ -604,6 +620,8 @@ def kn_trigram_lm_scores(
         # stats tables too, not just the entry lookups
         bi = bi.filter(F.col("_cb") >= min_count)
         tri = tri.filter(F.col("_ct") >= min_count)
+    bi = bi.localCheckpoint()
+    tri = tri.localCheckpoint()
     total = uni.agg(F.sum("_cu").alias("_t"))
     n_bigrams = bi.agg(F.count("*").alias("_nb"))
     # one table per join key: pv-keyed stats (successor mass + richness
@@ -828,7 +846,13 @@ def perplexity_gate(
     """
     from haf_plug_play_spark.ext.hashing import md5_int
 
-    wp = scored.withColumn("ppl", F.round(F.exp(-F.col(logp_col)), 6))
+    # ``wp`` is consumed twice (the cutoff sample and the corpus-wide
+    # bucketing join); without the checkpoint the entire upstream LM
+    # scoring pipeline executes twice (r15, guide §2.4). The stored table
+    # is one row per document — the LM scorer's own output size.
+    wp = scored.withColumn(
+        "ppl", F.round(F.exp(-F.col(logp_col)), 6)
+    ).localCheckpoint()
     samp = wp
     if sample_denom > 1:
         samp = wp.filter(
