@@ -282,6 +282,30 @@ def _stream_replay(
     modes (stream-stream join state lives per shuffle partition on both
     sides; the count is pinned at stream start) — restored in finally, so
     batch plans are unaffected either way.
+
+    Two replay-harness speedups (r15, guide §1.4/§6 — measured on QSJ,
+    the state-heaviest replay: batch-progress durationMs showed the
+    no-data batch costing as much as the 200k-row data batch, and
+    state-store/WAL commits landing on spinning /tmp):
+
+    - ``noDataMicroBatches.enabled=false`` for the replay only: every
+      QS* replay emits its result rows IN the data batch (complete and
+      update modes re-emit full/changed state per batch; the append-mode
+      replays — dedup, inner stream-stream join, stateless enrichment —
+      all emit on arrival, none on window close), so the trailing
+      no-data batch exists solely to advance the watermark and evict
+      state that ``q.stop()`` is about to discard anyway. A production
+      stream that emits on watermark close (append-mode windowed aggs)
+      must keep the default; this harness pins the conf per stream
+      start, not session-wide.
+    - The checkpoint (offset/commit WAL + state store) goes to
+      ``$SPARK_GRAFT_STREAM_SCRATCH`` (default ``/dev/shm`` when
+      present): an availableNow replay into a memory sink has an
+      EPHEMERAL checkpoint by construction — it is deleted on return —
+      so durability buys nothing and tmpfs removes the fsync cost of
+      every per-partition state commit. Durable streams (PlugRunner,
+      curate-stream) pass their own checkpointLocation and are
+      untouched.
     """
     import os
     import shutil
@@ -289,6 +313,14 @@ def _stream_replay(
 
     schema = load_table(spark, sf_dir, "events").schema
     d = tempfile.mkdtemp(prefix=f"{prefix}_events_")
+    scratch_base = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH") or (
+        "/dev/shm" if os.path.isdir("/dev/shm") else None
+    )
+    ckpt = (
+        tempfile.mkdtemp(prefix=f"{prefix}_ckpt_", dir=scratch_base)
+        if scratch_base and os.access(scratch_base, os.W_OK)
+        else None
+    )
     try:
         os.symlink(
             os.path.abspath(os.path.join(sf_dir, "events.parquet")),
@@ -300,18 +332,23 @@ def _stream_replay(
         out = build(*srcs)
         name = f"{prefix}_{abs(hash(d)) % 10_000_000}"
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+        prev_nodata = spark.conf.get(nodata_key, "true")
         try:
             if shuffle_partitions is not None:
                 spark.conf.set(
                     "spark.sql.shuffle.partitions", str(shuffle_partitions)
                 )
-            q = (
+            spark.conf.set(nodata_key, "false")
+            writer = (
                 out.writeStream.format("memory")
                 .queryName(name)
                 .outputMode(output_mode)
                 .trigger(availableNow=True)
-                .start()
             )
+            if ckpt is not None:
+                writer = writer.option("checkpointLocation", ckpt)
+            q = writer.start()
             try:
                 if not q.awaitTermination(300):
                     raise RuntimeError(
@@ -322,10 +359,13 @@ def _stream_replay(
         finally:
             if shuffle_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
+            spark.conf.set(nodata_key, prev_nodata)
     finally:
         # the file source only needs the dir during the replay; the memory
         # sink holds the result, so the fixture dir can go immediately
         shutil.rmtree(d, ignore_errors=True)
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
