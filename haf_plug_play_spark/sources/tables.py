@@ -71,23 +71,71 @@ _PARALLELIZE_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_PARALLELIZE_MIN_BYTES", 256 * 1024)
 )
 
+#: Row-weight gate for AUTO parallelization: only tables whose compressed
+#: footprint is at least this many bytes per row are fanned out. Fat rows
+#: (document text, embedding vectors) feed per-row-expensive operators
+#: (shingling, hashing, vector arithmetic) where a single-core map stage
+#: dominates the query; narrow relational rows (~20 B/row) feed joins and
+#: plain aggregates where the extra exchange COSTS more than the
+#: parallelism returns (measured r15: QJ4-theta 2.55→1.36 s, QJ1 1.58→0.93
+#: without the repartition, vs XD-containment 3.81→3.33 WITH it).
+_PARALLELIZE_MIN_BYTES_PER_ROW = int(
+    os.environ.get("SPARK_GRAFT_PARALLELIZE_MIN_BYTES_PER_ROW", 64)
+)
 
-def _input_parallelize(spark: SparkSession, df: DataFrame, size: int) -> DataFrame:
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Row count from parquet footers — metadata only, no data read."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _input_parallelize(
+    spark: SparkSession,
+    df: DataFrame,
+    size: int,
+    rows: int | None,
+    parallelize: bool | None,
+) -> DataFrame:
     """Give a low-split input the session's parallelism (r15, guide §2.2).
 
     Parquet assigns one ROW GROUP to one task, so a table written as a
     single row group — every sf0.001–0.1 fixture, and any badly-compacted
     production file — runs its whole map side (scan, explode, hash,
     partial aggregation) on ONE core while the rest idle; measured r15,
-    this single-core map stage dominated every heavy query (e.g. the
-    4.5 s corpus-pass aggregations in XK-hll-overlap). A round-robin
-    repartition of the narrow base rows unlocks the map side for a few MB
-    of shuffle. Scale-adaptive by construction: the estimated split count
-    comes from file bytes / maxPartitionBytes, so any input wide enough
-    to feed half the cores — every real 100 TB layout — takes the plain
-    scan with zero added shuffle. Predicate pushdown and column pruning
-    both traverse Repartition, so PushedFilters/ReadSchema on the scan
-    are unaffected."""
+    this single-core map stage dominated every heavy corpus query (e.g.
+    the 4.5 s corpus-pass aggregations in XK-hll-overlap). A round-robin
+    repartition of the base rows unlocks the map side for a few MB of
+    shuffle. Two gates keep it from becoming a pessimization:
+
+    - split gate: estimated splits (bytes / maxPartitionBytes) must be
+      below half the cores — any real 100 TB layout takes the plain scan
+      with zero added shuffle (scale-adaptive, not a local[32] constant);
+    - row-weight gate (AUTO mode only): compressed bytes/row must reach
+      ``_PARALLELIZE_MIN_BYTES_PER_ROW``. Narrow relational tables flow
+      into joins/simple aggregates where the added exchange+stage costs
+      more than it parallelizes (measured: QJ4-theta 2.55→1.36 s once
+      lineitem/orders stopped repartitioning); fat text/vector rows feed
+      per-row-heavy operators where it pays for itself many times over.
+
+    ``parallelize`` overrides the row-weight gate per call site: True for
+    narrow tables with provably heavy map work (QA5's exact-decimal
+    moments), False to force the plain scan. The split gate always
+    applies — an override can never add a shuffle to an already-wide
+    production layout. Predicate pushdown and column pruning both
+    traverse Repartition, so PushedFilters/ReadSchema are unaffected."""
+    if parallelize is False:
+        return df
     par = spark.sparkContext.defaultParallelism
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "128m").lower()
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
@@ -95,12 +143,20 @@ def _input_parallelize(spark: SparkSession, df: DataFrame, size: int) -> DataFra
         int(raw[:-1]) * mult[raw[-1]] if raw[-1] in mult else int(raw)
     )
     est_splits = max(1, (size + max_split - 1) // max_split)
-    if size >= _PARALLELIZE_MIN_BYTES and est_splits < par // 2:
-        return df.repartition(par)
-    return df
+    if size < _PARALLELIZE_MIN_BYTES or est_splits >= par // 2:
+        return df
+    if parallelize is None and rows is not None and rows > 0:
+        if size / rows < _PARALLELIZE_MIN_BYTES_PER_ROW:
+            return df
+    return df.repartition(par)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallelize: bool | None = None,
+) -> DataFrame:
     _session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
@@ -116,7 +172,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             for f in os.listdir(path)
             if f.endswith(".parquet")
         ) if os.path.isdir(path) else 0
-    return _input_parallelize(spark, _normalize_timestamps(df), size)
+    rows = _parquet_num_rows(path) if parallelize is None else None
+    return _input_parallelize(
+        spark, _normalize_timestamps(df), size, rows, parallelize
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
