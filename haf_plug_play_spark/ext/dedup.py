@@ -46,6 +46,37 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
+def _mat(df: DataFrame) -> DataFrame:
+    """Materialize a shared subtree once (r15, guide §2.4).
+
+    Catalyst clones a subtree per consumer, and per-consumer pushed
+    filters fork the copies beyond runtime exchange reuse — the dedup
+    pair builders re-ran their corpus shingle/signature passes 2–7×
+    per query (XD-containment's plan held 40 parquet scans of one
+    corpus). ``localCheckpoint`` pins the intermediate so every
+    consumer reads the computed blocks instead of re-deriving them.
+    Applied only where a subtree has ≥ 2 consumers and the recompute
+    is a corpus-wide pass; the candidate-bounded verify stages stay
+    lazy. Same trade as the LM count tables (ext/text.py): the stored
+    footprint is proportional to the input partition's rows, the
+    saved work is full recomputes of the most expensive projections."""
+    return df.localCheckpoint()
+
+
+def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Per-doc distinct shingle arrays (_id, sh), materialized once —
+    the shared base for candidate generation (exploded), signatures
+    (hashed), sizes (F.size) and exact verification (array_intersect).
+    Before r15 each of those consumers re-split and re-shingled the
+    corpus text independently."""
+    return _mat(
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), n).alias("sh"),
+        )
+    )
+
+
 def _contains_map(dt) -> bool:
     """True if the type is, or nests, a MapType (unhashable by xxhash64)."""
     from pyspark.sql.types import ArrayType, MapType, StructType
@@ -90,16 +121,17 @@ def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 
 
 def _jaccard_verify(
-    df: DataFrame, id_col: str, text_col: str, n: int,
-    candidates: DataFrame, threshold: float,
+    shing: DataFrame, candidates: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verification of a bounded candidate set via per-row
     shingle arrays (array_intersect) — shared by the LSH and df-capped
-    inverted-index paths. Computes over the FULL shingle sets, so a capped
-    or banded candidate generator never distorts the reported scores."""
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh"))
-    a = sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inverted-index paths. ``shing`` is a (_id, sh) shingle-array frame
+    (normally the query's materialized ``_shingle_arrays`` pass, so the
+    two joins read computed arrays instead of re-shingling the corpus).
+    Computes over the FULL shingle sets, so a capped or banded candidate
+    generator never distorts the reported scores."""
+    a = shing.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shing.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
     # bigint counters to match the SQL-engine convention (Spark size() is INT)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
     return (
@@ -212,7 +244,8 @@ def ngram_jaccard_pairs(
     Use this operator alone only when boilerplate-shaped duplication is
     out of scope or already removed.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
+    shing = _shingle_arrays(df, id_col, text_col, n)
+    sh = shing.select("_id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
         # Sound prefilter: true inter ≤ c_inter + min(hot_a, hot_b), so
         # the Jaccard upper bound ub/( |A|+|B|−ub ) dominates the true
@@ -223,7 +256,7 @@ def ngram_jaccard_pairs(
             max_shingle_df,
             lambda ub: F.col("sz_a") + F.col("sz_b") - ub,
         )
-        return _jaccard_verify(df, id_col, text_col, n, candidates, threshold)
+        return _jaccard_verify(shing, candidates, threshold)
     sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -253,24 +286,36 @@ def minhash_signatures(
     and each h_i is an array_min over a transform — so signatures cost ZERO
     shuffles at any scale (the naive explode+groupBy formulation shuffles
     the entire shingle set)."""
+    shing = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    return _sig_from_arrays(shing, num_hashes, seed).withColumnRenamed(
+        "_id", id_col
+    )
+
+
+def _sig_from_arrays(shing: DataFrame, num_hashes: int, seed: int) -> DataFrame:
+    """(_id, h0..h{k-1}) MinHash signature columns over a (_id, sh)
+    shingle-array frame — the arithmetic of ``minhash_signatures``,
+    factored so a query's materialized shingle pass feeds signatures,
+    candidate generation and verification from ONE corpus read."""
     from haf_plug_play_spark.ext.hashing import MERSENNE_P
 
     params = hash_params(num_hashes, seed)
-    xs = F.transform(
-        word_shingles(F.col(text_col), n), lambda s: md5_int(s) % MERSENNE_P
-    )
+    xs = F.transform(F.col("sh"), lambda s: md5_int(s) % MERSENNE_P)
     sig_cols = [
         F.array_min(
             F.transform(F.col("_xs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(params)
     ]
-    return df.withColumn("_xs", xs).select(F.col(id_col), *sig_cols)
+    return shing.withColumn("_xs", xs).select("_id", *sig_cols)
 
 
 def _band_bucket_rows(
-    df: DataFrame, id_col: str, text_col: str,
+    df: DataFrame | None, id_col: str, text_col: str,
     num_hashes: int, bands: int, n: int, seed: int,
+    shing: DataFrame | None = None,
 ) -> DataFrame:
     """THE LSH band-bucket construction — signature split into bands of
     r = num_hashes/bands components, each band's key the ``_``-joined
@@ -278,9 +323,15 @@ def _band_bucket_rows(
     (review r9: it was copy-pasted, and the DuckDB oracle replicates the
     key encoding bit-for-bit, so a drift between the two copies breaks
     both the incremental-vs-full equality property and oracle parity).
+    ``shing`` (a materialized shingle-array frame) skips the re-shingle.
     Returns (_id, bk=struct(band, key)) rows."""
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    if shing is None:
+        shing = df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), n).alias("sh"),
+        )
+    sig = _sig_from_arrays(shing, num_hashes, seed)
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -291,7 +342,7 @@ def _band_bucket_rows(
         for bi in range(bands)
     ]
     return sig.select(
-        F.col(id_col).alias("_id"), F.explode(F.array(*band_cols)).alias("bk")
+        "_id", F.explode(F.array(*band_cols)).alias("bk")
     )
 
 
@@ -299,6 +350,7 @@ def minhash_lsh_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     num_hashes: int = 16, bands: int = 4, n: int = 3,
     threshold: float = 0.5, seed: int = 1,
+    shing: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, exact-Jaccard verified.
 
@@ -306,6 +358,12 @@ def minhash_lsh_pairs(
     rows; docs sharing any band bucket become candidates (collision prob
     1-(1-s^r)^bands). Candidates are then verified with exact Jaccard, so
     the output has no false positives — LSH only bounds the candidate set.
+
+    One corpus pass: the shingle arrays materialize once (``shing``
+    overrides for callers that already hold the pass, e.g.
+    minhash_accuracy) and feed both the banded signatures and the exact
+    verify; the bucket rows materialize once and feed both sides of the
+    candidate self-join.
     """
     if num_hashes % bands:  # ValueError, not assert: -O strips asserts
         raise ValueError(
@@ -313,7 +371,11 @@ def minhash_lsh_pairs(
             f"({bands}) or the top signature components silently escape "
             "every band and the collision curve degrades"
         )
-    buckets = _band_bucket_rows(df, id_col, text_col, num_hashes, bands, n, seed)
+    if shing is None:
+        shing = _shingle_arrays(df, id_col, text_col, n)
+    buckets = _mat(
+        _band_bucket_rows(None, id_col, text_col, num_hashes, bands, n, seed, shing=shing)
+    )
     x, y = buckets.alias("x"), buckets.alias("y")
     candidates = (
         x.join(y, (F.col("x.bk") == F.col("y.bk")) & (F.col("x._id") < F.col("y._id")))
@@ -323,7 +385,7 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verify per candidate pair via array_intersect — the
     # candidate set is LSH-bounded, so this never touches the corpus-wide
     # shingle self-join the standalone ngram_jaccard_pairs needs.
-    return _jaccard_verify(df, id_col, text_col, n, candidates, threshold)
+    return _jaccard_verify(shing, candidates, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
@@ -383,9 +445,14 @@ def hamming_pairs(
         )
         for c in range(chunks)
     ]
-    buckets = hashes.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
-        F.explode(F.array(*chunk_cols)).alias("bk"),
+    # materialized once: both sides of the candidate self-join read the
+    # computed buckets, so the fingerprint lineage (a 32-bit-sum simhash
+    # or an image decode+DCT pHash) runs ONCE, not per join side
+    buckets = _mat(
+        hashes.select(
+            F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+            F.explode(F.array(*chunk_cols)).alias("bk"),
+        )
     )
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
@@ -533,9 +600,15 @@ def embedding_cosine_pairs(
     # sign(v·plane), which equals sign(u·plane) because ‖v‖ > 0, and the
     # exact verify divides the raw dot by the once-computed norms. The
     # oracle mirrors this op order (registry._cosine_pairs_sql renorm=True).
-    v = df.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select("_id", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
+    # materialized once: the vector+norm table has 3 consumers (bucket
+    # assignment and both verify join sides) and the fold-dot norm is
+    # per-row-expensive; likewise the bucket table feeds the probe
+    # explode AND the exact side of the candidate join
+    v = _mat(
+        df.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+        ).select("_id", "_v", F.sqrt(dot(F.col("_v"), F.col("_v"))).alias("_n"))
+    )
     # dim must match the vectors: mismatched hyperplanes null out every dot
     # product and collapse all rows into one bucket (silent O(n²) cross)
     #
@@ -546,8 +619,10 @@ def embedding_cosine_pairs(
     # makes the dedup hash O(dim); at 10⁹×768-dim that's the difference
     # between a 32 GB and a 55 TB candidate shuffle. Vectors are attached
     # to the (far smaller) deduped candidate set by two equi-joins.
-    bucketed = v.withColumn("b", hyperplane_bucket(F.col("_v"), n_planes, seed, dim)).select(
-        "_id", "b"
+    bucketed = _mat(
+        v.withColumn("b", hyperplane_bucket(F.col("_v"), n_planes, seed, dim)).select(
+            "_id", "b"
+        )
     )
     probes = bucketed.select(
         "_id",
@@ -745,9 +820,14 @@ def segment_dedup(
             ).alias("seg"),
         ),
     )
-    segs = df.select(
-        F.col(id_col), F.explode(seg_structs).alias("s")
-    ).select(id_col, F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    # materialized once: the first-occurrence census and the keep join
+    # both consume the segment stream (the split+slice+concat transform
+    # otherwise runs twice over the corpus)
+    segs = _mat(
+        df.select(
+            F.col(id_col), F.explode(seg_structs).alias("s")
+        ).select(id_col, F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    )
     firsts = segs.groupBy("seg").agg(
         F.min(F.struct(id_col, "seg_idx")).alias("first")
     )
@@ -809,7 +889,10 @@ def semantic_dedup(
     # Spherical cell assignment with no materialized unit vectors (the
     # CollapseProject-into-lambda O(dim²) trap and its fix are documented
     # on similarity.cell_staged, which this shares with the k-NN join).
-    a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim)
+    # Materialized once: the within-cell pair stage and the final keep
+    # join both consume the assignment, and the k×dim distance transform
+    # is the query's cost center — it must not run per consumer.
+    a = _mat(cell_staged(emb, id_col, vec_col, n_centroids, seed, dim))
     if pairs == "expr":
         # bit-exact sequential-fold path: one fold dot per pair, same
         # accumulation order as the SQL oracle's list_dot_product
@@ -907,10 +990,14 @@ def eval_overlap(
         .select("shingle")
         .distinct()
     )
-    tr = _shingle_rows(train, id_col, text_col, n)
-    sizes = train.select(
-        F.col(id_col),
-        F.size(word_shingles(F.col(text_col), n)).cast("long").alias("n_shingles"),
+    # one materialized train-side shingle pass feeds BOTH the exploded
+    # probe stream and the per-doc size table (two full corpus shingle
+    # passes before r15)
+    tr_arrays = _shingle_arrays(train, id_col, text_col, n)
+    tr = tr_arrays.select("_id", F.explode("sh").alias("shingle"))
+    sizes = tr_arrays.select(
+        F.col("_id").alias(id_col),
+        F.size("sh").cast("long").alias("n_shingles"),
     )
     hits = (
         tr.join(F.broadcast(eval_shingles), "shingle")
@@ -1031,13 +1118,22 @@ def incremental_minhash_pairs(
             f"({bands}) or the top signature components silently escape "
             "every band and the collision curve degrades"
         )
-    def band_buckets(df: DataFrame) -> DataFrame:
+    # ONE shingle pass per side, materialized: the batch arrays feed the
+    # batch's buckets AND the verify; the corpus arrays feed the corpus
+    # band index AND the (candidate-pruned) verify — before r15 each of
+    # those consumers re-shingled its side's text from scratch.
+    shing_new = _shingle_arrays(new_docs, id_col, text_col, n)
+    shing_cor = _shingle_arrays(corpus, id_col, text_col, n)
+
+    def band_buckets(shing: DataFrame) -> DataFrame:
         return _band_bucket_rows(
-            df, id_col, text_col, num_hashes, bands, n, seed
+            None, id_col, text_col, num_hashes, bands, n, seed, shing=shing
         )
 
-    nb = band_buckets(new_docs)
-    cb = band_buckets(corpus)
+    # the batch buckets have 3 consumers (bucket-key distinct, both join
+    # sides) — materialize; the corpus index is consumed once, stays lazy
+    nb = _mat(band_buckets(shing_new))
+    cb = band_buckets(shing_cor)
     # prune the corpus index to buckets the new batch occupies — the ONLY
     # corpus-wide step over signatures, and it's a semi-join on the band key
     cb_hot = cb.join(nb.select("bk").distinct(), "bk", "semi")
@@ -1054,21 +1150,16 @@ def incremental_minhash_pairs(
         # prune below doesn't recompute the whole signature lineage
         .localCheckpoint()
     )
-    both = new_docs.select(id_col, text_col).unionByName(
-        corpus.select(id_col, text_col)
-    )
-    # verify-side prune BEFORE shingling: a projection ahead of a join is
-    # evaluated for every input row, so without this semi-join the verify
-    # stage would compute word_shingles over the ENTIRE corpus — an
-    # O(corpus) expression cost the O(batch) contract forbids. After it,
-    # shingle arrays exist only for docs appearing in some candidate pair.
+    # verify-side prune: shingle arrays already exist (computed once for
+    # the band index); the semi-join bounds the verify joins to docs that
+    # appear in some candidate pair, keeping the pair stage O(batch).
     cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        candidates.select(F.col("id_a").alias("_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("_id")))
         .distinct()
     )
-    both = both.join(cand_ids, id_col, "semi")
-    return _jaccard_verify(both, id_col, text_col, n, candidates, threshold)
+    both = shing_new.unionByName(shing_cor).join(cand_ids, "_id", "semi")
+    return _jaccard_verify(both, candidates, threshold)
 
 
 def _span_hash_expr(text_col: str, window: int) -> Column:
@@ -1120,10 +1211,15 @@ def duplicated_spans(
     (the winnowing convention) so every doc appears in the output.
     Output: (id, n_spans, n_dup_spans, dup_frac) ordered by id.
     """
-    spans = df.select(
-        F.col(id_col), _span_hash_expr(text_col, window).alias("__spans")
-    ).select(
-        F.col(id_col), F.explode("__spans").alias("h")
+    # materialized once: the census and the per-doc rollup both consume
+    # the span-hash stream; without the pin each re-ran the md5-per-span
+    # projection over the whole corpus
+    spans = _mat(
+        df.select(
+            F.col(id_col), _span_hash_expr(text_col, window).alias("__spans")
+        ).select(
+            F.col(id_col), F.explode("__spans").alias("h")
+        )
     )
     census = spans.groupBy("h").agg(F.count("*").alias("_n"))
     return (
@@ -1168,15 +1264,13 @@ def ngram_containment_pairs(
     Output: (id_a, id_b, inter, cont_a, cont_b) with id_a < id_b, kept
     when max(cont_a, cont_b) >= threshold; cont_a = inter/|A|.
     """
-    sh = _shingle_rows(df, id_col, text_col, n)
+    shing = _shingle_arrays(df, id_col, text_col, n)
+    sh = shing.select("_id", F.explode("sh").alias("shingle"))
     # the bound ub/min(|A|,|B|) dominates BOTH directed containments;
     # cap=None now skips the hot census entirely instead of running a
     # full corpus-wide shingle groupBy against an unreachable 2^62 cap
     candidates = _capped_candidate_pairs(
         sh, threshold, max_shingle_df, lambda ub: F.least("sz_a", "sz_b")
-    )
-    shing = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     a2 = shing.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b2 = shing.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -1246,11 +1340,16 @@ def remove_duplicated_spans(
         # error); w<0 dies mid-job as an opaque negative-slice exception
         raise ValueError(f"span window must be >= 1, got {window}")
     w = window
-    spans = df.select(
-        F.col(id_col), _span_hash_expr(text_col, window).alias("__spans")
-    ).select(
-        F.col(id_col), F.posexplode("__spans").alias("_p0", "h")
-    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "h")
+    # materialized once: census and the duplicated-occurrence stream both
+    # consume the positional span hashes (two md5-per-span corpus passes
+    # before r15)
+    spans = _mat(
+        df.select(
+            F.col(id_col), _span_hash_expr(text_col, window).alias("__spans")
+        ).select(
+            F.col(id_col), F.posexplode("__spans").alias("_p0", "h")
+        ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "h")
+    )
     census = spans.groupBy("h").agg(
         F.count("*").alias("_n"),
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
@@ -1386,10 +1485,15 @@ def minhash_accuracy(
     certified).
     """
     k = num_hashes
+    # ONE materialized shingle pass feeds the pair builder (buckets +
+    # verify) and the audit's own signature table — before r15 the corpus
+    # was re-shingled for each
+    shing = _shingle_arrays(df, id_col, text_col, n)
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, n, threshold=1e-6, seed=seed
+        df, id_col, text_col, num_hashes, bands, n, threshold=1e-6,
+        seed=seed, shing=shing,
     )
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    sig = _sig_from_arrays(shing, num_hashes, seed)
     matches = sum(
         F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
         for i in range(k)
@@ -1405,14 +1509,14 @@ def minhash_accuracy(
         .distinct()
     )
     sig = sig.join(
-        cand_ids, sig[id_col] == F.col("_cid"), "left_semi"
+        cand_ids, sig["_id"] == F.col("_cid"), "left_semi"
     )
     sa = sig.select(
-        F.col(id_col).alias("id_a"),
+        F.col("_id").alias("id_a"),
         *[F.col(f"h{i}").alias(f"_a{i}") for i in range(k)],
     )
     sb = sig.select(
-        F.col(id_col).alias("id_b"),
+        F.col("_id").alias("id_b"),
         *[F.col(f"h{i}").alias(f"_b{i}") for i in range(k)],
     )
     per = (
@@ -1485,8 +1589,13 @@ def dedup_decision_by_quality(
         reliable_checkpoint=reliable_checkpoint,
     )
     scored = df.select(F.col(id_col).alias("_sid"), score.alias("_q"))
-    labeled = cc.join(scored, cc["id"] == scored["_sid"]).select(
-        "id", "cluster_id", "_q"
+    # materialized once: the per-cluster best aggregation and the final
+    # census join both consume the labeled table, whose lineage includes
+    # the (possibly expensive) quality-score expression over the corpus
+    labeled = _mat(
+        cc.join(scored, cc["id"] == scored["_sid"]).select(
+            "id", "cluster_id", "_q"
+        )
     )
     best = (
         labeled.groupBy("cluster_id")
