@@ -707,8 +707,17 @@ def connected_components(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     )
-    nodes = sym.select(F.col("src").alias("id")).distinct()
-    labels = _chk(nodes.select("id", F.col("id").alias("label")))
+    # Initial labels FUSE the first propagation round: label₀(v) =
+    # min(v, min neighbor id) — one groupBy over sym, the same shuffle
+    # the old identity init paid for its distinct. Near-dup components
+    # are clique-shaped, so most inputs are already at the fixpoint
+    # after this init and the loop runs a single confirming round
+    # (r15: one full propagation round of jobs saved per query).
+    labels = _chk(
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_nm"))
+        .select("id", F.least(F.col("id"), F.col("_nm")).alias("label"))
+    )
     # max_iters + 1 probes: the last round a fixpoint is REACHED still
     # reports changed > 0; confirming it needs one more (free) probe.
     for it in range(max_iters + 1):

@@ -144,7 +144,13 @@ def ivf_centroids(
     floating-point reassociation in the distributed mean — which is why the
     SQL-oracled canonical query uses the seeded quantizer, not this."""
     cents = _seed_centroids(dim, k, seed)
-    v = emb.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    # materialized once: every Lloyd iteration re-assigns against new
+    # centroids (unavoidable), but the source scan + cast must not re-run
+    # per iteration (r15; the iterative-ML posture train_pq_codebooks
+    # already uses)
+    v = emb.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    ).localCheckpoint()
     for _ in range(iters):
         means = (
             v.withColumn("_c", nearest_centroid(F.col("_v"), cents))
@@ -250,7 +256,11 @@ def knn_join_cells(
 
     Output: (id_col, nbr_id, cosine, rk) with rk 1..k, ties broken by
     (cosine desc, nbr_id asc), deterministic."""
-    a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim)
+    # materialized once: both sides of the within-cell pair join consume
+    # the assignment, and the k×dim nearest-centroid transform is the
+    # per-row cost center — it must not run per join side (r15, the
+    # semantic_dedup treatment)
+    a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim).localCheckpoint()
     x, y = a.alias("x"), a.alias("y")
     cos = F.round(
         dot(F.col("x._v"), F.col("y._v")) / (F.col("x._n") * F.col("y._n")), 6
@@ -338,9 +348,16 @@ def kmeans_refine_assign(
     with equidistant vectors could flip a cell between engines.
     """
     cents = _seed_unit_centroids(dim, k, seed)
+    # materialized once: the position-exploded stream feeds BOTH the
+    # centroid mean and the re-scoring join, and the k×dim nearest-
+    # centroid argmin in cell0 is the per-row cost center — storing the
+    # assigned vectors keeps it to one corpus pass (the explode itself
+    # stays lazy per consumer; it is cheap relative to the assignment)
     v = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("cell0", nearest_centroid(F.col("_v"), cents).cast("int"))
+    ).withColumn(
+        "cell0", nearest_centroid(F.col("_v"), cents).cast("int")
+    ).localCheckpoint()
     p = v.select(id_col, "cell0", F.posexplode("_v").alias("_pos", "_x"))
     cent1 = (
         p.groupBy("cell0", "_pos")
