@@ -2171,9 +2171,13 @@ def xp_pipeline5(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE, one per-topic window + bounded sequence explode."""
     docs = load_table(spark, sf_dir, "documents")
     w = sampling_mod.dsir_weights(docs, F.col("source") == "src0")
+    # materialized once (r15): the kept slice has two consumers (the
+    # token-count base and the topic tagging), and each would otherwise
+    # re-run the whole DSIR gate lineage — the stored footprint is the
+    # pipeline's own working set (the surviving documents)
     kept = docs.join(
         w.filter(F.col("log_weight") > 0).select("doc_id"), "doc_id", "left_semi"
-    )
+    ).localCheckpoint()
     base = kept.select(
         "doc_id", xt.n_tokens_ws(F.col("text")).alias("n_tok")
     )

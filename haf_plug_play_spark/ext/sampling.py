@@ -264,6 +264,13 @@ def dsir_weights(
     """
     from haf_plug_play_spark.ext.hashing import md5_int, unigram_bigram_features
 
+    # Materialized once (r15, guide §2.4): the bucket census and the
+    # per-doc weight aggregation both consume the feature stream, and
+    # Catalyst clones the explode+md5 subtree per consumer — the corpus
+    # was featurized twice (and once more per pipeline consumer of the
+    # weights). The stored stream is projected to three narrow columns
+    # (the feature string exists only to derive its bucket); the
+    # arithmetic of both consumers is unchanged.
     feats = docs.select(
         F.col(id_col),
         # NULL predicate values (e.g. a NULL lang column) mean NOT target
@@ -273,7 +280,9 @@ def dsir_weights(
         # the ONE shared featurizer (ext/hashing.py) — the classifier
         # scores over the identical feature stream
         F.explode(unigram_bigram_features(F.col(text_col))).alias("_f"),
-    ).withColumn("_b", md5_int(F.col("_f")) % n_buckets)
+    ).withColumn("_b", md5_int(F.col("_f")) % n_buckets).select(
+        id_col, "_tgt", "_b"
+    ).localCheckpoint()
 
     # BOTH bucket distributions from ONE conditional aggregation over the
     # feature stream (the target count is a summed flag) — the two-agg
