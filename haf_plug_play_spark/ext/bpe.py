@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from haf_plug_play_spark.ext.materialize import materialize
 
 END = "▁"  # end-of-word sentinel (SentencePiece-style marker)
 
@@ -80,7 +81,7 @@ def word_histogram(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()
+        .transform(materialize)
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from haf_plug_play_spark.ext.hashing import hash_params, md5_int
+from haf_plug_play_spark.ext.materialize import materialize
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -60,7 +61,7 @@ def _mat(df: DataFrame) -> DataFrame:
     lazy. Same trade as the LM count tables (ext/text.py): the stored
     footprint is proportional to the input partition's rows, the
     saved work is full recomputes of the most expensive projections."""
-    return df.localCheckpoint()
+    return materialize(df)
 
 
 def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -697,7 +698,7 @@ def connected_components(
     the engine surface for the LLM-pipeline dedup flow (SURVEY §2 ext).
     """
     def _chk(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+        return df.checkpoint() if reliable_checkpoint else materialize(df)
 
     # Checkpoint the symmetrized edge list ONCE: the pair generator behind
     # ``edges`` is typically an expensive lineage (LSH banding + verify),
@@ -1157,7 +1158,7 @@ def incremental_minhash_pairs(
         .distinct()
         # materialized once (bounded: LSH-candidate-sized) so the id
         # prune below doesn't recompute the whole signature lineage
-        .localCheckpoint()
+        .transform(materialize)
     )
     # verify-side prune: shingle arrays already exist (computed once for
     # the band index); the semi-join bounds the verify joins to docs that

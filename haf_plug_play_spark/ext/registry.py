@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from haf_plug_play_spark.ext.materialize import materialize
 
 from haf_plug_play_spark.ext import bpe as bpe_mod
 from haf_plug_play_spark.ext import dedup, similarity, text as xt
@@ -2177,7 +2178,7 @@ def xp_pipeline5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline's own working set (the surviving documents)
     kept = docs.join(
         w.filter(F.col("log_weight") > 0).select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint()
+    ).transform(materialize)
     base = kept.select(
         "doc_id", xt.n_tokens_ws(F.col("text")).alias("n_tok")
     )

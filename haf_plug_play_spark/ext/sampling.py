@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from haf_plug_play_spark.ext.materialize import materialize
 
 from haf_plug_play_spark.ext.hashing import md5_int
 
@@ -282,7 +283,7 @@ def dsir_weights(
         F.explode(unigram_bigram_features(F.col(text_col))).alias("_f"),
     ).withColumn("_b", md5_int(F.col("_f")) % n_buckets).select(
         id_col, "_tgt", "_b"
-    ).localCheckpoint()
+    ).transform(materialize)
 
     # BOTH bucket distributions from ONE conditional aggregation over the
     # feature stream (the target count is a summed flag) — the two-agg

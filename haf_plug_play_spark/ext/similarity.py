@@ -19,6 +19,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from haf_plug_play_spark.ext.materialize import materialize
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -150,7 +151,7 @@ def ivf_centroids(
     # already uses)
     v = emb.select(
         F.col(vec_col).cast("array<double>").alias("_v")
-    ).localCheckpoint()
+    ).transform(materialize)
     for _ in range(iters):
         means = (
             v.withColumn("_c", nearest_centroid(F.col("_v"), cents))
@@ -260,7 +261,7 @@ def knn_join_cells(
     # the assignment, and the k×dim nearest-centroid transform is the
     # per-row cost center — it must not run per join side (r15, the
     # semantic_dedup treatment)
-    a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim).localCheckpoint()
+    a = cell_staged(emb, id_col, vec_col, n_centroids, seed, dim).transform(materialize)
     x, y = a.alias("x"), a.alias("y")
     cos = F.round(
         dot(F.col("x._v"), F.col("y._v")) / (F.col("x._n") * F.col("y._n")), 6
@@ -357,7 +358,7 @@ def kmeans_refine_assign(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn(
         "cell0", nearest_centroid(F.col("_v"), cents).cast("int")
-    ).localCheckpoint()
+    ).transform(materialize)
     p = v.select(id_col, "cell0", F.posexplode("_v").alias("_pos", "_x"))
     cent1 = (
         p.groupBy("cell0", "_pos")

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from haf_plug_play_spark.ext.materialize import materialize
 
 from haf_plug_play_spark.ext.hashing import (
     MERSENNE_P,
@@ -55,7 +56,7 @@ def _materialize(df: DataFrame) -> DataFrame:
     results). Applied only to tables already reduced far below the
     corpus (distinct item sets, register tables), so the stored
     footprint is the sketch's own bounded size."""
-    return df.localCheckpoint()
+    return df.transform(materialize)
 
 
 # ------------------------------------------------------------- count-min

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from haf_plug_play_spark.ext.materialize import materialize
 
 # BPE-ish tokenizer: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -473,8 +474,8 @@ def bigram_lm_scores(
     # — the trigram/sketch-family finding): without the checkpoints the
     # shared subtrees re-execute once per consumer (tok feeds uni/bi/
     # scored; uni feeds total/up/the scored join), ~6 corpus passes.
-    tok = tok.localCheckpoint()
-    uni = tok.groupBy("w").agg(F.count("*").alias("_cu")).localCheckpoint()
+    tok = tok.transform(materialize)
+    uni = tok.groupBy("w").agg(F.count("*").alias("_cu")).transform(materialize)
     total = uni.agg(F.sum("_cu").alias("_t"))
     bi = (
         tok.filter(F.col("pv").isNotNull())
@@ -602,7 +603,7 @@ def kn_trigram_lm_scores(
     # uni/bi/tri; bi and tri each feed 4 derived statistics, so they
     # materialize too. This is the KenLM posture at crawl scale: the
     # count tables ARE the model and get built exactly once.
-    tok = tok.localCheckpoint()
+    tok = tok.transform(materialize)
     uni = tok.groupBy("w").agg(F.count("*").alias("_cu"))
     bi = (
         tok.filter(F.col("pv").isNotNull())
@@ -620,8 +621,8 @@ def kn_trigram_lm_scores(
         # stats tables too, not just the entry lookups
         bi = bi.filter(F.col("_cb") >= min_count)
         tri = tri.filter(F.col("_ct") >= min_count)
-    bi = bi.localCheckpoint()
-    tri = tri.localCheckpoint()
+    bi = bi.transform(materialize)
+    tri = tri.transform(materialize)
     total = uni.agg(F.sum("_cu").alias("_t"))
     n_bigrams = bi.agg(F.count("*").alias("_nb"))
     # one table per join key: pv-keyed stats (successor mass + richness
@@ -852,7 +853,7 @@ def perplexity_gate(
     # is one row per document — the LM scorer's own output size.
     wp = scored.withColumn(
         "ppl", F.round(F.exp(-F.col(logp_col)), 6)
-    ).localCheckpoint()
+    ).transform(materialize)
     samp = wp
     if sample_denom > 1:
         samp = wp.filter(

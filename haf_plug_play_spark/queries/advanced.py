@@ -26,6 +26,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from haf_plug_play_spark.ext.materialize import materialize
 
 from haf_plug_play_spark.operators.temporal import asof_join, sessionize
 from haf_plug_play_spark.sources.tables import load_table
@@ -845,7 +846,7 @@ def qw7_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("*"), 6
             ).alias("_av"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = (
