@@ -148,7 +148,7 @@ def _jaccard_verify(
     )
 
 
-def _capped_candidate_pairs(sh, threshold: float, cap, denom) -> DataFrame:
+def _capped_candidate_pairs(shing, threshold: float, cap, denom) -> DataFrame:
     """THE df-capped inverted-index candidate machinery, shared by the
     Jaccard and containment pair builders (review r9 — it was duplicated
     ~verbatim, and the 1e-6 threshold-margin fix had to be written
@@ -161,7 +161,17 @@ def _capped_candidate_pairs(sh, threshold: float, cap, denom) -> DataFrame:
     index arithmetic). The 1e-6 margin keeps a pair whose exact score
     rounds up onto the threshold from being pruned before its verify.
 
+    ``shing`` is the (_id, sh) shingle-array frame. Per-doc sizes come
+    from ``F.size`` on the stored arrays — a projection, NOT a corpus-
+    stream groupBy(_id): the shingle count per doc IS the array length
+    (word_shingles is distinct), so the old stats aggregation shuffled
+    the whole exploded stream to recompute a number each row already
+    carries (r15, guide §2.4 — remove shuffles outright). Only the HOT
+    hits (a broadcast-bounded slice) shuffle for the n_hot count.
+
     Returns (id_a, id_b) with id_a < id_b."""
+    sh = shing.select("_id", F.explode("sh").alias("shingle"))
+    sizes = shing.select("_id", F.size("sh").cast("long").alias("sz"))
     if cap is not None:
         # Hot shingles are FEW by definition (df > cap bounds their
         # number by corpus_shingles / cap) — broadcast the anti-join.
@@ -172,21 +182,17 @@ def _capped_candidate_pairs(sh, threshold: float, cap, denom) -> DataFrame:
             .select("shingle")
         )
         idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        # Count-only stats (no arrays shuffled): capped inter from the
-        # capped index self-join, full size + hot count per doc.
-        stats = sh.join(
-            F.broadcast(hot.withColumn("_hot", F.lit(1))), "shingle", "left"
-        ).groupBy("_id").agg(
-            F.count("*").alias("sz"),
-            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
+        hot_hits = (
+            sh.join(F.broadcast(hot), "shingle")
+            .groupBy("_id")
+            .agg(F.count("*").alias("_nh"))
+        )
+        stats = sizes.join(hot_hits, "_id", "left").select(
+            "_id", "sz", F.coalesce(F.col("_nh"), F.lit(0)).cast("long").alias("n_hot")
         )
     else:
         idx = sh
-        stats = (
-            sh.groupBy("_id")
-            .agg(F.count("*").alias("sz"))
-            .withColumn("n_hot", F.lit(0))
-        )
+        stats = sizes.withColumn("n_hot", F.lit(0))
     x, y = idx.alias("a"), idx.alias("b")
     capped = (
         x.join(
@@ -252,13 +258,15 @@ def ngram_jaccard_pairs(
         # the Jaccard upper bound ub/( |A|+|B|−ub ) dominates the true
         # score; only pairs whose bound clears the threshold pay verify.
         candidates = _capped_candidate_pairs(
-            sh,
+            shing,
             threshold,
             max_shingle_df,
             lambda ub: F.col("sz_a") + F.col("sz_b") - ub,
         )
         return _jaccard_verify(shing, candidates, threshold)
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("sz"))
+    # per-doc size = array length (word_shingles is distinct): a
+    # projection over the stored arrays, not a corpus-stream groupBy
+    sizes = shing.select("_id", F.size("sh").cast("long").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
@@ -1275,12 +1283,11 @@ def ngram_containment_pairs(
     when max(cont_a, cont_b) >= threshold; cont_a = inter/|A|.
     """
     shing = _shingle_arrays(df, id_col, text_col, n)
-    sh = shing.select("_id", F.explode("sh").alias("shingle"))
     # the bound ub/min(|A|,|B|) dominates BOTH directed containments;
     # cap=None now skips the hot census entirely instead of running a
     # full corpus-wide shingle groupBy against an unreachable 2^62 cap
     candidates = _capped_candidate_pairs(
-        sh, threshold, max_shingle_df, lambda ub: F.least("sz_a", "sz_b")
+        shing, threshold, max_shingle_df, lambda ub: F.least("sz_a", "sz_b")
     )
     a2 = shing.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b2 = shing.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b"))
