@@ -42,3 +42,42 @@ def test_get_spark_respects_existing_submit_args(spark, monkeypatch):
     monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", "--driver-memory 3g pyspark-shell")
     get_spark("haf_plug_play_spark_tests", master="local[4]")
     assert os.environ["PYSPARK_SUBMIT_ARGS"] == "--driver-memory 3g pyspark-shell"
+
+
+def test_default_local_dir_resolution(monkeypatch):
+    """Scratch-dir selection (r16, guide §5/§6): explicit env wins, a
+    caller/cluster-set SPARK_LOCAL_DIRS suppresses any engine choice, and
+    the /dev/shm fallback only fires when the mount has headroom."""
+    from haf_plug_play_spark.session import _default_local_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/scratch/x")
+    assert _default_local_dir() == "/scratch/x"
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR")
+
+    monkeypatch.setenv("SPARK_LOCAL_DIRS", "/cluster/managed")
+    assert _default_local_dir() is None
+    monkeypatch.delenv("SPARK_LOCAL_DIRS")
+
+    result = _default_local_dir()
+    import os as _os
+
+    st = _os.statvfs("/dev/shm")
+    if st.f_bavail * st.f_frsize >= 16 * 1024**3:
+        assert result == "/dev/shm/spark_graft_scratch"
+        assert _os.path.isdir(result)
+    else:
+        assert result is None
+
+
+def test_running_session_uses_fast_scratch_when_available(spark):
+    """End-to-end: the conftest session (built via get_spark) must have
+    its local dir on the engine-selected scratch when /dev/shm has room
+    and nothing overrode it."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_LOCAL_DIR") or _os.environ.get("SPARK_LOCAL_DIRS"):
+        return  # caller controls scratch; nothing to assert
+    st = _os.statvfs("/dev/shm")
+    if st.f_bavail * st.f_frsize < 16 * 1024**3:
+        return
+    assert spark.conf.get("spark.local.dir", None) == "/dev/shm/spark_graft_scratch"
