@@ -128,12 +128,25 @@ def attach_fake_media(documents: DataFrame, width: int = 16, height: int = 16) -
     w, h = width, height
 
     def _attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized container build (guide §4.2): the whole batch's pixel
+        # streams come from one numpy broadcast — (id·31 + i) mod 256 ==
+        # ((id mod 256)·31 + i) mod 256, so the reduced form never
+        # overflows int64 regardless of media_id. Byte-identical to
+        # make_fake_image (property-tested).
+        import numpy as np
+
+        n = w * h
+        header = b"FAKEIMG\x00" + struct.pack("<II", w, h)
+        offsets = np.arange(n, dtype=np.int64)[None, :]
         for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            body = ((ids % 256)[:, None] * 31 + offsets) % 256
+            body = body.astype(np.uint8)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "image",
-                    "content": [make_fake_image(int(d), w, h) for d in pdf["doc_id"]],
+                    "content": [header + row.tobytes() for row in body],
                 }
             )
 
@@ -343,8 +356,44 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
+            mids = pdf["media_id"]
+            contents = pdf["content"]
+            # Vectorized fast path (guide §4.2) when the whole batch is
+            # FAKEIMG containers of one geometry (the attach_fake_media
+            # stream): stack the payloads as views and take both integer
+            # moments with two matrix reductions. Exact int64 sums — the
+            # same two correctly-rounded double ops as the scalar path,
+            # so results are bit-identical (s2 ≤ n·255² never overflows).
+            first = bytes(contents.iloc[0])[:16] if len(contents) else b""
+            if first[:8] == b"FAKEIMG\x00" and all(
+                bytes(c)[:16] == first for c in contents
+            ):
+                w, h = struct.unpack("<II", first[8:16])
+                n = w * h
+                mat = np.stack(
+                    [
+                        np.frombuffer(bytes(c), np.uint8, count=n, offset=16)
+                        for c in contents
+                    ]
+                ).astype(np.int64)
+                s1 = mat.sum(axis=1)
+                s2 = (mat * mat).sum(axis=1)
+                mean = s1 / n
+                std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
+                yield pd.DataFrame(
+                    {
+                        "media_id": mids,
+                        "format": "fakeimg",
+                        "width": np.int32(w),
+                        "height": np.int32(h),
+                        "n_pixels": np.int64(n),
+                        "px_mean": mean,
+                        "px_std": std,
+                    }
+                )
+                continue
             rows = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
+            for mid, content in zip(mids, contents):
                 px, fmt = _decode_image_fmt(mid, bytes(content))
                 h, w = px.shape
                 n = int(px.size)

@@ -350,7 +350,12 @@ def xm_imagestats(spark: SparkSession, sf_dir: str) -> DataFrame:
     would have the same stats; 144 pixels leave doc-varying moments)."""
     from haf_plug_play_spark.ext import multimodal
 
-    docs = load_table(spark, sf_dir, "documents")
+    # parallelize=False: this path's per-task cost is two chained
+    # Python-runner handshakes, so the low-split fan-out that wins for
+    # JVM-side corpus passes LOSES here (measured r16 min-of-4: 1.32 s
+    # fanned vs 0.78 s plain scan, identical output). At production
+    # scale the split gate keeps the plain scan either way.
+    docs = load_table(spark, sf_dir, "documents", parallelize=False)
     media = multimodal.attach_fake_media(docs, width=12, height=12)
     stats = multimodal.image_pixel_stats(media)
     return stats.select(

@@ -38,10 +38,13 @@ def main() -> None:
     spark.range(1).collect()
     qa1_topk(spark, args.sf).toPandas()
 
+    from haf_plug_play_spark.ext.materialize import release_scratch
+
     for name in args.names:
         fn = queries[name]
         runs = []
         for _ in range(args.runs):
+            release_scratch(spark)  # bench-identical between-run sweep
             t0 = time.perf_counter()
             fn(spark, args.sf).toPandas()
             runs.append(round(time.perf_counter() - t0, 4))
